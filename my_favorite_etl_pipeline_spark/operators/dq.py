@@ -1,0 +1,100 @@
+"""Data-quality gate + reconciliation (SURVEY.md §2.7 Q1, A1-A3).
+
+The reference shells out to ``soda scan`` (dag_mgo_pg_schedule_etl_qc.py:
+333-369) for five check classes — freshness, type validity, regex,
+uniqueness, completeness (dag:369) — and separately compares a source-side
+windowed count against a sink-side per-run count, raising on mismatch
+(dag:375-422). Both become native Spark aggregates here: the whole DQ suite
+is ONE ``agg()`` of conditional sums (one pass over the data, map-side
+partial aggregation, a single scalar row back to the driver).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class DQViolation(Exception):
+    """Raised when any declared check fails — the AirflowException analogue
+    (dag:361-362, 417-420): a failing gate fails the pipeline run."""
+
+
+@dataclass
+class DQSuite:
+    """Declarative check suite compiled to a single aggregation.
+
+    Each ``add_*`` returns self for chaining. ``violations(df)`` returns the
+    per-check violation counts; ``enforce(df)`` raises :class:`DQViolation`
+    if any is nonzero.
+    """
+
+    checks: list[tuple[str, Column]] = field(default_factory=list)
+
+    def _add(self, name: str, violation_count: Column) -> "DQSuite":
+        self.checks.append((name, violation_count.cast("long").alias(name)))
+        return self
+
+    def add_not_null(self, col: str) -> "DQSuite":
+        """Completeness: missing-value count (dag:369 'not missing fields')."""
+        return self._add(f"null_{col}", F.sum(F.col(col).isNull().cast("int")))
+
+    def add_unique(self, col: str) -> "DQSuite":
+        """Uniqueness: ``count(col) - count(distinct col)`` (dag:369, M5)."""
+        return self._add(f"dup_{col}", F.count(F.col(col)) - F.count_distinct(F.col(col)))
+
+    def add_regex(self, col: str, pattern: str) -> "DQSuite":
+        """Regex conformity on non-null values (dag:369 'regex check')."""
+        bad = (~F.col(col).rlike(pattern)) & F.col(col).isNotNull()
+        return self._add(f"regex_{col}", F.sum(bad.cast("int")))
+
+    def add_type_valid(self, col: str, to_type: str) -> "DQSuite":
+        """Type validity: values that fail a ``try_cast`` (dag:369).
+
+        ``try_cast`` NULL on a non-NULL input == unparseable value — the
+        Spark-native version of Soda's 'valid data type' check.
+        """
+        bad = F.col(col).try_cast(to_type).isNull() & F.col(col).isNotNull()
+        return self._add(f"badtype_{col}", F.sum(bad.cast("int")))
+
+    def add_freshness(self, ts_col: str, not_before: str) -> "DQSuite":
+        """Freshness: ``max(ts) >= not_before`` else 1 violation (dag:369)."""
+        stale = (F.max(F.col(ts_col)) < F.lit(not_before).cast("timestamp")).cast("int")
+        return self._add(f"stale_{ts_col}", F.coalesce(stale, F.lit(1)))
+
+    def violation_columns(self) -> list[Column]:
+        return [c for _, c in self.checks]
+
+    def violations(self, df: DataFrame) -> dict[str, int]:
+        """One aggregation job over all checks."""
+        if not self.checks:
+            return {}
+        row = df.agg(*self.violation_columns()).collect()[0]
+        return {name: int(row[name]) for name, _ in self.checks}
+
+    def enforce(self, df: DataFrame) -> dict[str, int]:
+        counts = self.violations(df)
+        failed = {k: v for k, v in counts.items() if v}
+        if failed:
+            raise DQViolation(f"DQ gate failed: {failed}")
+        return counts
+
+
+def reconcile_counts(src_count: int, dst_count: int) -> None:
+    """A3 — exact row-count reconciliation (dag:417-420). Zero tolerance."""
+    if src_count != dst_count:
+        raise DQViolation(f"reconciliation mismatch: source={src_count} sink={dst_count}")
+
+
+def reconcile_content(src: DataFrame, dst: DataFrame) -> int:
+    """A3 upgraded — content-level diff via ``exceptAll`` (SURVEY §2.8).
+
+    Returns the number of rows differing in either direction (0 == match).
+    Two shuffles, but exact: catches value drift a count can't.
+    """
+    cols = src.columns
+    left = src.select(*cols).exceptAll(dst.select(*cols)).count()
+    right = dst.select(*cols).exceptAll(src.select(*cols)).count()
+    return left + right

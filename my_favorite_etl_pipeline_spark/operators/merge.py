@@ -1,0 +1,133 @@
+"""The merge cluster — staged insert, keyed partial-update upsert, scoped
+cleanup (SURVEY.md §2.6 M1-M5).
+
+The reference's signature move (dag_mgo_pg_schedule_etl_qc.py:4) is run-scoped
+isolation: land the batch in staging tagged with ``run_id`` (M1, dag:246-276),
+upsert into the mart with ``ON CONFLICT (_id) DO UPDATE`` touching only a
+declared subset of columns (M2, dag:278-316), then delete only this run's
+staging rows (M3, dag:318-320).
+
+Spark-first re-expression:
+- M1: staging parquet **partitioned by batch_run_id** — M3's delete becomes a
+  partition drop (metadata-only), and concurrent backfills never touch each
+  other's files. This is the deadlock fix by layout instead of by lock order.
+- M2: a join-based merge (Delta MERGE semantics without requiring Delta):
+  matched rows take the batch's values for the declared ``update_cols`` only,
+  keep mart values elsewhere (dag:311-315 updates 4 of 26 columns); unmatched
+  batch rows insert whole; mart rows without a match pass through.
+- Idempotency: merging the same batch twice is a fixpoint (the second merge
+  updates the same columns to the same values) — the property that makes the
+  reference's retries (dag:430) safe.
+
+Scale notes: the merge is one shuffle on the key (sort-merge join; AQE demotes
+to broadcast when the batch is small — the common incremental case). A
+dedup-by-key (latest-wins) pass on the batch keeps the join 1:1.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """X1/M2 helper — keep one row per key, last by ``order_cols`` (ties
+    broken deterministically by the key itself). The scalable keep-first
+    dedup: one hash-partition shuffle + per-partition sort, no global sort."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc_nulls_last() for c in order_cols], F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    mart: DataFrame,
+    batch: DataFrame,
+    key: str,
+    update_cols: list[str],
+) -> DataFrame:
+    """M2 — keyed upsert with partial update (dag:278-316, JN1/JN2).
+
+    Semantics table (per column, per row):
+    - key in both:      ``update_cols`` ← batch, all others ← mart
+    - key only in batch: insert batch row whole
+    - key only in mart:  mart row unchanged
+
+    Implemented as one full-outer join on the key — both the matched-update
+    arm (JN1) and the new-rows anti-join arm (JN2) fall out of the same
+    shuffle, instead of paying two joins.
+    """
+    cols = mart.columns
+    missing = [c for c in update_cols if c not in cols]
+    if missing:
+        raise ValueError(f"update_cols not in mart schema: {missing}")
+    b = batch.select(*cols)  # align column order/selection to the mart contract
+    m = mart.alias("m")
+    bb = b.alias("b")
+    matched = F.col(f"b.{key}").isNotNull() & F.col(f"m.{key}").isNotNull()
+    new_row = F.col(f"m.{key}").isNull()
+    out_cols = []
+    for c in cols:
+        if c == key:
+            expr = F.coalesce(F.col(f"m.{key}"), F.col(f"b.{key}"))
+        elif c in update_cols:
+            # matched → batch value (even if NULL: the reference's DO UPDATE
+            # overwrites with EXCLUDED values unconditionally); new → batch
+            expr = F.when(matched | new_row, F.col(f"b.{c}")).otherwise(F.col(f"m.{c}"))
+        else:
+            expr = F.when(new_row, F.col(f"b.{c}")).otherwise(F.col(f"m.{c}"))
+        out_cols.append(expr.alias(c))
+    return m.join(bb, F.col(f"m.{key}") == F.col(f"b.{key}"), "full_outer").select(*out_cols)
+
+
+def write_staging(df: DataFrame, path: str, run_id: str, run_col: str = "batch_run_id") -> None:
+    """M1 — append the batch to staging, partitioned by run id (dag:246-276).
+
+    Partition-per-run makes M3 a directory drop and bounds every reader's
+    scan to its own run via partition pruning on ``run_col``.
+    """
+    (
+        df.withColumn(run_col, F.lit(run_id))
+        .write.mode("append")
+        .partitionBy(run_col)
+        .parquet(path)
+    )
+
+
+def read_staging_run(spark: SparkSession, path: str, run_id: str, run_col: str = "batch_run_id") -> DataFrame:
+    """Scan one run's staging rows — partition-pruned (dag:310 analogue)."""
+    return spark.read.parquet(path).filter(F.col(run_col) == run_id)
+
+
+def delete_staging_run(path: str, run_id: str, run_col: str = "batch_run_id") -> bool:
+    """M3 — run-scoped cleanup (dag:318-320) as a partition directory drop.
+
+    Metadata/filesystem operation only; no job, no row locks, no deadlock
+    surface. Returns True if the partition existed.
+    """
+    part = Path(path) / f"{run_col}={run_id}"
+    if part.exists():
+        shutil.rmtree(part)
+        return True
+    return False
+
+
+def assert_unique_key(df: DataFrame, key: str) -> None:
+    """M5 — primary-key constraint as a DQ assertion (dag:213).
+
+    One aggregate job: ``count == count(distinct key) AND no NULL keys``.
+    """
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("nd"),
+        F.sum(F.col(key).isNull().cast("int")).alias("nn"),
+    ).collect()[0]
+    if row["nn"]:
+        raise ValueError(f"primary-key violation: {row['nn']} NULL {key} values")
+    if row["n"] != row["nd"]:
+        raise ValueError(f"primary-key violation: {row['n']} rows but {row['nd']} distinct {key}")

@@ -1,0 +1,12 @@
+"""Query plans — importing this package registers every query."""
+
+from . import pipeline, relational  # noqa: F401
+
+try:  # optional modules land incrementally; keep registration resilient
+    from . import llm_ext  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import streaming_queries  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

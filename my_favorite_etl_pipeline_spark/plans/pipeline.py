@@ -1,0 +1,226 @@
+"""Reference-parity pipeline queries (SURVEY.md §2.1-§2.7).
+
+Each query re-expresses one operator cluster of the reference DAG
+(/root/reference/dag_mgo_pg_schedule_etl_qc.py, cited ``dag:NNN``) over the
+driver fixture tables, with a DuckDB oracle. ``events`` plays the Mongo
+collection: ``ts`` ≙ ``createdAt``, a derived ``updated_at`` ≙ ``updatedAt``,
+``props`` ≙ ``requestParams``, ``event_id`` ≙ ``_id``.
+
+Oracle-parity rules (see registry docstring): identical aliases both sides,
+ROUND(x, 4) on floating aggregates, BIGINT casts on DuckDB count-ish sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dq import DQSuite
+from ..operators.incremental import in_window, incremental_extract
+from ..operators.merge import merge_upsert
+from ..registry import register
+from ..sources.tables import load
+
+WIN_START = "2024-01-08 00:00:00"
+WIN_END = "2024-01-15 00:00:00"
+
+# derived "updatedAt": ts shifted by the JSON props field k (hours) — gives the
+# $or predicate a genuinely second timestamp column, like dag:124-129's
+# createdAt/updatedAt pair.
+_UPDATED_AT = "ts + make_dt_interval(0, CAST(get_json_object(props, '$.k') AS INT), 0, 0)"
+_UPDATED_AT_DUCK = "ts + to_hours(CAST(json_extract_string(props, '$.k') AS BIGINT))"
+
+
+def _events_with_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").withColumn("updated_at", F.expr(_UPDATED_AT))
+
+
+@register(
+    "incremental_extract",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_id, ts, {_UPDATED_AT_DUCK} AS updated_at, event_type, value
+      FROM events
+    )
+    SELECT * FROM src
+    WHERE (ts >= TIMESTAMP '{WIN_START}' AND ts < TIMESTAMP '{WIN_END}')
+       OR (updated_at >= TIMESTAMP '{WIN_START}' AND updated_at < TIMESTAMP '{WIN_END}')
+    """,
+)
+def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2 — half-open $or change-capture window (dag:124-129).
+
+    'Created or modified in this window': the OR of two range predicates
+    still reaches the parquet scan as a pushed filter.
+    """
+    df = _events_with_updated(spark, sf_dir)
+    out = incremental_extract(df, ["ts", "updated_at"], WIN_START, WIN_END)
+    return out.select("event_id", "ts", "updated_at", "event_type", "value")
+
+
+@register(
+    "transform_chain",
+    oracle="""
+    SELECT
+      CAST(event_id AS VARCHAR) AS event_id_str,
+      date_trunc('second', ts) AS ts_sec,
+      CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      try_strptime(event_type, '%Y-%m-%d %H:%M:%S') AS coerced_ts,
+      to_json(struct_pack(event_type := event_type,
+                          k := CAST(json_extract_string(props, '$.k') AS INT))) AS packed_json,
+      'run-2024-01-15T00' AS batch_run_id
+    FROM events
+    """,
+)
+def q_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3+P4+J1+J2+J3 — the reference transform task as one projection.
+
+    Name normalization (dag:62-69), id stringify (dag:165), JSON field
+    extraction (dag:296-307), lossy timestamp coercion (dag:176-180),
+    struct→JSON serialization (dag:71-74), lineage column (dag:184).
+    All one Project node — zero UDFs, zero shuffles.
+    """
+    df = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return df.select(
+        F.col("event_id").cast("string").alias("event_id_str"),  # P4
+        F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+        k.alias("k"),  # J2
+        F.try_to_timestamp(F.col("event_type")).alias("coerced_ts"),  # J3 → NULL
+        F.to_json(F.struct(F.col("event_type"), k.alias("k"))).alias("packed_json"),  # J1
+        F.lit("run-2024-01-15T00").alias("batch_run_id"),  # P3
+    )
+
+
+@register(
+    "merge_upsert",
+    oracle=f"""
+    WITH mart AS (
+      SELECT * FROM events WHERE event_id % 3 <> 0
+    ), batch AS (
+      SELECT event_id, ts, user_id, event_type, value * 2 AS value,
+             '{{"k": -1}}' AS props
+      FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    )
+    SELECT
+      COALESCE(m.event_id, b.event_id) AS event_id,
+      CASE WHEN m.event_id IS NULL THEN b.ts ELSE m.ts END AS ts,
+      CASE WHEN m.event_id IS NULL THEN b.user_id ELSE m.user_id END AS user_id,
+      CASE WHEN m.event_id IS NULL THEN b.event_type ELSE m.event_type END AS event_type,
+      CASE WHEN b.event_id IS NOT NULL THEN b.value ELSE m.value END AS value,
+      CASE WHEN b.event_id IS NOT NULL THEN b.props ELSE m.props END AS props
+    FROM mart m FULL OUTER JOIN batch b ON m.event_id = b.event_id
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+JN1+JN2 — keyed upsert with PARTIAL update (dag:278-316).
+
+    The reference's ON CONFLICT arm updates only 4 of 26 columns
+    (dag:311-315); here ``value`` and ``props`` update, while ``ts``,
+    ``user_id``, ``event_type`` keep mart values — the per-column coalesce
+    the survey's watch-list warns about. One full-outer sort-merge join.
+    """
+    events = load(spark, sf_dir, "events")
+    mart = events.filter(F.col("event_id") % 3 != 0)
+    batch = events.filter(F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp")).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        (F.col("value") * 2).alias("value"),
+        F.lit('{"k": -1}').alias("props"),
+    )
+    return merge_upsert(mart, batch, key="event_id", update_cols=["value", "props"])
+
+
+@register(
+    "dq_gate",
+    oracle=f"""
+    WITH src AS (
+      SELECT *, json_extract_string(props, '$.k') AS k_str FROM events
+    )
+    SELECT
+      CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+      CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_event_id,
+      CAST(SUM(CASE WHEN event_type IS NOT NULL
+                     AND NOT regexp_matches(event_type, '^[a-z]+$')
+               THEN 1 ELSE 0 END) AS BIGINT) AS regex_event_type,
+      CAST(SUM(CASE WHEN k_str IS NOT NULL AND TRY_CAST(k_str AS INT) IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS badtype_k_str,
+      CAST(CASE WHEN MAX(ts) IS NULL OR MAX(ts) < TIMESTAMP '2024-01-25 00:00:00'
+           THEN 1 ELSE 0 END AS BIGINT) AS stale_ts
+    FROM src
+    """,
+)
+def q_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — the five Soda check classes (dag:369) as ONE aggregation.
+
+    Completeness, uniqueness, regex, type-validity, freshness — compiled to
+    conditional sums; a single pass with map-side partial agg, returning one
+    scalar row. Zero violations expected on the clean fixture.
+    """
+    df = load(spark, sf_dir, "events").withColumn(
+        "k_str", F.get_json_object("props", "$.k")
+    )
+    suite = (
+        DQSuite()
+        .add_not_null("event_id")
+        .add_unique("event_id")
+        .add_regex("event_type", "^[a-z]+$")
+        .add_type_valid("k_str", "int")
+        .add_freshness("ts", "2024-01-25 00:00:00")
+    )
+    return df.agg(*suite.violation_columns())
+
+
+@register(
+    "reconciliation",
+    oracle=f"""
+    SELECT
+      CAST(COUNT(CASE WHEN ts >= TIMESTAMP '{WIN_START}' AND ts < TIMESTAMP '{WIN_END}'
+                 THEN 1 END) AS BIGINT) AS src_count,
+      CAST(COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '{WIN_START}' AND ts < TIMESTAMP '{WIN_END}'
+                 THEN event_id END) AS BIGINT) AS dst_count,
+      CAST(CASE WHEN COUNT(CASE WHEN ts >= TIMESTAMP '{WIN_START}' AND ts < TIMESTAMP '{WIN_END}' THEN 1 END)
+              = COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '{WIN_START}' AND ts < TIMESTAMP '{WIN_END}' THEN event_id END)
+           THEN 1 ELSE 0 END AS INT) AS matched
+    FROM events
+    """,
+)
+def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+A3 — source-vs-sink count reconciliation (dag:375-422).
+
+    Source side: windowed count (A1 ≙ Mongo count_documents); sink side:
+    per-run distinct-key count (A2 ≙ the mart's per-run count); equality is
+    the gate (A3). Both sides in one aggregation pass here.
+    """
+    df = load(spark, sf_dir, "events")
+    w = in_window("ts", WIN_START, WIN_END)
+    src = F.count(F.when(w, 1)).alias("src_count")
+    dst = F.count_distinct(F.when(w, F.col("event_id"))).alias("dst_count")
+    return df.agg(src, dst).withColumn(
+        "matched", (F.col("src_count") == F.col("dst_count")).cast("int")
+    )
+
+
+@register(
+    "sorted_extract",
+    oracle="""
+    SELECT event_id, ts, event_type
+    FROM events
+    ORDER BY ts ASC, event_id ASC
+    LIMIT 100
+    """,
+)
+def q_sorted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — multi-key total sort with deterministic tiebreak (dag:132).
+
+    ``orderBy(ts, event_id)`` + limit: Catalyst plans TakeOrderedAndProject
+    (per-partition top-k + merge), NOT a global sort — the at-scale shape.
+    """
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(100)
+    )

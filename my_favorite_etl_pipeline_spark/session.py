@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the engine's workload.
+
+Design notes (100 TB posture):
+- AQE is on: runtime re-planning (join-strategy demotion, skew split,
+  partition coalescing) is the single highest-leverage knob at scale.
+- ``spark.sql.ansi.enabled=false``: the reference pipeline's semantics are
+  "coerce, don't throw" (pandas ``errors="coerce"``,
+  reference dag_mgo_pg_schedule_etl_qc.py:176-183); we additionally use the
+  ``try_*`` function family explicitly wherever coercion is load-bearing.
+- ``spark.sql.session.timeZone=UTC``: the fixture parquet stores naive
+  timestamps; pinning UTC makes Spark's reading byte-identical to DuckDB's.
+- shuffle partitions default to the local core count; on a real cluster this
+  is overridden (or left to AQE coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "my-favorite-etl-pipeline-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an externally-provided session.
+
+    The driver harness creates its own SparkSession and passes it in; the
+    confs that matter for correctness parity (timezone, ANSI) are settable
+    at runtime — apply them defensively.
+    """
+    for key, val in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # conf may be static on some builds; try_* funcs still cover us
+    return spark
