@@ -1,0 +1,211 @@
+"""Deduplication operators ([EXT] X1/X2, SURVEY.md §2.9).
+
+Four tiers, each with a different cost/recall point, all shuffle-bounded:
+
+- exact: hash groupBy on the full text (or md5 fingerprint) — one shuffle.
+- keep-first: row_number window over a dedup key — the upsert-compaction twin.
+- MinHash+LSH: shingle → K minhashes → band-bucket join → verify exact
+  Jaccard on candidates only. Candidate generation is bounded by bucket
+  collisions, NEVER all-pairs: at 100 TB the band groupBy is the only
+  shuffle and skewed buckets split under AQE.
+- SimHash: 64-bit signature; chunk-equality blocking (pigeonhole: hamming
+  ≤ 3 over 4 chunks ⇒ some 16-bit chunk equal) bounds the pair join.
+
+Hash functions are Spark's xxhash64 (seeded by band/permutation index) —
+deterministic across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exprs import let
+from ..functions.text import shingles
+
+MINHASH_PERMS = 32  # 16 bands x 2 rows: P(miss | j>=0.9) ~ (1-0.81)^16 ≈ 3e-12
+MINHASH_BAND_ROWS = 2
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """X1 — drop exact duplicates over ``key_cols``. One hash shuffle."""
+    return df.dropDuplicates(key_cols)
+
+
+def minhash_signature(text_col: Column | str, num_perms: int = MINHASH_PERMS) -> Column:
+    """Array of ``num_perms`` minhash values over 3-gram shingles.
+
+    Permutation i is xxhash64(shingle, i) — seeding by index replaces the
+    classic (a*x+b) mod p permutation family; min over the shingle set is
+    computed per-row with array_min (no explode, no shuffle). The shingle
+    array is let-bound so the ``num_perms`` min-hash lambdas share ONE
+    evaluation of it (Catalyst does not CSE through lambdas).
+    """
+    return let(
+        shingles(text_col),
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_perms - 1)),
+            lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = MINHASH_PERMS,
+    band_rows: int = MINHASH_BAND_ROWS,
+) -> DataFrame:
+    """X2 candidate generation — band-bucket join, the 100 TB-safe shape.
+
+    explode(bands) → groupBy-free self-join on (band index, band hash):
+    only documents sharing a band bucket ever meet. Returns distinct
+    (id_a, id_b) with id_a < id_b.
+    """
+    n_bands = num_perms // band_rows
+    band_hashes = let(
+        minhash_signature(F.col(text_col), num_perms),
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.xxhash64(
+                *[F.element_at(sig, (b * band_rows + r + 1).cast("int")) for r in range(band_rows)]
+            ),
+        ),
+    )
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X2 verification — exact shingle Jaccard on candidates only.
+
+    Joins the (small) candidate set back to the corpus twice; at scale both
+    joins broadcast the pair list. Returns (id_a, id_b, jaccard≥threshold).
+    """
+    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    jac = (
+        F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+        / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+    )
+    return (
+        pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X2 end-to-end — LSH candidates + exact verification."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col)
+    return jaccard_verify(df, pairs, id_col, text_col, threshold)
+
+
+def simhash_bits(text_col: Column | str, bits: int = 64) -> Column:
+    """SimHash signature as an array of ``bits/16`` 16-bit chunk values.
+
+    Per token hash h, each bit contributes +1/-1; the sign of the per-bit
+    sum is the signature bit. Computed with one aggregate over the token
+    array using a vector accumulator (zip_with) — no explode, no shuffle.
+    Chunked representation (not one int64) so blocking needs no bit surgery.
+    """
+    from ..functions.text import tokens
+
+    tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    # literal bit masks (the top bit as signed-long min — 1<<63 overflows)
+    masks = F.array(
+        *[F.lit(1 << b if b < 63 else -(2**63)).cast("long") for b in range(bits)]
+    )
+    bitvec = lambda h: F.transform(  # noqa: E731
+        masks,
+        lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+    )
+    sums = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda x, y: x + y),
+    )
+    n_chunks = bits // 16
+    # let-bind the per-bit sums: the chunk extraction references them 4×
+    return let(
+        F.transform(sums, lambda s: F.when(s > 0, 1).otherwise(0)),
+        lambda sign_bits: F.transform(
+            F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+            lambda c: F.aggregate(
+                F.slice(sign_bits, c.cast("int") * 16 + 1, 16),
+                F.lit(0),
+                lambda acc, bit: acc * 2 + bit,
+            ),
+        ),
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """X2 (SimHash flavor) — chunk-blocked near-dup pairs.
+
+    Pigeonhole: hamming ≤ 3 over 64 bits ⇒ at least one of the 4 16-bit
+    chunks is equal → block on (chunk index, chunk value), verify hamming
+    on candidates. Same bounded-candidates shape as MinHash LSH.
+    """
+    sigs = df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("sig"))
+    blocked = sigs.select(
+        id_col, "sig", F.posexplode("sig").alias("chunk_idx", "chunk_val")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

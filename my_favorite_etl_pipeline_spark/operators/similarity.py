@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns ([EXT] X3, SURVEY.md §2.9).
+
+Two tiers:
+- brute-force cosine top-k: the correctness baseline. Dot products via
+  zip_with/aggregate higher-order functions (JVM-side, no UDF, no Arrow
+  hop); top-k via orderBy+limit = TakeOrdered (per-partition heap + driver
+  merge of k rows — never a global sort).
+- IVF (inverted-file) top-k: the scale path. Build centroids (one agg),
+  probe the nearest ``n_probe`` cells, brute-force only inside them. At
+  100 TB with √N cells this cuts the scan by ~√N; cells are a partition
+  key so a probe touches only its partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dbl(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential order (oracle-stable)."""
+    return F.aggregate(F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 baseline — exact cosine top-k of ``corpus`` against a 1-row query.
+
+    The query side is broadcast (it is by definition tiny); the corpus is
+    scanned once, map-only, then TakeOrdered(k). Ties broken by id for
+    determinism.
+    """
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
+    return (
+        corpus.crossJoin(q)
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf_centroids(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: mean vector per cell.
+
+    posexplode → per-(cell, dim) mean → re-assemble ordered arrays. Two
+    narrow aggregations; output is #cells rows (always broadcastable).
+    A production build would k-means-iterate this; one mean step is the
+    same dataflow shape.
+    """
+    per_dim = (
+        corpus.select(F.col(cell_col), F.posexplode(_dbl(F.col(vec_col))).alias("dim", "val"))
+        .groupBy(cell_col, "dim")
+        .agg(F.avg("val").alias("mean_val"))
+    )
+    return (
+        per_dim.groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("pairs"))
+        .select(
+            F.col(cell_col),
+            F.transform(F.col("pairs"), lambda p: p.mean_val).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 scale path — probe the ``n_probe`` nearest cells only.
+
+    centroids (broadcast) × query → nearest cells; semi-join the corpus on
+    cell membership (partition pruning when the table is laid out by cell);
+    exact cosine within. Approximate overall, exact within probed cells.
+    """
+    centroids = build_ivf_centroids(corpus, cell_col, vec_col)
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    probed = F.broadcast(
+        centroids.crossJoin(q)
+        .select(F.col(cell_col), cosine(F.col("centroid"), F.col("__qvec")).alias("c_sim"))
+        .orderBy(F.col("c_sim").desc(), F.col(cell_col))
+        .limit(n_probe)
+        .select(cell_col)
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
+    return (
+        corpus.join(probed, cell_col, "left_semi")
+        .crossJoin(q)
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,374 @@
+"""[EXT] LLM-data-pipeline queries (SURVEY.md §2.9 X1-X5) over the
+``documents`` and ``embeddings`` fixtures.
+
+Dedup (exact / fingerprint / MinHash-LSH / SimHash / exact n-gram Jaccard),
+similarity search (brute-force + IVF), text analysis (quality, lang-ID,
+token stats), and multimodal plumbing. Oracles wherever the math is
+engine-portable; xxhash-based signatures are rows-only (the hash is
+Spark-specific), but the MinHash pipeline's END RESULT is oracle-checked
+against exact all-pairs Jaccard — with 16 bands × 2 rows the probability the
+LSH misses a ≥0.9-Jaccard pair is ~3e-12, so candidate-recall failures would
+surface as a hash mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import similarity as SIM
+from ..operators.dedup import minhash_near_dups, shingles, simhash_bits, simhash_near_dups
+from ..operators.multimodal import documents_as_media, extract_features
+from ..registry import register
+from ..sources.tables import load
+
+# DuckDB-side distinct 3-gram shingle CTE, mirroring functions.text.shingles
+_DUCK_SHINGLES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(len(t) - 2),
+                                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+               ELSE [] END) AS s
+      FROM toks
+    )
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT text,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact dedup as hash-groupBy on the full text: canonical id +
+    multiplicity per distinct text. One shuffle on the text hash."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(LOWER(TRIM(text))))
+    """,
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — keep-first dedup by fingerprint via row_number window (the
+    deterministic ``dropDuplicates``: survivor = lowest doc_id). Same
+    shuffle shape as upsert compaction (M2)."""
+    docs = load(spark, sf_dir, "documents").withColumn("fp", TX.fingerprint("text"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "dedup_fingerprint_groups",
+    oracle="""
+    SELECT md5(LOWER(TRIM(text))) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM documents GROUP BY md5(LOWER(TRIM(text)))
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 fingerprinting — md5 document fingerprint (bit-identical across
+    engines, unlike xx/murmur) grouped for dup detection. At scale the
+    16-byte digest shuffles instead of the full text — the usual exact-dedup
+    optimization for long documents."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(TX.fingerprint("text").alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+@register(
+    "minhash_near_dups",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / LEN(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT * FROM p WHERE jaccard >= 0.5
+    """,
+)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — MinHash+LSH near-dup detection, end-to-end.
+
+    shingle → 32 xxhash64 minhashes → 16 band buckets → candidate pairs →
+    exact-Jaccard verify ≥ 0.5. The oracle is exact all-pairs Jaccard: it
+    matches iff LSH recall is 100% on this corpus (miss prob ~3e-12/pair).
+    Candidates are bucket-bounded — the only all-pairs computation anywhere
+    is inside a bucket, which is what survives 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / LEN(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT * FROM p WHERE jaccard >= 0.9
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact variant — all-pairs n-gram Jaccard at a high threshold.
+
+    Deliberately the *unscalable* baseline (O(n²) pairs) kept at fixture
+    size as the ground truth for the LSH path; ``documents`` stops scaling
+    at sf0.1 so the harness cost is bounded. Production path = MinHash LSH.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.9)
+    )
+
+
+@register("simhash_signatures")  # rows-only: xxhash64 is Spark-specific
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (SimHash) — 64-bit signature per document as 4×16-bit chunks.
+
+    One aggregate over the token array per row (vector accumulator via
+    zip_with); no shuffle at all until a downstream blocking join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig = simhash_bits(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sig[0].alias("chunk0"),
+        sig[1].alias("chunk1"),
+        sig[2].alias("chunk2"),
+        sig[3].alias("chunk3"),
+    )
+
+
+@register("simhash_near_dups")  # rows-only: xxhash64 is Spark-specific
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (SimHash) — chunk-blocked pairs with hamming ≤ 3 (pigeonhole
+    blocking keeps the candidate join bounded, mirroring MinHash bands)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(toks) AS INT) AS n_tokens,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LEN(toks), 4) AS avg_token_len,
+           ROUND(CAST(LEN(LIST_FILTER(toks, x -> x IN ('a','the','and','of','to','in'))) AS DOUBLE)
+                 / LEN(toks), 4) AS stopword_ratio,
+           ROUND(CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks), 4) AS distinct_ratio
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — per-document quality signals: token count, mean token length,
+    stopword ratio, lexical diversity. All higher-order array functions;
+    map-only plan (scan → project, no exchange)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n = F.size(toks).cast("double")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.length(F.regexp_replace("text", " ", "")) / n, 4).alias("avg_token_len"),
+        F.round(TX.stopword_count("text") / n, 4).alias("stopword_ratio"),
+        F.round(TX.distinct_token_ratio("text"), 4).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        CAST(LEN(LIST_FILTER(toks, x -> x IN ('the','a','and','of'))) AS INT) AS en_hits,
+        CAST(LEN(LIST_FILTER(toks, x -> x IN ('der','die','und','das'))) AS INT) AS de_hits,
+        CAST(LEN(LIST_FILTER(toks, x -> x IN ('el','la','los','que'))) AS INT) AS es_hits,
+        CAST(LEN(LIST_FILTER(toks, x -> x IN ('le','les','des','une'))) AS INT) AS fr_hits
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang, en_hits, de_hits, es_hits, fr_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+                WHEN fr_hits > 0 THEN 'fr'
+                ELSE 'und' END AS predicted_lang
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — marker-lexicon language-ID heuristic with a deterministic
+    argmax tie order (en > de > es > fr > und). A real pipeline swaps the
+    scorer for a fastText Pandas UDF; the dataflow is identical."""
+    docs = load(spark, sf_dir, "documents")
+    sc = TX.lang_scores("text")
+    en, de, es, fr = sc["en"], sc["de"], sc["es"], sc["fr"]
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        es.alias("es_hits"),
+        fr.alias("fr_hits"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@register(
+    "term_frequencies_top50",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+)
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — corpus term frequencies: explode → count → top-50.
+
+    The explode fans out rows but partial aggregation collapses them
+    map-side before the shuffle; top-50 is TakeOrdered.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "bpe_ish_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — token counting two ways: whitespace and BPE-ish regex
+    pre-tokenization (letters/digits/symbol runs). Both JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_ws_tokens"),
+        F.size(TX.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "embedding_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+        ROUND(
+          LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+           * SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        , 4) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 20
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — brute-force cosine top-20 for query vector vec_id=0.
+
+    Dot/norm via zip_with+aggregate in double precision, sequential
+    summation (so the oracle's list_sum reproduces bit-identical doubles);
+    TakeOrdered top-k, query side broadcast. The exact baseline the IVF
+    path is measured against.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return SIM.brute_force_topk(emb, query, k=20)
+
+
+@register("embedding_topk_ivf")  # rows-only: approximate by design
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path — IVF top-20: probe the 3 nearest label-cells only.
+
+    Centroids built per ``label`` cell (one narrow agg, broadcastable);
+    the probe semi-join prunes ~70% of the corpus here and ~(1 - p/√N) at
+    scale. Approximate overall ⇒ rows-only check.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return SIM.ivf_topk(emb, query, k=20, n_probe=3)
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(STRLEN(text) AS INT) AS byte_len,
+           CAST(16 + STRLEN(text) % 64 AS INT) AS width,
+           CAST(16 + (STRLEN(text) // 64) % 64 AS INT) AS height,
+           CAST(1 + STRLEN(text) % 4 AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — binary-payload feature extraction via Arrow-batched mapInPandas.
+
+    The decode is a deterministic stub (no media libs in-container; see
+    operators.multimodal), so the oracle reproduces the features from byte
+    lengths. The plumbing under test is real: binary column, batched
+    Python, typed output schema, payload projected away after extraction.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs))

@@ -1,0 +1,113 @@
+"""Streaming + event-time window queries ([EXT] X6, SURVEY.md §2.9).
+
+``stream_tumbling_hourly`` runs through the real Structured Streaming engine
+(readStream → window agg → availableNow → memory sink) and is still oracle-
+checked: with all data available, the final state equals the batch window
+aggregation, which DuckDB expresses with time_bucket. Sliding and session
+windows run as batch event-time queries with exact SQL oracles (shifted
+buckets / gaps-and-islands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+from ..streaming.windows import tumbling_hourly_counts
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — tumbling 1h event-time windows via Structured Streaming.
+
+    The full stream is processed under an availableNow trigger, so the
+    complete-mode result must equal the batch aggregation — making the
+    streaming engine itself oracle-checkable. State is bounded by
+    (#windows × #types); at 100 TB the production twin adds a watermark to
+    expire state and append-mode emission into the merge sink.
+    """
+    return tumbling_hourly_counts(spark, sf_dir)
+
+
+@register(
+    "sliding_window_3h_1h",
+    oracle="""
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL (s.o) HOUR AS window_start,
+             value
+      FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS o) s
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM shifted
+    GROUP BY window_start
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — sliding windows (3h size, 1h slide): each event lands in 3
+    windows. Spark's window() expands rows ×3 then partial-aggregates them
+    away map-side; the oracle mirrors it with 3 shifted hour-buckets."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "3 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "session_window_30m",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — session windows (30-minute gap) per user.
+
+    Spark's native session_window merges events whose gaps are < 30 min;
+    the oracle reproduces it with the gaps-and-islands window idiom. One
+    shuffle on user_id either way — the at-scale sessionization shape.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,73 @@
+"""Structured Streaming flavor of the incremental pipeline ([EXT] X6).
+
+The reference's 30-minute cron (dag_mgo_pg_schedule_etl_qc.py:440) is a
+coarse micro-batch trigger; here the same windowed-aggregation semantics run
+through the real streaming engine: ``readStream`` over the events table,
+event-time tumbling windows, ``availableNow`` trigger (process everything,
+then stop — the batch-parity mode), memory sink for the harness.
+
+Watermarking note: with ``availableNow`` + complete mode no watermark is
+needed (all windows close at end-of-input). The production shape adds
+``withWatermark("ts", "1 hour")`` + append mode + a ``foreachBatch`` that
+reuses operators.merge.merge_upsert — the reference's cron loop becomes a
+continuously-running idempotent merge.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import _nanos_timestamp_cols
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events parquet with the ns-timestamp repair.
+
+    Streaming sources need an explicit schema; we take it from the batch
+    reader (post nanosAsLong), then rebuild proper timestamps exactly like
+    the batch path so stream and batch agree to the microsecond.
+    """
+    path = f"{sf_dir}/events.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a directory basePath; point it at sf_dir and
+    # glob-filter down to the one table file.
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    return df
+
+
+def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type, via the streaming
+    engine end-to-end, returned as a batch DataFrame from the memory sink."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("total_value"),
+        )
+    )
+    sink_name = f"tumbling_sink_{int(time.time() * 1000) % 10_000_000}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)

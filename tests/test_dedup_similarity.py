@@ -1,0 +1,98 @@
+"""X1-X3 — dedup tiers and similarity search ([EXT], SURVEY §2.9)."""
+
+import math
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from my_favorite_etl_pipeline_spark.functions.text import shingles
+from my_favorite_etl_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from my_favorite_etl_pipeline_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),  # exact dup of 0
+        Row(doc_id=2, text=base.replace("dog", "cat")),  # near dup of 0
+        Row(doc_id=3, text="completely different words about spark engines running fast"),
+        Row(doc_id=4, text="short text"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    assert exact_dedup(_corpus(spark), ["text"]).count() == 4
+
+
+def test_lsh_finds_exact_and_near_dups(spark):
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(_corpus(spark)).collect()}
+    assert (0, 1) in pairs  # identical docs always collide in every band
+    hits = {(r.id_a, r.id_b): r.jaccard for r in minhash_near_dups(_corpus(spark), threshold=0.5).collect()}
+    assert hits[(0, 1)] == 1.0
+    assert (0, 2) in hits and 0.5 <= hits[(0, 2)] < 1.0
+    assert all(3 not in p and 4 not in p for p in hits)
+
+
+def test_lsh_matches_exact_jaccard(spark):
+    """LSH candidates ⊇ all pairs with Jaccard ≥ 0.5 on this corpus (recall check)."""
+    df = _corpus(spark)
+    sh = df.select("doc_id", shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), jac.alias("j"))
+        .filter("j >= 0.5")
+        .collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in minhash_near_dups(df, threshold=0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_near_dups(spark):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(_corpus(spark), max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0  # identical text → identical signature
+    assert all(h <= 3 for h in pairs.values())
+
+
+def _emb(spark, n=50, dim=8, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        Row(vec_id=i, label=i % 5, embedding=[rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk_matches_python(spark):
+    emb = _emb(spark)
+    data = {r.vec_id: r.embedding for r in emb.collect()}
+    q = data[0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    expected = sorted(data, key=lambda i: (-round(cos(data[i], q), 4), i))[:5]
+    got = [r.vec_id for r in brute_force_topk(emb, emb.filter("vec_id = 0"), k=5).collect()]
+    assert got == expected
+    assert got[0] == 0  # self-similarity = 1.0 tops the list
+
+
+def test_ivf_topk_subset_of_probed_cells(spark):
+    emb = _emb(spark)
+    out = ivf_topk(emb, emb.filter("vec_id = 0"), k=5, n_probe=2)
+    rows = out.collect()
+    assert len(rows) == 5
+    labels = {r.vec_id % 5 for r in rows}  # label = vec_id % 5 by construction
+    assert len(labels) <= 2  # results only from probed cells
+    assert rows[0].vec_id == 0  # query's own cell is always nearest
