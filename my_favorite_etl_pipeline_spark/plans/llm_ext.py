@@ -352,6 +352,48 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_cosine_near_dups",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
+                 / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
+                / (a.nrm * b.nrm), 4) >= 0.4
+    """,
+)
+def q_embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (embedding flavor) — all-pairs cosine near-dup pairs ≥ 0.4.
+
+    The exact baseline: O(n²) self-join, oracle-checked. Kept at fixture
+    scale only (``embeddings`` stops scaling at sf0.1); the scale path is
+    the hyperplane-bucketed variant below, same verify step over LSH
+    candidates instead of all pairs.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.all_pairs_cosine(emb, threshold=0.4)
+
+
+@register("embedding_cosine_near_dups_lsh")  # rows-only: approximate recall
+def q_embedding_cosine_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (embedding flavor, scale path) — banded sign-hyperplane LSH.
+
+    16 bands × 4 sign bits; only band-colliding pairs are verified. The
+    all-pairs join above becomes a per-band-bucket join — the shape that
+    survives 100 TB. Approximate (recall ~0.96 at cos 0.4) ⇒ rows-only
+    check; the exact variant is the oracle-checked ground truth.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.lsh_pairs_cosine(emb, threshold=0.4, n_bands=16, band_bits=4)
+
+
+@register(
     "multimodal_features",
     oracle="""
     SELECT doc_id AS media_id,

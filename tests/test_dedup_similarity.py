@@ -88,6 +88,20 @@ def test_brute_force_topk_matches_python(spark):
     assert got[0] == 0  # self-similarity = 1.0 tops the list
 
 
+def test_all_pairs_and_lsh_cosine(spark):
+    from my_favorite_etl_pipeline_spark.operators.similarity import (
+        all_pairs_cosine,
+        lsh_pairs_cosine,
+    )
+
+    emb = _emb(spark, n=60, dim=64)
+    exact = {(r.id_a, r.id_b) for r in all_pairs_cosine(emb, threshold=0.2).collect()}
+    assert exact  # random 64-dim vectors: some pairs exceed 0.2
+    lsh = {(r.id_a, r.id_b) for r in lsh_pairs_cosine(emb, threshold=0.2).collect()}
+    assert lsh <= exact  # LSH verify step never admits a below-threshold pair
+    assert len(lsh) >= 0.5 * len(exact)  # banded recall stays reasonable
+
+
 def test_ivf_topk_subset_of_probed_cells(spark):
     emb = _emb(spark)
     out = ivf_topk(emb, emb.filter("vec_id = 0"), k=5, n_probe=2)
