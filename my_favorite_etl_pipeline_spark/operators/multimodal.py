@@ -85,6 +85,88 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB resize — deterministic byte-level downsample standing in for::
+
+        from PIL import Image      # not installed in this container
+        Image.open(io.BytesIO(payload)).resize((target_w, target_h))
+
+    Keeps every ``len(payload) // (target_w*target_h)``-th byte so output
+    size is exactly ``target_w*target_h`` (or the input, if smaller) —
+    enough structure for tests to verify the batching plumbing end to end.
+    """
+    if payload is None:
+        raise NotImplementedError("real resize requires an image library")
+    n_out = target_w * target_h
+    if len(payload) <= n_out:
+        return payload
+    step = len(payload) / n_out
+    return bytes(payload[int(i * step)] for i in range(n_out))
+
+
+def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """X5 — batched media resize via mapInPandas (decode→resize→re-encode
+    shape; stubbed decode). Map-only: no shuffle, scales with input splits."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_stub(p, target_w, target_h) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """X5 — frame sampling: one input row fans out to ≤ ``n_frames`` rows
+    (video → frame grid). mapInPandas is the fan-out-capable shape (a
+    pandas_udf must stay 1:1); frames of a payload stay in one partition.
+
+    The STUB splits the payload into equal byte slices standing in for
+    decoded video frames (real impl: pyav/ffmpeg frame extraction).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    raise NotImplementedError("real frame-sampling requires a video library")
+                k = min(n_frames, max(1, len(payload)))
+                step = len(payload) // k
+                for i in range(k):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * step : (i + 1) * step]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_payload": frames})
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Fixture adapter: treat document text bytes as opaque media payloads.
 

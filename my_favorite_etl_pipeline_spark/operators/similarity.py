@@ -13,6 +13,9 @@ Two tiers:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-scope: pandas_udf resolves string type hints here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,6 +55,40 @@ def brute_force_topk(
     return (
         corpus.crossJoin(q)
         .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 via Arrow-vectorized Pandas UDF — the same top-k, Python-side.
+
+    The when-you-must-use-Python path (SURVEY §2.10): a scalar
+    ``pandas_udf`` receives Arrow batches and computes all dot products with
+    one numpy matmul per batch — ~10-100× faster than a row-at-a-time UDF.
+    Exists as the template for UDFs that genuinely need Python (a model
+    forward pass, a tokenizer); for plain cosine the zip_with version in
+    :func:`brute_force_topk` stays JVM-side and wins.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    qvec = np.array(query.select(vec_col).head()[0], dtype=np.float64)
+    qnorm = float(np.sqrt((qvec * qvec).sum()))
+
+    @pandas_udf("double")
+    def cos_sim(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        sims = (m @ qvec) / (np.sqrt((m * m).sum(axis=1)) * qnorm)
+        return pd.Series(np.round(sims, 4))
+
+    return (
+        corpus.select(F.col(id_col), cos_sim(F.col(vec_col)).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )

@@ -338,6 +338,32 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, query, k=20)
 
 
+@register(
+    "embedding_topk_pandas_udf",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+        ROUND(
+          LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+           * SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        , 4) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 20
+    """,
+)
+def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 via Arrow-vectorized pandas_udf (SURVEY §2.10) — same answer as
+    the JVM-side zip_with version, via one numpy matmul per Arrow batch.
+    The template for UDFs that genuinely need Python (model forward pass);
+    oracle-shared with embedding_topk_bruteforce."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return SIM.brute_force_topk_pandas(emb, query, k=20)
+
+
 @register("embedding_topk_ivf")  # rows-only: approximate by design
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path — IVF top-20: probe the 3 nearest label-cells only.
@@ -414,3 +440,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     return extract_features(documents_as_media(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, u.i AS frame_idx,
+           CAST(OCTET_LENGTH(ENCODE(text)) // 4 AS INT) AS frame_bytes
+    FROM documents CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) u
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — frame sampling: 1 media row fans out to 4 frame rows via
+    mapInPandas (the video→frames shape). The stub slices payload bytes into
+    equal frames, so the oracle reproduces per-frame byte lengths from the
+    text length."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_media(docs), n_frames=4)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame_payload").cast("int").alias("frame_bytes")
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load
+from ..streaming.stateful import stream_dedup, user_stats_stateful
 from ..streaming.windows import tumbling_hourly_counts
 
 
@@ -39,6 +40,43 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     expire state and append-mode emission into the merge sink.
     """
     return tumbling_hourly_counts(spark, sf_dir)
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — custom stateful operator via applyInPandasWithState.
+
+    Per-user GroupState accumulator over the events stream; with the whole
+    stream in one availableNow batch the changelog collapses to one row per
+    user, so the state machine's end result is oracle-checked against plain
+    GROUP BY — the state transition logic, Arrow state serialization, and
+    output-mode plumbing all sit on the verified path.
+    """
+    return user_stats_stateful(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — streaming exact dedup with watermark-bounded state.
+
+    event_id is unique in the fixture, so the deduped stream must equal the
+    full table (the oracle); duplicate-drop behavior itself is unit-tested
+    with an injected-dup stream in tests/test_streaming_extras.py.
+    """
+    return stream_dedup(spark, sf_dir)
 
 
 @register(

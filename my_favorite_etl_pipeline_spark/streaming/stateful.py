@@ -1,0 +1,113 @@
+"""Custom stateful streaming operators ([EXT] X6, SURVEY.md §2.9).
+
+Three surfaces beyond plain windowed aggregation:
+
+- ``applyInPandasWithState`` — arbitrary per-key state machines (the escape
+  hatch when built-in windows can't express the semantics). Demonstrated
+  with a per-user event accumulator; the state API (GroupState, timeouts)
+  is the real deliverable, the aggregation is deliberately simple enough to
+  oracle-check against SQL.
+- ``dropDuplicatesWithinWatermark`` — streaming dedup with bounded state:
+  duplicate keys arriving within the watermark horizon are dropped, state
+  older than the horizon is evicted (the 100 TB answer to "dedup an
+  unbounded stream").
+- ``foreachBatch`` bridging a stream into the batch merge (operators.merge
+  .merge_upsert) — the reference's cron loop (dag:440) as a continuously
+  running idempotent upsert; see tests/test_streaming_extras.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .windows import read_events_stream
+
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("v", T.DoubleType())]
+)
+
+
+def _user_stats_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user accumulator: count + value sum carried in GroupState.
+
+    Emits the running totals each time the key appears in a micro-batch —
+    a changelog stream. Real pipelines put session models / fraud scores /
+    dedup fingerprints here; the state plumbing is identical.
+    """
+    n, v = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        v += float(pdf["value"].sum())
+    state.update((n, v))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(v, 4)]})
+
+
+def user_stats_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the per-user state machine over the events stream, availableNow.
+
+    With a single input batch the changelog collapses to one row per user —
+    which makes the whole stateful pipeline oracle-checkable against
+    ``GROUP BY user_id`` SQL, proving state correctness, not just shape.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    out = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "user_stats_stateful")
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on the event key with watermark-bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key's fingerprint only
+    until the watermark passes it — state size is bounded by the horizon's
+    key cardinality, not the stream's lifetime.
+    """
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return _run_to_memory(deduped, "stream_dedup")
+
+
+def _run_to_memory(df: DataFrame, prefix: str) -> DataFrame:
+    import time
+
+    name = f"{prefix}_{int(time.time() * 1000) % 10_000_000}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

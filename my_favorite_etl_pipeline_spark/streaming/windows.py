@@ -47,6 +47,45 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def watermarked_hourly_counts(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling agg in APPEND mode, one file per micro-batch.
+
+    The production emission mode: a window is emitted exactly once, when the
+    watermark (max event time − delay) passes its end; events arriving after
+    the watermark are DROPPED (late-data policy, X6). ``maxFilesPerTrigger=1``
+    makes each input file a micro-batch so watermark advancement between
+    batches is observable — the unit test feeds an on-time file then a late
+    file and asserts the late row didn't reach the closed window.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    sink_name = f"watermark_sink_{int(time.time() * 1000) % 10_000_000}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
 def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type, via the streaming
     engine end-to-end, returned as a batch DataFrame from the memory sink."""

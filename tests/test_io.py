@@ -1,0 +1,67 @@
+"""S2/S3 — sinks, format round-trips, idempotent DDL (SURVEY §2.1)."""
+
+import pytest
+from pyspark.sql import Row
+
+from my_favorite_etl_pipeline_spark.sources.io import (
+    create_table_if_not_exists,
+    jdbc_writer_options,
+    read_table,
+    write_table,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [Row(k=1, name="a", price=1.5), Row(k=2, name="b", price=2.5)]
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_formats(spark, tmp_path, fmt):
+    df = _df(spark)
+    path = str(tmp_path / f"t_{fmt}")
+    write_table(df, path, fmt=fmt, mode="overwrite")
+    back = read_table(spark, path, fmt=fmt).select("k", "name", "price")
+    got = sorted((r.k, r.name, float(r.price)) for r in back.collect())
+    assert got == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_partitioned_write_layout(spark, tmp_path):
+    path = str(tmp_path / "part_out")
+    write_table(_df(spark), path, mode="overwrite", partition_by=["name"])
+    import os
+
+    assert sorted(d for d in os.listdir(path) if d.startswith("name=")) == ["name=a", "name=b"]
+    # partition-pruned read returns only that partition's rows
+    pruned = read_table(spark, path).filter("name = 'a'")
+    assert [r.k for r in pruned.collect()] == [1]
+
+
+def test_append_mode(spark, tmp_path):
+    path = str(tmp_path / "append_out")
+    write_table(_df(spark), path, mode="overwrite")
+    write_table(_df(spark), path, mode="append")
+    assert read_table(spark, path).count() == 4
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_table(_df(spark), str(tmp_path / "x"), fmt="avro")
+
+
+def test_jdbc_options_builder():
+    opts = jdbc_writer_options("jdbc:postgresql://h/db", "staging.t", batchsize=500)
+    assert opts["dbtable"] == "staging.t"
+    assert opts["batchsize"] == "500"  # execute_values page-size analogue
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+
+
+def test_create_table_if_not_exists_idempotent(spark, tmp_path):
+    loc = str(tmp_path / "mart_tbl")
+    ddl = "_id STRING, updatedat TIMESTAMP, batch_run_id STRING"
+    create_table_if_not_exists(spark, "mart_tbl_test", ddl, location=loc)
+    create_table_if_not_exists(spark, "mart_tbl_test", ddl, location=loc)  # no-op rerun
+    cols = [f.name for f in spark.table("mart_tbl_test").schema.fields]
+    assert cols == ["_id", "updatedat", "batch_run_id"]
+    spark.sql("DROP TABLE mart_tbl_test")

@@ -1,0 +1,162 @@
+"""X6 — streaming extras: watermark late-data policy, stateful operator,
+streaming dedup, foreachBatch → batch merge bridging."""
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+TS = dt.datetime
+
+
+def _write_one_file(spark, rows, path):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving after its window was closed+emitted must be dropped.
+
+    Note Spark applies watermark updates with one micro-batch of lag (the
+    filter for batch N uses the watermark computed from batches ≤ N−2), so
+    the late row rides in a THIRD batch — by then the 01:00 window has been
+    evicted and emitted, and the straggler cannot re-open or dirty it.
+    """
+    from my_favorite_etl_pipeline_spark.streaming.windows import watermarked_hourly_counts
+
+    in_dir = str(tmp_path / "stream_in")
+    os.makedirs(in_dir)
+    # batch 1: 2 on-time rows in the 01:00 window + one at 03:59
+    _write_one_file(
+        spark,
+        [
+            Row(event_id=1, ts=TS(2024, 1, 1, 1, 10), value=1.0),
+            Row(event_id=2, ts=TS(2024, 1, 1, 1, 40), value=1.0),
+            Row(event_id=3, ts=TS(2024, 1, 1, 3, 59), value=1.0),
+        ],
+        f"{in_dir}/batch1.parquet",
+    )
+    # batch 2: advance the watermark past the 01:00 window's end
+    _write_one_file(
+        spark,
+        [Row(event_id=5, ts=TS(2024, 1, 1, 5, 30), value=1.0)],
+        f"{in_dir}/batch2.parquet",
+    )
+    # batch 3: one LATE row aimed at the closed 01:00 window + one fresh
+    _write_one_file(
+        spark,
+        [
+            Row(event_id=4, ts=TS(2024, 1, 1, 1, 50), value=1.0),  # late → dropped
+            Row(event_id=6, ts=TS(2024, 1, 1, 7, 30), value=1.0),
+        ],
+        f"{in_dir}/batch3.parquet",
+    )
+    # move part-files up so the file source sees three files, mtime-ordered
+    import glob
+    import shutil
+
+    files = []
+    for sub in ("batch1.parquet", "batch2.parquet", "batch3.parquet"):
+        (part,) = glob.glob(f"{in_dir}/{sub}/part-*.parquet")
+        dst = f"{in_dir}/{sub.replace('.parquet', '_data.parquet')}"
+        shutil.copy(part, dst)
+        files.append(dst)
+        shutil.rmtree(f"{in_dir}/{sub}")
+    now = time.time()
+    for i, f in enumerate(files):
+        os.utime(f, (now - 120 + i * 60, now - 120 + i * 60))
+
+    out = watermarked_hourly_counts(spark, in_dir, EVENT_SCHEMA)
+    rows = out.collect()
+    emitted_0100 = [r.n_events for r in rows if r.window_start == TS(2024, 1, 1, 1, 0)]
+    # exactly one emission of the 01:00 window, with only the 2 on-time rows
+    assert emitted_0100 == [2]
+
+
+def test_stateful_user_stats_matches_batch(spark, sf_dir):
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+    from my_favorite_etl_pipeline_spark.streaming.stateful import user_stats_stateful
+
+    streamed = user_stats_stateful(spark, sf_dir)
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_dedup_drops_injected_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark with real duplicate keys in the stream."""
+    in_dir = str(tmp_path / "dup_in")
+    os.makedirs(in_dir)
+    rows = [
+        Row(event_id=1, ts=TS(2024, 1, 1, 1, 0), value=1.0),
+        Row(event_id=1, ts=TS(2024, 1, 1, 1, 5), value=2.0),  # dup key
+        Row(event_id=2, ts=TS(2024, 1, 1, 1, 10), value=3.0),
+    ]
+    _write_one_file(spark, rows, f"{in_dir}/data.parquet")
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(f"{in_dir}/data.parquet")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"dup_sink_{int(time.time() * 1000) % 10_000_000}"
+    q = stream.writeStream.format("memory").queryName(name).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+    got = sorted(r.event_id for r in spark.table(name).collect())
+    assert got == [1, 2]
+
+
+def test_foreachbatch_streaming_merge(spark, tmp_path):
+    """The reference's cron loop as a stream: each micro-batch merges into
+    the mart via the batch M2 operator (idempotent keyed upsert)."""
+    from my_favorite_etl_pipeline_spark.operators.merge import merge_upsert
+
+    in_dir = str(tmp_path / "merge_in")
+    os.makedirs(in_dir)
+    _write_one_file(
+        spark,
+        [
+            Row(event_id=1, ts=TS(2024, 1, 1, 1), value=1.0),
+            Row(event_id=2, ts=TS(2024, 1, 1, 2), value=2.0),
+        ],
+        f"{in_dir}/data.parquet",
+    )
+    mart_path = str(tmp_path / "mart")
+    spark.createDataFrame(
+        [Row(event_id=2, ts=TS(2020, 1, 1), value=99.0), Row(event_id=3, ts=TS(2020, 1, 1), value=3.0)],
+        EVENT_SCHEMA,
+    ).write.parquet(mart_path)
+
+    def merge_batch(batch_df, batch_id):
+        mart = batch_df.sparkSession.read.parquet(mart_path)
+        merged = merge_upsert(mart, batch_df, "event_id", ["value", "ts"])
+        merged.write.mode("overwrite").parquet(mart_path + "_next")
+        # two-phase swap keeps the read/write paths separate (parquet
+        # self-overwrite reads its own output); Delta MERGE removes this dance
+        batch_df.sparkSession.read.parquet(mart_path + "_next").write.mode("overwrite").parquet(
+            mart_path
+        )
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(f"{in_dir}/data.parquet")
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    final = {r.event_id: r.value for r in spark.read.parquet(mart_path).collect()}
+    assert final == {1: 1.0, 2: 2.0, 3: 3.0}  # 1 inserted, 2 updated, 3 kept

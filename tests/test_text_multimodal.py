@@ -48,6 +48,32 @@ def test_decode_stub_deterministic():
         decode_image_stub(None)
 
 
+def test_resize_media(spark, sf_dir):
+    from my_favorite_etl_pipeline_spark.operators.multimodal import resize_media
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(10)
+    out = resize_media(documents_as_media(docs), target_w=8, target_h=8).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r.width, r.height) == (8, 8)
+        assert len(r.payload) <= 64  # resized payload bounded by target dims
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    from my_favorite_etl_pipeline_spark.operators.multimodal import sample_frames
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(5)
+    media = documents_as_media(docs)
+    frames = sample_frames(media, n_frames=4).collect()
+    assert len(frames) == 20  # 5 media × 4 frames: 1:N fan-out
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_media.values())
+
+
 def test_multimodal_pipeline(spark, sf_dir):
     from my_favorite_etl_pipeline_spark.sources.tables import load
 
