@@ -21,10 +21,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exprs import let
+from .scaling import ensure_min_partitions
 from ..functions.text import shingles
 
 MINHASH_PERMS = 32  # 16 bands x 2 rows: P(miss | j>=0.9) ~ (1-0.81)^16 ≈ 3e-12
 MINHASH_BAND_ROWS = 2
+
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -63,6 +65,7 @@ def lsh_candidate_pairs(
     only documents sharing a band bucket ever meet. Returns distinct
     (id_a, id_b) with id_a < id_b.
     """
+    df = ensure_min_partitions(df)
     n_bands = num_perms // band_rows
     band_hashes = let(
         minhash_signature(F.col(text_col), num_perms),
@@ -103,7 +106,7 @@ def jaccard_verify(
     Joins the (small) candidate set back to the corpus twice; at scale both
     joins broadcast the pair list. Returns (id_a, id_b, jaccard≥threshold).
     """
-    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    sh = ensure_min_partitions(df).select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
     a = sh.alias("sa")
     b = sh.alias("sb")
     jac = (
@@ -180,7 +183,9 @@ def simhash_near_dups(
     chunks is equal → block on (chunk index, chunk value), verify hamming
     on candidates. Same bounded-candidates shape as MinHash LSH.
     """
-    sigs = df.select(F.col(id_col), simhash_bits(F.col(text_col)).alias("sig"))
+    sigs = ensure_min_partitions(df).select(
+        F.col(id_col), simhash_bits(F.col(text_col)).alias("sig")
+    )
     blocked = sigs.select(
         id_col, "sig", F.posexplode("sig").alias("chunk_idx", "chunk_val")
     )

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .scaling import ensure_min_partitions
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -82,7 +84,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    return ensure_min_partitions(media.select("media_id", "payload")).mapInPandas(run, FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -138,7 +140,7 @@ def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> Da
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+    return ensure_min_partitions(media.select("media_id", "payload")).mapInPandas(run, RESIZED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -164,7 +166,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     frames.append(bytes(payload[i * step : (i + 1) * step]))
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_payload": frames})
 
-    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+    return ensure_min_partitions(media.select("media_id", "payload")).mapInPandas(run, FRAME_SCHEMA)
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:

@@ -19,6 +19,8 @@ import pandas as pd  # module-scope: pandas_udf resolves string type hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .scaling import ensure_min_partitions
+
 
 def _dbl(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -53,7 +55,7 @@ def brute_force_topk(
     q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
     sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
     return (
-        corpus.crossJoin(q)
+        ensure_min_partitions(corpus).crossJoin(q)
         .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -88,7 +90,8 @@ def brute_force_topk_pandas(
         return pd.Series(np.round(sims, 4))
 
     return (
-        corpus.select(F.col(id_col), cos_sim(F.col(vec_col)).alias("cos_sim"))
+        ensure_min_partitions(corpus)
+        .select(F.col(id_col), cos_sim(F.col(vec_col)).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -106,7 +109,7 @@ def all_pairs_cosine(
     join-side work is one dot product per pair. Fixture-scale ground truth
     for :func:`lsh_pairs_cosine` — never run this beyond ~10⁵ rows.
     """
-    side = corpus.select(
+    side = ensure_min_partitions(corpus).select(
         F.col(id_col), _dbl(F.col(vec_col)).alias("__v"), norm(F.col(vec_col)).alias("__n")
     )
     a, b = side.alias("pa"), side.alias("pb")
@@ -152,7 +155,7 @@ def lsh_pairs_cosine(
             lambda acc, x: acc * 2 + F.when(x >= 0, 1).otherwise(0),
         ),
     )
-    side = corpus.select(
+    side = ensure_min_partitions(corpus).select(
         F.col(id_col),
         _dbl(F.col(vec_col)).alias("__v"),
         norm(F.col(vec_col)).alias("__n"),
@@ -232,7 +235,7 @@ def ivf_topk(
     )
     sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
     return (
-        corpus.join(probed, cell_col, "left_semi")
+        ensure_min_partitions(corpus).join(probed, cell_col, "left_semi")
         .crossJoin(q)
         .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))

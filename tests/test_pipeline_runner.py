@@ -1,0 +1,86 @@
+"""The one-function pipeline: full lifecycle, idempotency, gates."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from my_favorite_etl_pipeline_spark.operators.dq import DQSuite, DQViolation
+from my_favorite_etl_pipeline_spark.pipeline_runner import (
+    check_connections,
+    run_incremental_batch,
+    transform,
+)
+
+TS = dt.datetime
+WINDOW = ("2024-01-10 00:00:00", "2024-01-11 00:00:00")
+
+MART_COLS = ["_id", "name", "status", "createdat", "updatedat", "createdby",
+             "createdby_id", "createdby_name", "createdby_role", "createdby_client",
+             "batch_run_id"]
+
+
+def _source(spark):
+    return spark.createDataFrame(
+        [
+            Row(_id=1, name="a", status="open", createdAt=TS(2024, 1, 10, 1),
+                updatedAt=None, createdby=Row(id="u1", name="ann", role="r", client="c")),
+            Row(_id=2, name="b", status="open", createdAt=TS(2024, 1, 2, 1),
+                updatedAt=TS(2024, 1, 10, 5), createdby=Row(id="u2", name="bo", role="r", client="c")),
+            Row(_id=3, name="c", status="open", createdAt=TS(2024, 1, 2, 1),
+                updatedAt=TS(2024, 1, 3, 1), createdby=None),  # outside window
+        ],
+        "`_id` long, name string, status string, createdAt timestamp, updatedAt timestamp, "
+        "createdby struct<id:string,name:string,role:string,client:string>",
+    )
+
+
+def _empty_mart(spark):
+    """Mart schema = the transform chain's output schema, zero rows."""
+    return transform(_source(spark).limit(0), "seed")
+
+
+def test_full_batch_lifecycle_and_idempotency(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    mart = _empty_mart(spark)
+
+    merged1, rep1 = run_incremental_batch(
+        spark, _source(spark), mart, staging, WINDOW, run_id="r1"
+    )
+    assert rep1.extracted == 2  # row 3 outside window
+    assert rep1.merged_total == 2
+    assert {r["_id"] for r in merged1.collect()} == {"1", "2"}
+    # staging cleaned up after the run (M3)
+    import os
+
+    assert not os.path.exists(f"{staging}/batch_run_id=r1")
+
+    # same window re-run (retry semantics): merge is a fixpoint
+    merged2, rep2 = run_incremental_batch(
+        spark, _source(spark), merged1, staging, WINDOW, run_id="r1"
+    )
+    assert rep2.merged_total == 2
+    assert merged2.exceptAll(merged1).count() == 0
+
+
+def test_empty_window_short_circuits(spark, tmp_path):
+    mart = _empty_mart(spark)
+    merged, rep = run_incremental_batch(
+        spark, _source(spark), mart, str(tmp_path / "s"),
+        ("2030-01-01 00:00:00", "2030-01-02 00:00:00"), run_id="r-empty",
+    )
+    assert rep.skipped_empty and merged is mart
+
+
+def test_dq_gate_fails_batch(spark, tmp_path):
+    dup_source = _source(spark).union(_source(spark))  # duplicate _ids
+    mart = _empty_mart(spark)
+    with pytest.raises(DQViolation):
+        run_incremental_batch(
+            spark, dup_source, mart, str(tmp_path / "s2"), WINDOW, run_id="rdup",
+            dq=DQSuite().add_unique("_id"),
+        )
+
+
+def test_check_connections(spark, sf_dir):
+    assert check_connections(spark, [f"{sf_dir}/region.parquet"])
