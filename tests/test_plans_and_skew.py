@@ -1,0 +1,74 @@
+"""Plan-shape regression tests + skew-handling equivalence.
+
+The plan tests pin the physical properties the 100 TB design depends on:
+filter/column pushdown into the parquet scan, broadcast joins for dims,
+TakeOrdered for top-k (never a global sort). If a refactor silently loses
+one of these, correctness tests stay green but scale behavior regresses —
+these tests catch that.
+"""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    df = entrymod.queries()["q6_forecast_revenue"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+    # column pruning: only the 4 needed columns in ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    df = entrymod.queries()["q3_shipping_priority"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 is TakeOrdered, not Sort+Limit
+
+
+def test_topk_is_takeordered(spark, sf_dir):
+    df = entrymod.queries()["embedding_topk_bruteforce"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in _physical_plan(df)
+
+
+def test_whole_stage_codegen_on_agg(spark, sf_dir):
+    df = entrymod.queries()["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE's final plan (with codegen spans) exists only post-run
+    plan = _physical_plan(df)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the tree string; the
+    # scan→filter→project→partial-agg pipeline must be inside one
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from my_favorite_etl_pipeline_spark.operators.skew import salted_join
+
+    # skewed: 90% of rows share key 1
+    large = spark.createDataFrame(
+        [Row(k=1 if i % 10 else 2, v=i) for i in range(1000)], "k int, v int"
+    )
+    small = spark.createDataFrame([Row(k=1, name="hot"), Row(k=2, name="cold")])
+    plain = large.join(small, "k")
+    salted = salted_join(large, small, "k", salt=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from my_favorite_etl_pipeline_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame([Row(k=1, v=1), Row(k=3, v=3)])
+    small = spark.createDataFrame([Row(k=1, name="x")])
+    out = salted_join(large, small, "k", how="left", salt=4)
+    rows = {r.k: r.name for r in out.collect()}
+    assert rows == {1: "x", 3: None}
