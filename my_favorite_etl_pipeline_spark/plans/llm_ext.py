@@ -378,6 +378,31 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents_50tok",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 GREATEST(CAST(CEIL(LEN(toks) / 50.0) AS BIGINT), 1) AS n_chunks FROM t),
+    u AS (SELECT doc_id, toks,
+                 UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS i FROM n)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           ARRAY_TO_STRING(list_slice(toks, i * 50 + 1, i * 50 + 50), ' ') AS chunk_text,
+           CAST(LEN(list_slice(toks, i * 50 + 1, i * 50 + 50)) AS INT) AS n_tokens
+    FROM u
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] — 50-token document chunking (the pre-embedding segmentation
+    step of an LLM data pipeline), native path: token-array slicing +
+    posexplode, all codegen. The UDTF twin is checked row-identical in
+    tests/test_chunking.py."""
+    from ..operators.chunking import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=50)
+
+
+@register(
     "embedding_cosine_near_dups",
     oracle="""
     WITH n AS (
