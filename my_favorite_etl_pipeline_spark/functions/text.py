@@ -92,6 +92,25 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     }
 
 
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # order matters: URLs before emails (URLs may embed @); simple RE2-safe
+    # character classes so the DuckDB oracle applies the identical regex
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Training-data PII redaction: URLs, emails, phone-shaped numbers →
+    typed placeholder tokens. A chain of native regexp_replace — codegen'd,
+    no UDF; real pipelines extend PII_PATTERNS, the dataflow is identical."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

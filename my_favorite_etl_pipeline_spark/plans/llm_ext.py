@@ -445,6 +445,95 @@ def q_embedding_cosine_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "scrub_pii_documents",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
+                  || doc_id || ' via https://ex.com/u/' || doc_id AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+    FROM seeded
+    """,
+)
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — PII redaction over a corpus seeded with synthetic emails/phones/
+    URLs (the fixture text is clean, so each doc gets a deterministic PII
+    suffix first). Chain of RE2-safe regexp_replace, identical on both
+    engines."""
+    from ..functions.text import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.col("doc_id"),
+            F.lit(" via https://ex.com/u/"),
+            F.col("doc_id"),
+        ).alias("text"),
+    )
+    return seeded.select("doc_id", scrub_pii("text").alias("clean_text"))
+
+
+@register(
+    "training_data_prep",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ),
+    filtered AS (
+      SELECT doc_id, text FROM q
+      WHERE LEN(toks) >= 20
+        AND CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) >= 0.5
+    ),
+    deduped AS (
+      SELECT doc_id, text FROM filtered
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY md5(LOWER(TRIM(text))))
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM deduped),
+    n AS (SELECT doc_id, toks,
+                 GREATEST(CAST(CEIL(LEN(toks) / 50.0) AS BIGINT), 1) AS n_chunks FROM t),
+    u AS (SELECT doc_id, toks,
+                 UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS i FROM n)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           ARRAY_TO_STRING(list_slice(toks, i * 50 + 1, i * 50 + 50), ' ') AS chunk_text
+    FROM u
+    """,
+)
+def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] — the composed training-data pipeline: quality filter (length
+    ≥ 20 tokens, lexical diversity ≥ 0.5) → keep-first fingerprint dedup →
+    50-token chunking. Three map-heavy stages, two shuffles total (dedup
+    window + none for chunking) — the shape of a real corpus-prep job, end
+    to end under one Catalyst plan.
+    """
+    from ..operators.chunking import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    filtered = docs.filter(
+        (F.size(toks) >= 20) & (TX.distinct_token_ratio("text") >= 0.5)
+    )
+    w = Window.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return chunk_documents(deduped, chunk_size=50).select("doc_id", "chunk_idx", "chunk_text")
+
+
+@register(
     "multimodal_features",
     oracle="""
     SELECT doc_id AS media_id,

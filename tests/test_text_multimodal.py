@@ -41,6 +41,22 @@ def test_fingerprint_normalizes(spark):
     assert a == b and len(a) == 32
 
 
+def test_scrub_pii(spark):
+    from my_favorite_etl_pipeline_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            Row(t="mail me at john.doe+x@corp.example.org today"),
+            Row(t="call +1 (555) 123-4567 or visit https://a.b/c?d=1 now"),
+            Row(t="nothing sensitive here"),
+        ]
+    )
+    out = [r.c for r in df.select(scrub_pii("t").alias("c")).collect()]
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "call <PHONE> or visit <URL> now"
+    assert out[2] == "nothing sensitive here"
+
+
 def test_decode_stub_deterministic():
     w, h, n = decode_image_stub(b"x" * 100)
     assert (w, h, n) == (16 + 100 % 64, 16 + (100 // 64) % 64, 1 + 100 % 4)
