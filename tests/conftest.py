@@ -20,6 +20,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from pyspark.sql import SparkSession
 
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-tests-")
     s = (
         SparkSession.builder.master("local[4]")
         .appName("unit-tests")
@@ -27,6 +30,7 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", warehouse)
         .getOrCreate()
     )
     yield s
