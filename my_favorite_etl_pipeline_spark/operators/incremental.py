@@ -48,6 +48,32 @@ def incremental_extract(
     return df.filter(pred)
 
 
+def write_partitioned_by_day(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    mode: str = "append",
+    day_col: str = "event_date",
+) -> None:
+    """Lay the table out by event day so window predicates prune partitions.
+
+    The derived date column is appended (the original timestamp column is
+    kept — partition values are directory names, lossy for sub-day
+    precision). After this layout, F1/F2's range predicate on ``ts_col``
+    prunes whole day directories at 100 TB instead of scanning them:
+    Catalyst derives the ``day_col`` bounds from the timestamp bounds when
+    filtering on the partition column; callers filtering heavy history
+    should AND ``in_window(day_col, ...)`` explicitly for guaranteed
+    directory-level pruning.
+    """
+    (
+        df.withColumn(day_col, F.col(ts_col).cast("date"))
+        .write.mode(mode)
+        .partitionBy(day_col)
+        .parquet(path)
+    )
+
+
 def is_empty(df: DataFrame) -> bool:
     """F4 — empty-batch short-circuit gate (dag:136-143).
 

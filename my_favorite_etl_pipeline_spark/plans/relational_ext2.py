@@ -283,3 +283,129 @@ def window_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(w), 4).alias("first_price"),
         F.round(F.avg("o_totalprice").over(wf), 4).alias("moving_avg3"),
     )
+
+
+@register(
+    "q20_bulk_suppliers",
+    oracle="""
+    SELECT s_name, ROUND(s_acctbal, 4) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY l_suppkey HAVING SUM(l_quantity) > 2100
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — IN-subquery over a grouped HAVING, decorrelated to
+    agg → filter → left-semi join. The aggregate shrinks lineitem to one row
+    per supplier before any join."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    supp = load(spark, sf_dir, "supplier")
+    bulk = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 2100)
+    )
+    return (
+        supp.join(bulk, supp.s_suppkey == bulk.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 4).alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             MAX(l_shipdate) AS max_ship
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem
+    JOIN per_order ON lineitem.l_orderkey = per_order.l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE n_supp >= 2 AND l_shipdate = max_ship
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the 'supplier who kept the order waiting' pattern:
+    per-order distinct-supplier count + max ship date (one agg), re-joined
+    to lineitem to find the laggard rows. The exists/not-exists pair of the
+    original decorrelates into these window-style aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    return (
+        li.join(per_order, li.l_orderkey == per_order.po_key)
+        .filter((F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("max_ship")))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "decimal_surface",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_dec,
+           CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS avg_dec,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_dec
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def decimal_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal aggregation surface — money math without float drift.
+
+    DECIMAL(18,2) sums are exact and engine-portable (unlike double sums,
+    which need ROUND on both sides everywhere else in this registry).
+    """
+    orders = load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(dec).cast("decimal(18,2)").alias("total_dec"),
+        F.avg(dec).cast("decimal(18,2)").alias("avg_dec"),
+        F.max(dec).cast("decimal(18,2)").alias("max_dec"),
+    )
+
+
+@register(
+    "try_function_surface",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(event_type AS INT) AS type_as_int,
+           ROUND(value / NULLIF(user_id % 3, 0), 4) AS safe_div,
+           TRY_CAST(SUBSTR(event_type, 1, 1) AS INT) AS first_char_int
+    FROM events ORDER BY event_id LIMIT 1000
+    """,
+)
+def try_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* error-tolerant expression family (the J3 'coerce, never throw'
+    discipline as a surface): try_cast on unparseable strings, try_divide by
+    zero — NULL out, no exception, ANSI-mode-proof."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.col("event_type").try_cast("int").alias("type_as_int"),
+            F.round(F.try_divide(F.col("value"), F.col("user_id") % 3), 4).alias("safe_div"),
+            F.substring("event_type", 1, 1).try_cast("int").alias("first_char_int"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.tables import load
-from ..streaming.stateful import stream_dedup, user_stats_stateful
+from ..streaming.stateful import (
+    stream_dedup,
+    stream_stream_view_purchase_join,
+    user_stats_stateful,
+)
 from ..streaming.windows import tumbling_hourly_counts
 
 
@@ -77,6 +81,27 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an injected-dup stream in tests/test_streaming_extras.py.
     """
     return stream_dedup(spark, sf_dir)
+
+
+@register(
+    "stream_stream_attribution_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS micros_to_purchase
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — stream-stream attribution join (views × purchases ≤ 1h later,
+    same user) through the streaming engine with watermark-bounded join
+    state; with all data in one availableNow pass the result equals the
+    batch interval join, so even this is oracle-checked."""
+    return stream_stream_view_purchase_join(spark, sf_dir)
 
 
 @register(

@@ -98,6 +98,50 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "stream_dedup")
 
 
+def stream_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: views matched to same-user purchases within
+    the following hour.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance — the two requirements that let Spark evict join state (a view
+    older than max(event time) − 1h − delay can never match again). Without
+    them stream-stream state grows forever; with them it's bounded by one
+    horizon of each side. The classic attribution-join shape at 100 TB.
+    """
+    base = read_events_stream(spark, sf_dir)
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("micros_to_purchase"),
+    )
+    return _run_to_memory(joined, "stream_stream_join")
+
+
 def _run_to_memory(df: DataFrame, prefix: str) -> DataFrame:
     import time
 

@@ -54,6 +54,36 @@ def test_disjunctive_change_capture(spark):
     assert got == [0, 1]
 
 
+def test_write_partitioned_by_day_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from my_favorite_etl_pipeline_spark.operators.incremental import (
+        write_partitioned_by_day,
+    )
+
+    df = _df(
+        spark,
+        (TS(2024, 1, 10, 5), None),
+        (TS(2024, 1, 11, 5), None),
+        (TS(2024, 1, 12, 5), None),
+    )
+    path = str(tmp_path / "by_day")
+    write_partitioned_by_day(df, path, "createdat")
+    import os
+
+    assert sorted(d for d in os.listdir(path) if d.startswith("event_date=")) == [
+        "event_date=2024-01-10",
+        "event_date=2024-01-11",
+        "event_date=2024-01-12",
+    ]
+    back = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-11")
+    rows = back.collect()
+    assert len(rows) == 1 and rows[0].i == 1
+    # partition filter is pushed (pruning, not a post-scan filter)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+
+
 def test_empty_batch_gate(spark):
     df = _df(spark, (TS(2024, 1, 1), None))
     assert is_empty(df.filter("i < 0"))
