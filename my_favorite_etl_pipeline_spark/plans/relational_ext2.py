@@ -409,3 +409,38 @@ def try_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(1000)
     )
+
+
+@register(
+    "surrogate_keys",
+    oracle="""
+    SELECT c_custkey,
+           md5(CONCAT_WS(CHR(31), CAST(c_custkey AS VARCHAR), c_name)) AS sk
+    FROM customer ORDER BY c_custkey LIMIT 200
+    """,
+)
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash surrogate keys (functions.exprs.surrogate_key) —
+    stable across runs/partitions, unlike monotonically_increasing_id; the
+    dimension-key pattern for 100 TB loads where a global row_number would
+    serialize."""
+    from ..functions.exprs import surrogate_key
+
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.select("c_custkey", surrogate_key("c_custkey", "c_name").alias("sk"))
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+@register("approx_percentile_sketch")  # rows-only: sketch internals are engine-specific
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) per order status — the
+    constant-memory quantile path for 100 TB; the exact twin is
+    oracle-checked in stats_surface."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).alias("p50_approx"),
+        F.round(F.expr("approx_percentile(o_totalprice, 0.99, 10000)"), 2).alias("p99_approx"),
+    )

