@@ -96,3 +96,67 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "continuous_aggregate_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def continuous_aggregate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: history answered from an
+    hourly pre-aggregated rollup, the last day re-aggregated from raw, the
+    two merged by re-summing decomposable partials (operators.rollup).
+
+    The oracle is the direct aggregation over ALL raw data — the merge is
+    correct iff rollup+tail is indistinguishable from a full scan. At
+    100 TB the history side reads the (tiny) rollup table instead of raw.
+    """
+    from ..operators.rollup import hourly_rollup, rollup_with_tail
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = "2024-01-12 00:00:00"
+    history = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    tail = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    # in production `hourly_rollup(history)` is a materialized table,
+    # appended per batch window; computing it inline keeps the harness
+    # hermetic while exercising the identical merge math
+    merged = rollup_with_tail(hourly_rollup(history), tail)
+    return merged.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round(F.col("avg_value"), 4).alias("avg_value"),
+    )
+
+
+@register("hll_sketch_merge")  # rows-only: sketch bytes are engine-specific
+def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL): build one
+    sketch per event_type, then hll_union them to estimate overall distinct
+    users WITHOUT rescanning — the decomposable-sketch pattern that powers
+    rollup-level COUNT(DISTINCT) at 100 TB. Exact twin: distinct_users_by_type."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_distinct"),
+        "exact_distinct",
+    )
+    overall = per_type.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("u").alias("approx_distinct"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return per_type_est.unionByName(overall)
