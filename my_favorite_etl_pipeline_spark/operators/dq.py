@@ -42,7 +42,12 @@ class DQSuite:
         return self._add(f"null_{col}", F.sum(F.col(col).isNull().cast("int")))
 
     def add_unique(self, col: str) -> "DQSuite":
-        """Uniqueness: ``count(col) - count(distinct col)`` (dag:369, M5)."""
+        """Uniqueness: ``count(col) - count(distinct col)`` (dag:369, M5).
+
+        DISTINCT aggregates are rejected by ``observe`` — this check always
+        runs on the classic :meth:`violations` pass (see :meth:`attach`).
+        """
+        self._has_distinct = True
         return self._add(f"dup_{col}", F.count(F.col(col)) - F.count_distinct(F.col(col)))
 
     def add_regex(self, col: str, pattern: str) -> "DQSuite":
@@ -76,6 +81,38 @@ class DQSuite:
 
     def enforce(self, df: DataFrame) -> dict[str, int]:
         counts = self.violations(df)
+        failed = {k: v for k, v in counts.items() if v}
+        if failed:
+            raise DQViolation(f"DQ gate failed: {failed}")
+        return counts
+
+    def attach(self, df: DataFrame, name: str = "dq"):
+        """Zero-extra-pass flavor: ride the checks on the NEXT action.
+
+        Returns ``(observed_df, observation)``. The caller runs its normal
+        action (the mart write, typically) on ``observed_df``, then calls
+        :meth:`enforce_observed` — the metrics were aggregated during that
+        action, so the DQ gate costs no second scan. At 100 TB this is the
+        difference between one pass and two.
+
+        Spark rejects DISTINCT aggregates inside ``observe``, so a suite
+        containing :meth:`add_unique` cannot attach — split uniqueness into
+        a classic :meth:`enforce` pass (or assert it via the merge key,
+        which M2 deduplicates anyway) and attach the rest.
+        """
+        from pyspark.sql import Observation
+
+        if getattr(self, "_has_distinct", False):
+            raise ValueError(
+                "observe() cannot evaluate DISTINCT aggregates; run add_unique "
+                "checks via enforce() and attach() the remaining checks"
+            )
+        obs = Observation(name)
+        return df.observe(obs, *self.violation_columns()), obs
+
+    def enforce_observed(self, obs) -> dict[str, int]:
+        """Gate on an Observation populated by a completed action."""
+        counts = {k: int(v) for k, v in obs.get.items()}
         failed = {k: v for k, v in counts.items() if v}
         if failed:
             raise DQViolation(f"DQ gate failed: {failed}")

@@ -55,6 +55,26 @@ def test_freshness_stale_and_empty(spark):
     assert DQSuite().add_freshness("ts", "2020-01-01").violations(empty)["stale_ts"] == 1
 
 
+def test_observed_dq_rides_the_write_action(spark, tmp_path):
+    """attach() aggregates the checks during the sink write — one pass."""
+    suite = DQSuite().add_not_null("email").add_regex("email", r"^[^@\s]+@[^@\s]+\.[^@\s]+$")
+    observed, obs = suite.attach(_df(spark))
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))  # the only action
+    with pytest.raises(DQViolation, match="null_email"):
+        suite.enforce_observed(obs)
+
+    clean = spark.createDataFrame([Row(_id="a", email="a@x.com", n="1", ts="2024-01-01")])
+    suite2 = DQSuite().add_not_null("email")
+    observed2, obs2 = suite2.attach(clean)
+    observed2.write.mode("overwrite").parquet(str(tmp_path / "out2"))
+    assert suite2.enforce_observed(obs2) == {"null_email": 0}
+
+
+def test_attach_rejects_distinct_checks(spark):
+    with pytest.raises(ValueError, match="DISTINCT"):
+        DQSuite().add_unique("_id").attach(_df(spark))
+
+
 def test_reconcile_counts():
     reconcile_counts(10, 10)
     with pytest.raises(DQViolation, match="mismatch"):

@@ -80,6 +80,31 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert rows[1] is None and rows[2] == 3.5  # old file's missing col → NULL
 
 
+def test_malformed_json_record_modes(spark, tmp_path):
+    """Ingestion robustness (the J3 'coerce' discipline at the source):
+    PERMISSIVE quarantines bad rows into _corrupt_record, DROPMALFORMED
+    silently drops them, FAILFAST raises — all three declared, not coded."""
+    p = tmp_path / "raw.jsonl"
+    p.write_text('{"k": 1, "v": "a"}\n{not json at all}\n{"k": 2, "v": "b"}\n')
+    schema = "k INT, v STRING, _corrupt_record STRING"
+
+    permissive = spark.read.schema(schema).json(str(p)).cache()
+    try:
+        assert permissive.count() == 3
+        bad = permissive.filter("_corrupt_record IS NOT NULL").collect()
+        assert len(bad) == 1 and bad[0]._corrupt_record == "{not json at all}"
+    finally:
+        permissive.unpersist()
+
+    dropped = spark.read.schema("k INT, v STRING").option("mode", "DROPMALFORMED").json(str(p))
+    assert sorted(r.k for r in dropped.collect()) == [1, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="[Mm]alformed"):
+        spark.read.schema("k INT, v STRING").option("mode", "FAILFAST").json(str(p)).collect()
+
+
 def test_jdbc_options_builder():
     opts = jdbc_writer_options("jdbc:postgresql://h/db", "staging.t", batchsize=500)
     assert opts["dbtable"] == "staging.t"
