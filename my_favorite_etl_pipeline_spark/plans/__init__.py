@@ -13,6 +13,10 @@ try:  # optional modules land incrementally; keep registration resilient
 except ImportError:  # pragma: no cover
     pass
 try:
+    from . import llm_ext2  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
     from . import streaming_queries  # noqa: F401
 except ImportError:  # pragma: no cover
     pass

@@ -1,0 +1,156 @@
+"""[EXT] Training-data curation ops round 2 (SURVEY.md §2.9 X4+): the
+dataset-assembly steps that sit between cleaning (llm_ext.py) and the
+trainer — deterministic splits, class-balanced sampling, and sequence
+packing. All pure-DataFrame (zero Python UDFs), all oracle-checked.
+
+Scale notes are per-op; the common theme is that every decision is a pure
+function of the row's own key (hash) or of a per-shard window, so each op
+is a single map or a single bounded shuffle at 100 TB — never a global
+sort or a driver-side pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..registry import register
+from ..sources.tables import load
+
+
+def hash_split(
+    key: F.Column, train: float = 0.8, val: float = 0.1, salt: str = ""
+) -> F.Column:
+    """Deterministic train/val/test assignment from a hash of the row key.
+
+    Buckets on the first two hex chars of md5(salt || key) — 256 buckets,
+    compared lexicographically so the SAME expression runs on any engine
+    (no hex→int parsing). Pure per-row map: no shuffle, no RNG state, stable
+    under repartitioning/retries — the property `sample(fraction=...)`
+    does NOT give you, which is why it exists as an operator.
+    """
+    bucket = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 2)
+    t_thr = f"{int(train * 256):02x}"
+    v_thr = f"{int((train + val) * 256):02x}"
+    return (
+        F.when(bucket < t_thr, "train").when(bucket < v_thr, "val").otherwise("test")
+    )
+
+
+@register(
+    "dataset_split_hash",
+    oracle="""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ — deterministic 80/10/10 train/val/test split by key hash,
+    summarized per split. The assignment itself is a narrow map (zero
+    shuffle); only this summary aggregates. 0xcc/256=0.796875, 0xe6/256=0.898.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", hash_split(F.col("doc_id"), 0.8, 0.1))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_per_lang",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    ORDER BY lang, doc_id
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ — class-balanced downsampling: exactly min(50, |stratum|) docs per
+    language, chosen by ranking on a salted key hash (a deterministic
+    per-stratum reservoir — same sample on every run, every partitioning).
+
+    One shuffle on `lang`. At 100 TB the rank-then-filter survives because
+    each stratum sorts only its own partition; a skewed mega-stratum is the
+    one risk — mitigate by pre-filtering with an approximate per-stratum
+    hash threshold before the exact rank (operators/skew.py pattern).
+    """
+    docs = load(spark, sf_dir, "documents")
+    rank_key = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(rank_key, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "pack_sequences_1024",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+             ) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR((cum_tokens - n_tokens) / 1024.0) AS BIGINT) AS seq_id
+    FROM cum ORDER BY source, doc_id
+    """,
+)
+def pack_sequences_1024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ — sequence packing: concatenate whole documents into ~1024-token
+    training sequences. seq_id = floor(cumulative-tokens-before-this-doc /
+    budget): first-fit-in-order packing, each doc assigned exactly once, a
+    doc straddling a boundary opens the next sequence.
+
+    The cumulative sum is windowed PER SOURCE SHARD, never globally — a
+    global ORDER BY would funnel 100 TB through one task. Each shard packs
+    independently (one shuffle on `source`); shard-internal order is the
+    stable doc_id, so output is deterministic. Downstream the trainer does
+    groupBy(source, seq_id) + concat_ws to materialize sequences.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    toks = docs.select(
+        "source", "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 1024.0)
+            .cast("long")
+            .alias("seq_id"),
+        )
+        .orderBy("source", "doc_id")
+    )

@@ -360,6 +360,55 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q11_important_stock",
+    oracle="""
+    WITH value_per_part AS (
+      SELECT l_partkey AS partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, ROUND(part_value, 4) AS part_value
+    FROM value_per_part
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM value_per_part)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — per-part value for one nation's suppliers, kept only
+    when above a fraction of the GLOBAL total (scalar-subquery HAVING).
+
+    The fixture has no partsupp, so value = lineitem revenue restricted to
+    NATION_1 suppliers. The global total is a 1-row aggregate of the already
+    small per-part frame, broadcast back via cross join — never an
+    unpartitioned window over the big side, which would serialize at scale.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1").select(
+        "n_nationkey"
+    )
+    value_per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
+    )
+    total = value_per_part.agg((F.sum("part_value") * 0.001).alias("__thr"))
+    return (
+        value_per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__thr"))
+        .select("partkey", F.round("part_value", 4).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@register(
     "decimal_surface",
     oracle="""
     SELECT o_orderstatus,
@@ -431,6 +480,59 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select("c_custkey", surrogate_key("c_custkey", "c_name").alias("sk"))
         .orderBy("c_custkey")
         .limit(200)
+    )
+
+
+@register(
+    "scd2_status_history",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+      FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+               LAG(o_orderstatus) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_status
+        FROM orders
+      ) WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+    )
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS valid_to,
+           CAST(LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    ORDER BY custkey, valid_from
+    """,
+)
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+ — SCD Type-2 historization from an event log: per customer,
+    collapse consecutive identical order statuses, then derive
+    [valid_from, valid_to) intervals with is_current on the open row —
+    the dimension-history twin of merge_upsert's SCD1 overwrite.
+
+    Both windows share ONE partition spec (custkey, ordered by date) so
+    Spark plans a single shuffle + sort and evaluates lag and lead in the
+    same window stage. Scale: per-key windows; no global ordering.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = orders.withColumn("prev_status", F.lag("o_orderstatus").over(w)).filter(
+        F.col("prev_status").isNull()
+        | (F.col("o_orderstatus") != F.col("prev_status"))
+    )
+    return (
+        changes.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("custkey", "valid_from")
     )
 
 

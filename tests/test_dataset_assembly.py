@@ -1,0 +1,100 @@
+"""Dataset-assembly ops (plans/llm_ext2.py + scd2): determinism under
+repartitioning, packing budget invariants, SCD2 interval invariants."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_favorite_etl_pipeline_spark.plans.llm_ext2 import (
+    dataset_split_hash,
+    hash_split,
+    pack_sequences_1024,
+    stratified_sample_per_lang,
+)
+from my_favorite_etl_pipeline_spark.plans.relational_ext2 import scd2_status_history
+from my_favorite_etl_pipeline_spark.sources.tables import load
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    docs = load(spark, SF_DIR, "documents")
+    a = docs.select("doc_id", hash_split(F.col("doc_id")).alias("s"))
+    b = (
+        docs.repartition(7, "lang")  # totally different physical layout
+        .select("doc_id", hash_split(F.col("doc_id")).alias("s"))
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hash_split_fractions_roughly_hold(spark):
+    docs = load(spark, SF_DIR, "documents")
+    n = docs.count()
+    counts = dict(
+        docs.select(hash_split(F.col("doc_id")).alias("s")).groupBy("s").count().collect()
+    )
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.08)
+
+
+def test_hash_split_is_salt_sensitive(spark):
+    docs = load(spark, SF_DIR, "documents").limit(200)
+    joined = docs.select(
+        "doc_id",
+        hash_split(F.col("doc_id")).alias("a"),
+        hash_split(F.col("doc_id"), salt="v2:").alias("b"),
+    )
+    assert joined.filter(F.col("a") != F.col("b")).count() > 0
+
+
+def test_stratified_sample_caps_each_stratum(spark):
+    out = stratified_sample_per_lang(spark, SF_DIR)
+    per_lang = dict(out.groupBy("lang").count().collect())
+    docs_per_lang = dict(
+        load(spark, SF_DIR, "documents").groupBy("lang").count().collect()
+    )
+    for lang, n in per_lang.items():
+        assert n == min(50, docs_per_lang[lang])
+    # deterministic: second run identical
+    again = stratified_sample_per_lang(spark, SF_DIR)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_pack_sequences_invariants(spark):
+    out = pack_sequences_1024(spark, SF_DIR).collect()
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r.source, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        prev_seq = 0
+        for r in rows:
+            assert r.seq_id == cum // 1024  # bin = tokens-before // budget
+            assert r.seq_id >= prev_seq  # seq ids are monotone per shard
+            prev_seq = r.seq_id
+            cum += r.n_tokens
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    out = scd2_status_history(spark, SF_DIR).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.custkey, []).append(r)
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r.valid_from)
+        # exactly one open (current) row per key, and it is the last one
+        assert [r.is_current for r in rows].count(True) == 1
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, non-overlapping
+            assert a.status != b.status  # consecutive duplicates collapsed
+
+
+def test_split_summary_covers_all_docs(spark):
+    out = dataset_split_hash(spark, SF_DIR)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == load(spark, SF_DIR, "documents").count()
