@@ -15,8 +15,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..operators.graph import connected_components
 from ..registry import register
 from ..sources.tables import load
+
+# DuckDB-side distinct 3-gram shingle CTE (mirrors functions.text.shingles;
+# same fragment as llm_ext._DUCK_SHINGLES, restated here because this oracle
+# embeds it under WITH RECURSIVE).
+_DUCK_SHINGLES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(len(t) - 2),
+                                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+               ELSE [] END) AS s
+      FROM toks
+    )
+"""
 
 
 def hash_split(
@@ -104,6 +120,57 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+            / LEN(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    ),
+    edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(MIN(root) AS BIGINT) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ — near-dup CLUSTERING: ≥0.9-Jaccard pairs become an edge list,
+    connected components merge transitive chains (A~B, B~C ⇒ one group even
+    if A≁C), component id = min doc_id = the canonical doc to keep. Every
+    doc gets a component (singletons = themselves).
+
+    The oracle computes the same fixpoint as a DuckDB recursive CTE
+    (min reachable id per node) — an independent algorithm, so agreement
+    checks the iteration's convergence, not just its arithmetic. Pair
+    generation here reuses the exact-Jaccard baseline; at 100 TB the edge
+    list comes from MinHash-LSH instead and components run unchanged.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", TX.shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.9)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(pairs, vertices=docs.select("doc_id"))
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+    ).orderBy("doc_id")
 
 
 @register(

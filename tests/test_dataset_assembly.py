@@ -94,6 +94,34 @@ def test_scd2_intervals_partition_the_timeline(spark):
             assert a.status != b.status  # consecutive duplicates collapsed
 
 
+def test_connected_components_matches_union_find(spark):
+    from my_favorite_etl_pipeline_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (long diameter), triangle 10-11-12, isolated 20, 21
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    vertices = [1, 2, 3, 4, 10, 11, 12, 20, 21]
+
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    expected = {}
+    for v in vertices:
+        root = find(v)
+        expected[v] = min(w for w in vertices if find(w) == root)
+
+    e_df = spark.createDataFrame(edges, ["src", "dst"])
+    v_df = spark.createDataFrame([(v,) for v in vertices], ["node"])
+    got = dict(connected_components(e_df, vertices=v_df).collect())
+    assert got == expected
+
+
 def test_split_summary_covers_all_docs(spark):
     out = dataset_split_hash(spark, SF_DIR)
     total = out.agg(F.sum("n_docs")).collect()[0][0]
