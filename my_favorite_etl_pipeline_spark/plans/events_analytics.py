@@ -160,3 +160,40 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("exact_distinct"),
     )
     return per_type_est.unionByName(overall)
+
+
+@register(
+    "rolling_1h_user_stats",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           ROUND(SUM(value) OVER w, 4) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregate: per event, count+sum of the SAME user's
+    events in the trailing hour — the per-entity rate/velocity feature
+    (fraud counters, rate limits) that tumbling windows can't express.
+
+    Spark's rangeBetween needs a numeric sort key, so ts is cast to epoch
+    seconds (double, microsecond-exact at this magnitude) and the frame is
+    [-3600, 0] — the same inclusive-bound semantics as SQL's RANGE INTERVAL
+    PRECEDING. One shuffle on user_id; frames never cross keys, so the op
+    scales with per-user history, not total volume.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    ).orderBy("event_id")

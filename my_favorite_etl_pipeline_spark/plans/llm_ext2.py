@@ -173,6 +173,19 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared packing plan: (source, doc_id, text, n_tokens, seq_id)."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    toks = docs.select(
+        "source", "doc_id", "text", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    return toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 1024.0).cast("long"),
+    )
+
+
 @register(
     "pack_sequences_1024",
     oracle="""
@@ -202,22 +215,56 @@ def pack_sequences_1024(spark: SparkSession, sf_dir: str) -> DataFrame:
     global ORDER BY would funnel 100 TB through one task. Each shard packs
     independently (one shuffle on `source`); shard-internal order is the
     stable doc_id, so output is deterministic. Downstream the trainer does
-    groupBy(source, seq_id) + concat_ws to materialize sequences.
+    groupBy(source, seq_id) + concat_ws to materialize sequences
+    (see pack_sequences_materialize).
     """
-    docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    toks = docs.select(
-        "source", "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
+    return _packed(spark, sf_dir).select(
+        "source", "doc_id", "n_tokens", "seq_id"
+    ).orderBy("source", "doc_id")
+
+
+@register(
+    "pack_sequences_materialize",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id, text,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id, text, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                         - n_tokens) / 1024.0) AS BIGINT) AS seq_id
+      FROM toks
     )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+    FROM cum GROUP BY source, seq_id ORDER BY source, seq_id
+    """,
+)
+def pack_sequences_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ — materialize the packed bins: one output row per training
+    sequence, docs concatenated IN doc_id ORDER. Spark has no ordered
+    string_agg, so the order is pinned by collecting (doc_id, text) structs,
+    sort_array on the struct (lexicographic = doc_id first), then
+    concat_ws over the projected texts — deterministic regardless of
+    partitioning. The groupBy key (source, seq_id) rides the same shuffle
+    layout the packing window produced.
+    """
+    packed = _packed(spark, sf_dir)
     return (
-        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-        .select(
-            "source",
-            "doc_id",
-            "n_tokens",
-            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 1024.0)
-            .cast("long")
-            .alias("seq_id"),
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s.text,
+                ),
+            ).alias("seq_text"),
         )
-        .orderBy("source", "doc_id")
+        .orderBy("source", "seq_id")
     )
