@@ -123,6 +123,49 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_filter_above_median",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS DOUBLE)
+             / LEN(string_split(text, ' ')) AS score
+      FROM documents
+    ), m AS (
+      SELECT lang,
+             PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY score) AS med
+      FROM s GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, ROUND(s.score, 4) AS score
+    FROM s JOIN m ON s.lang = m.lang
+    WHERE s.score > m.med
+    ORDER BY s.doc_id
+    """,
+)
+def quality_filter_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ — adaptive quality cut: keep docs whose lexical-diversity score
+    beats their OWN language's median — a per-stratum data-dependent
+    threshold, not a global constant (zh and en score distributions differ,
+    so one global cut over/under-prunes some language).
+
+    Medians shrink to one row per lang (exact percentile in the agg), then
+    broadcast back — the big side is touched twice but shuffled zero times
+    for the threshold. At 100 TB swap the exact percentile for
+    approx_percentile (same plan shape, constant memory).
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", TX.distinct_token_ratio("text").alias("score")
+    )
+    meds = scored.groupBy("lang").agg(F.expr("percentile(score, 0.5)").alias("med"))
+    return (
+        scored.join(F.broadcast(meds), "lang")
+        .filter(F.col("score") > F.col("med"))
+        .select("doc_id", "lang", F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "dedup_cluster_components",
     oracle=f"""
     WITH RECURSIVE {_DUCK_SHINGLES},
