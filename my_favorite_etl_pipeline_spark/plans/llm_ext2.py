@@ -216,6 +216,95 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM d
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           md5(array_to_string(
+             list_transform(e, x -> CAST(ROUND(x / NULLIF(scale, 0) * 127) AS INT)),
+             ',')) AS q_digest,
+           CAST(list_sum(
+             list_transform(e, x -> CAST(ROUND(x / NULLIF(scale, 0) * 127) AS INT))
+           ) AS BIGINT) AS q_sum
+    FROM s ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ — symmetric per-vector int8 quantization (scale = max |x|,
+    q = round(x/scale·127)): 4× smaller vectors for the ANN index, the
+    standard storage layout at 100 TB. Pure higher-order array functions —
+    map-only plan, zero shuffle, whole-stage codegen.
+
+    The oracle compares an md5 digest of the quantized array (plus its sum)
+    instead of the raw list so the check is representation-independent;
+    floats are widened to double on both sides so the rounding arithmetic
+    is bit-identical.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs))
+    quant = F.transform(e, lambda x: F.round(x / F.nullif(scale, F.lit(0)) * 127).cast("int"))
+    return (
+        emb.select(
+            "vec_id",
+            F.round(scale, 6).alias("scale"),
+            F.md5(F.array_join(quant, ",")).alias("q_digest"),
+            F.aggregate(quant, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0
+    ), batch AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT b.doc_id, CAST(c.fp IS NOT NULL AS BOOLEAN) AS is_dup
+    FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+ — incremental dedup: flag arriving docs whose exact fingerprint
+    already exists in the standing corpus (the per-batch production path —
+    never re-cluster the whole corpus, just probe it). Fingerprints shrink
+    the corpus side to one md5 per distinct text before the join; at 100 TB
+    the probe becomes a bloom-filter pre-pass (sources/bucketing + runtime
+    bloom config) with this exact join as the verifier.
+
+    The corpus/batch split is simulated by doc_id modulo on the one
+    documents fixture.
+    """
+    docs = load(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    return (
+        batch.join(corpus, "fp", "left")
+        .select("doc_id", F.coalesce("seen", F.lit(False)).alias("is_dup"))
+        .orderBy("doc_id")
+    )
+
+
 def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared packing plan: (source, doc_id, text, n_tokens, seq_id)."""
     docs = load(spark, sf_dir, "documents")

@@ -72,3 +72,20 @@ def test_salted_left_join_keeps_unmatched(spark):
     out = salted_join(large, small, "k", how="left", salt=4)
     rows = {r.k: r.name for r in out.collect()}
     assert rows == {1: "x", 3: None}
+
+
+def test_q11_broadcasts_dims_and_threshold(spark, sf_dir):
+    df = entrymod.queries()["q11_important_stock"](spark, sf_dir)
+    plan = _physical_plan(df)
+    # dims AND the 1-row global-threshold frame must broadcast; the big
+    # per-part frame must never sit on the build side of a nested loop
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_quantize_is_map_only(spark, sf_dir):
+    df = entrymod.queries()["embedding_quantize_int8"](spark, sf_dir)
+    plan = _physical_plan(df)
+    # scan -> project -> (final presentation orderBy); no join/agg shuffle
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
