@@ -197,3 +197,56 @@ def rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 4).alias("sum_1h"),
     ).orderBy("event_id")
+
+
+@register(
+    "gapfill_locf_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, ROUND(SUM(value), 4) AS v
+      FROM events WHERE user_id <= 20 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.user_id, g.h AS bucket,
+           ROUND(LAST_VALUE(hy.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h), 4) AS v_filled,
+           CAST(hy.v IS NULL AS BOOLEAN) AS was_gap
+    FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
+    ORDER BY g.user_id, bucket
+    """,
+)
+def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill: densify each user's hourly series to a
+    complete grid (sequence + explode — generated on the executor that owns
+    the key, not the driver), then LOCF forward-fill the holes with
+    last(v, ignorenulls) over the per-user time order.
+
+    All per-key: the grid explode, the left join (same (user_id, h) layout
+    both sides), and the fill window ride one hash partitioning on user_id.
+    Grid size is bounded by (span / bucket) per key, independent of raw
+    event volume — safe at 100 TB as long as key spans are sane.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    w = Window.partitionBy("user_id").orderBy("h")
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("bucket"),
+            F.round(F.last("v", ignorenulls=True).over(w), 4).alias("v_filled"),
+            F.col("v").isNull().alias("was_gap"),
+        )
+        .orderBy("user_id", "bucket")
+    )
