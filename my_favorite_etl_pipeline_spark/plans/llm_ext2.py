@@ -305,6 +305,50 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_mix_temperature",
+    oracle="""
+    WITH caps AS (
+      SELECT source, CAST(CEIL(SQRT(COUNT(*)) * 4) AS BIGINT) AS cap
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT d.doc_id, d.source, c.cap,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN caps c ON d.source = c.source
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= cap
+    ORDER BY source, doc_id
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ — temperature-flattened corpus mixing: resample each source to
+    ~4·sqrt(n) docs (temperature α=0.5), so over-represented sources shrink
+    relatively and small sources keep most of their data — the standard
+    rebalancing step before training-mix assembly. Selection is the same
+    deterministic salted-hash rank as stratified_sample_per_lang, so the
+    mix is reproducible under any partitioning.
+
+    Caps are a per-source count aggregate (tiny) broadcast back; the rank
+    is one shuffle on source.
+    """
+    docs = load(spark, sf_dir, "documents")
+    caps = docs.groupBy("source").agg(
+        F.ceil(F.sqrt(F.count(F.lit(1))) * 4).cast("long").alias("cap")
+    )
+    rank_key = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(rank_key, "doc_id")
+    return (
+        docs.join(F.broadcast(caps), "source")
+        .select("doc_id", "source", F.row_number().over(w).alias("rn"), "cap")
+        .filter(F.col("rn") <= F.col("cap"))
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
 def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared packing plan: (source, doc_id, text, n_tokens, seq_id)."""
     docs = load(spark, sf_dir, "documents")
