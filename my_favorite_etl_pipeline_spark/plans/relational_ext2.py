@@ -546,3 +546,37 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).alias("p50_approx"),
         F.round(F.expr("approx_percentile(o_totalprice, 0.99, 10000)"), 2).alias("p99_approx"),
     )
+
+
+@register(
+    "sql_api_surface",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           ROUND(AVG(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_api_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's second front door: ANSI SQL over registered temp views
+    via spark.sql — same Catalyst plan as the DataFrame API (view + SQL
+    text fold into one logical plan; pushdown/pruning/codegen identical),
+    proving users can drive every table through plain SQL.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               ROUND(AVG(l_quantity), 4) AS avg_qty
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
