@@ -15,6 +15,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
+from ..functions.normalize import (
+    align_to_schema,
+    coerce_timestamps,
+    flatten_struct,
+    normalize_columns,
+    stringify_id,
+    structs_to_json,
+    with_lineage,
+)
 from ..operators.dq import DQSuite
 from ..operators.incremental import in_window, incremental_extract
 from ..operators.merge import merge_upsert
@@ -201,6 +212,124 @@ def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.agg(src, dst).withColumn(
         "matched", (F.col("src_count") == F.col("dst_count")).cast("int")
     )
+
+
+# Mart schema for the nested chain — the dag:212-243 shape: each *by struct
+# flattened to 4 scalar columns, requestparams kept as JSON text, plus a
+# lineage column and a column absent at source (approvedat → typed NULL).
+_NESTED_MART = T.StructType(
+    [
+        T.StructField("_id", T.StringType()),
+        T.StructField("createdby_id", T.StringType()),
+        T.StructField("createdby_name", T.StringType()),
+        T.StructField("createdby_role", T.StringType()),
+        T.StructField("createdby_client", T.StringType()),
+        T.StructField("statuschangedby_id", T.StringType()),
+        T.StructField("statuschangedby_name", T.StringType()),
+        T.StructField("statuschangedby_role", T.StringType()),
+        T.StructField("statuschangedby_client", T.StringType()),
+        T.StructField("updatedby_id", T.StringType()),
+        T.StructField("updatedby_name", T.StringType()),
+        T.StructField("updatedby_role", T.StringType()),
+        T.StructField("updatedby_client", T.StringType()),
+        T.StructField("requestparams", T.StringType()),
+        T.StructField("statuschangedat", T.TimestampType()),
+        T.StructField("approvedat", T.TimestampType()),
+        T.StructField("batch_run_id", T.StringType()),
+    ]
+)
+
+
+def _nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo-shaped documents with REAL StructType nesting (dag:71-74).
+
+    The driver fixtures are flat TPC-H-ish tables, so the BSON document shape
+    is synthesized deterministically from ``customer`` inside the query:
+    camelCase keys, three nested ``*By`` subdocuments, a ``requestParams``
+    struct, and an ISO-string timestamp — the exact dynamic-source shape the
+    transform chain exists to normalize. No randomness: every field is a pure
+    function of customer columns, so the DuckDB oracle recomputes the
+    flattened result independently from the same base table.
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("_id"),
+        F.struct(
+            (F.col("c_custkey") % 97).alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("role"),
+            F.substring("c_name", 1, 8).alias("client"),
+        ).alias("createdBy"),
+        F.struct(
+            F.col("c_nationkey").alias("id"),
+            F.upper("c_mktsegment").alias("name"),
+            F.lower("c_mktsegment").alias("role"),
+            (F.col("c_nationkey") % 7).alias("client"),
+        ).alias("statusChangedBy"),
+        F.struct(
+            (F.col("c_custkey") % 89).alias("id"),
+            F.reverse(F.col("c_name")).alias("name"),
+            F.col("c_mktsegment").alias("role"),
+            (F.col("c_custkey") % 13).alias("client"),
+        ).alias("updatedBy"),
+        F.struct(
+            F.col("c_mktsegment").alias("channel"),
+            (F.col("c_custkey") % 5).alias("priority"),
+        ).alias("requestParams"),
+        F.date_format(
+            F.expr(
+                "TIMESTAMP '2024-01-01 00:00:00'"
+                " + make_dt_interval(0, CAST(c_custkey % 240 AS INT), 0, 0)"
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("statusChangedAt"),
+    )
+
+
+@register(
+    "nested_transform_chain",
+    oracle="""
+    SELECT
+      CAST(c_custkey AS VARCHAR) AS "_id",
+      CAST(c_custkey % 97 AS VARCHAR) AS createdby_id,
+      c_name AS createdby_name,
+      c_mktsegment AS createdby_role,
+      substring(c_name, 1, 8) AS createdby_client,
+      CAST(c_nationkey AS VARCHAR) AS statuschangedby_id,
+      upper(c_mktsegment) AS statuschangedby_name,
+      lower(c_mktsegment) AS statuschangedby_role,
+      CAST(c_nationkey % 7 AS VARCHAR) AS statuschangedby_client,
+      CAST(c_custkey % 89 AS VARCHAR) AS updatedby_id,
+      reverse(c_name) AS updatedby_name,
+      c_mktsegment AS updatedby_role,
+      CAST(c_custkey % 13 AS VARCHAR) AS updatedby_client,
+      to_json(struct_pack(channel := c_mktsegment, priority := c_custkey % 5))
+        AS requestparams,
+      TIMESTAMP '2024-01-01 00:00:00' + to_hours(c_custkey % 240) AS statuschangedat,
+      CAST(NULL AS TIMESTAMP) AS approvedat,
+      'run-2024-01-15T00' AS batch_run_id
+    FROM customer
+    """,
+)
+def q_nested_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2+J3+F3+P2+P3+P4 on GENUINELY nested structs (dag:71-74, 296-307).
+
+    The full reference chain over Mongo-shaped documents: column-name
+    normalization (camelCase → snake), ObjectId stringify, three
+    struct→4-scalar flattenings (the dag:228-241 mart shape), struct→JSON
+    for ``requestparams``, lossy ISO-string timestamp coercion, lineage
+    column, and the dynamic→fixed schema funnel (absent ``approvedat`` →
+    typed NULL). The whole chain collapses to ONE Project over the scan —
+    zero shuffles, zero UDFs; nested-field access is columnar.
+    """
+    out = normalize_columns(_nested_docs(spark, sf_dir))
+    out = stringify_id(out)
+    for col in ("createdby", "statuschangedby", "updatedby"):
+        out = flatten_struct(out, col, ["id", "name", "role", "client"])
+    out = structs_to_json(out, cols=["requestparams"])
+    out = coerce_timestamps(out, ["statuschangedat", "approvedat"])
+    out = with_lineage(out, "run-2024-01-15T00")
+    return align_to_schema(out, _NESTED_MART)
 
 
 @register(

@@ -44,9 +44,89 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# The driver's CORRECTNESS harness checks the first 50 entries of ``queries()``
+# in iteration order. With ~100 registered queries, raw module-import order let
+# the whole LLM-data [EXT] surface fall past the cap in round 1. This curated
+# prefix guarantees the checked window spans every operator family: the
+# reference-parity pipeline, the core relational shapes, dedup (exact + MinHash
+# + SimHash + embedding), similarity search, text analysis, multimodal,
+# dataset-assembly, SCD2, and streaming. Names not yet registered are skipped,
+# so the list may lead the code; everything else follows in registration order.
+CURATED_FIRST: tuple[str, ...] = (
+    # reference-parity pipeline (SURVEY §2.1-§2.8)
+    "incremental_extract",
+    "transform_chain",
+    "nested_transform_chain",
+    "merge_upsert",
+    "dq_gate",
+    "reconciliation",
+    "sorted_extract",
+    # core relational shapes
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_orders_per_customer",
+    "rollup_order_status",
+    "pivot_status_by_segment",
+    "set_ops_customers",
+    "anti_join_customers",
+    "range_join_ship_latency",
+    "asof_last_click_before_purchase",
+    # X1 exact dedup
+    "dedup_exact_groups",
+    "dedup_keep_first",
+    "dedup_fingerprint_groups",
+    # X2 near-dup
+    "minhash_near_dups",
+    "ngram_jaccard_pairs",
+    "simhash_near_dups",
+    "embedding_cosine_near_dups",
+    # X3 similarity search
+    "embedding_topk_bruteforce",
+    "embedding_topk_ivf",
+    # X4 text analysis / chunking / prep
+    "text_quality_scores",
+    "lang_id_heuristic",
+    "term_frequencies_top50",
+    "bpe_ish_token_counts",
+    "chunk_documents_50tok",
+    "scrub_pii_documents",
+    "training_data_prep",
+    # X5 multimodal
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # dataset assembly
+    "dataset_split_hash",
+    "stratified_sample_per_lang",
+    "quality_filter_above_median",
+    "dedup_cluster_components",
+    "embedding_quantize_int8",
+    "dedup_incremental_batch",
+    "corpus_mix_temperature",
+    "pack_sequences_1024",
+    # SCD2
+    "scd2_status_history",
+    # X6 streaming
+    "stream_tumbling_hourly",
+    "stream_stateful_user_stats",
+    "stream_dedup_within_watermark",
+    "stream_stream_attribution_join",
+    "sliding_window_3h_1h",
+    "session_window_30m",
+)
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in CURATED_FIRST if n in REGISTRY]
+    seen = set(head)
+    return head + [n for n in REGISTRY if n not in seen]
+
+
 def queries() -> dict[str, QueryFn]:
-    return {n: q.fn for n, q in REGISTRY.items()}
+    return {n: REGISTRY[n].fn for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: q.oracle for n, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        n: REGISTRY[n].oracle for n in _ordered_names() if REGISTRY[n].oracle is not None
+    }
