@@ -4,10 +4,16 @@ TPC-H-shaped queries over the fixture star schema: scans with pushdown,
 multi-way joins (broadcast + shuffle), aggregations, rollup/cube, window
 functions, set ops, semi/anti joins, range and as-of joins, sort/limit.
 
-Scale notes inline per query; the general rules: dimension tables are
-broadcast (region/nation/supplier are tiny even at 100 TB — they scale with
-the key space, not the fact tables), fact-fact joins shuffle on the join key
-and AQE handles skew, aggregates rely on partial (map-side) aggregation.
+Scale notes inline per query; the general rules: explicit ``broadcast()``
+hints go ONLY on genuinely bounded dimensions (region = 5 rows, nation = 25
+rows at every SF) and on 1-row scalar aggregates. customer/supplier/part
+scale linearly with SF (the fixtures prove it: customer 150→1.5k→15k across
+sf0.001→0.01→0.1), so a forced hint would override Spark's size check and
+OOM executors at 100×. Those joins are left unhinted: AQE's size-based
+planning still picks BroadcastHashJoin at small scale (same local plan) and
+demotes to shuffle join when the side outgrows the threshold. Fact-fact
+joins shuffle on the join key, AQE handles skew, aggregates rely on partial
+(map-side) aggregation.
 """
 
 from __future__ import annotations
@@ -81,9 +87,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape — selective join + agg + top-k.
 
-    customer is the small side (scales slower than lineitem): broadcast it
-    into orders, then shuffle-join the filtered orders against lineitem on
-    the order key. Top-10 is TakeOrdered, not a global sort.
+    customer is the smaller side but scales with SF, so no forced hint:
+    AQE picks broadcast while the filtered segment fits the threshold and
+    falls back to a shuffle join beyond it. The filtered orders shuffle-join
+    lineitem on the order key. Top-10 is TakeOrdered, not a global sort.
     """
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(
@@ -94,7 +101,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -121,9 +128,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape — six-table join, dims broadcast, facts shuffled.
 
-    region/nation/supplier are broadcast (constant-to-tiny at any SF);
-    lineitem⋈orders⋈customer shuffle on their keys; AQE reorders/demotes as
-    cardinalities shrink after filters.
+    region (5 rows) and nation (25 rows) are hint-broadcast — bounded at any
+    SF. customer and supplier scale with SF, so they carry no hint; AQE
+    size-planning broadcasts them while small and shuffles beyond the
+    threshold. lineitem⋈orders shuffle on the order key.
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").filter(
@@ -138,7 +146,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -159,16 +167,19 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JN/broadcast — fact⋈dim with an explicit broadcast hint.
+    """JN/broadcast — fact⋈dim where AQE's size check picks the broadcast.
 
-    part scales with SF but stays orders of magnitude under lineitem; the
-    broadcast eliminates the fact-side shuffle entirely — at 100 TB this is
-    the difference between a map-only stage and a full exchange.
+    part scales with SF, so it gets no forced hint (a hint overrides the
+    size check and OOMs at 100×). While part fits the broadcast threshold,
+    AQE plans the same map-only BroadcastHashJoin — eliminating the
+    fact-side exchange — and switches to a shuffle join only once part
+    genuinely outgrows executor memory. The hinted-broadcast surface is
+    demonstrated on the bounded dims (region/nation) in q5.
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),

@@ -4,9 +4,11 @@ The fixture schema is a trimmed TPC-H (no partsupp/commitdate/shipmode), so
 the classic queries are adapted to the columns that exist while keeping each
 query's *shape* — the join/agg/subquery pattern Catalyst has to plan — intact.
 
-Scale notes follow the same rules as plans/relational.py: dimensions
-broadcast, fact-fact joins shuffle on keys under AQE, aggregates rely on
-map-side partial aggregation, top-k is TakeOrdered.
+Scale notes follow the same rules as plans/relational.py: hints only on
+bounded dims (region/nation) and 1-row scalars; customer/supplier/part are
+unhinted (AQE size-planning broadcasts them while small, shuffles at 100×);
+fact-fact joins shuffle on keys under AQE, aggregates rely on map-side
+partial aggregation, top-k is TakeOrdered.
 """
 
 from __future__ import annotations
@@ -99,7 +101,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 — returned-item revenue per customer, top 20.
 
     lineitem(R-flagged) ⋈ orders(quarter) shuffles on the order key; the
-    result (≤ orders-in-quarter rows) joins broadcast customer⋈nation.
+    result (≤ orders-in-quarter rows) joins customer (AQE-sized, unhinted)
+    and hint-broadcast nation.
     """
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -110,7 +113,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
@@ -170,9 +173,10 @@ def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 — promo revenue ratio; part is broadcast (dimension-sized),
-    so the month of lineitem streams through map-side with zero shuffle
-    before the scalar aggregate."""
+    """TPC-H Q14 — promo revenue ratio; part is dimension-sized so AQE
+    plans a map-side broadcast join while it fits (no forced hint — part
+    scales with SF), keeping the month of lineitem shuffle-free before the
+    scalar aggregate."""
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
@@ -181,7 +185,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
     )
 
@@ -209,7 +213,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -250,7 +254,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -283,7 +287,7 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = load(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, smax)
@@ -367,8 +371,8 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
     w = Window.partitionBy("p_partkey")
     return (
-        ps.join(F.broadcast(part), ps.partkey == part.p_partkey)
-        .join(F.broadcast(supp), ps.suppkey == supp.s_suppkey)
+        ps.join(part, ps.partkey == part.p_partkey)
+        .join(supp, ps.suppkey == supp.s_suppkey)
         .withColumn("min_bal", F.min("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("min_bal"))
         .select("p_partkey", "p_name", "s_name", F.round("s_acctbal", 4).alias("acctbal"))
@@ -397,7 +401,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     piv = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.sum("o_totalprice"))

@@ -2,8 +2,8 @@
 agg-of-agg, correlated-avg decorrelation, window-function surface.
 
 Same adaptation rules as relational_ext.py (trimmed fixture schema, keep the
-planning shape), same scale rules (broadcast dims, shuffle facts, partial
-agg, TakeOrdered top-k).
+planning shape), same scale rules (hints only on bounded dims, AQE sizes the
+SF-scaling sides, shuffle facts, partial agg, TakeOrdered top-k).
 """
 
 from __future__ import annotations
@@ -35,9 +35,10 @@ from ..sources.tables import load
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape — bidirectional nation-pair volume by year.
 
-    Two aliases of the same broadcast nation dim; the disjunctive pair
-    filter applies post-join (it references both sides). One fact shuffle
-    (lineitem⋈orders); everything else broadcasts.
+    Two aliases of the same hint-broadcast nation dim (25 rows, bounded);
+    the disjunctive pair filter applies post-join (it references both
+    sides). One fact shuffle (lineitem⋈orders); customer/supplier are
+    unhinted — AQE broadcasts them while they fit.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -51,8 +52,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
         .filter(pair)
@@ -89,7 +90,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -117,8 +118,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape — profit per supplier-nation per year (partsupp's
     supplycost is approximated by a retail-price fraction; the fixture has
-    no partsupp table). The selective p_name LIKE filter broadcasts a
-    pre-filtered part dim into the fact scan."""
+    no partsupp table). The selective p_name LIKE pre-filter shrinks part so
+    AQE plans it broadcast at small SF — unhinted, since part scales with
+    SF."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
         "p_partkey", "p_retailprice"
@@ -129,8 +131,8 @@ def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * 0.1
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("ship_year"))
         .agg(F.round(F.sum(profit), 4).alias("profit"))
@@ -206,7 +208,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_revenue") == F.col("__mx")
     )
     return (
-        top.join(F.broadcast(supp), top.supplier_no == supp.s_suppkey)
+        top.join(supp, top.supplier_no == supp.s_suppkey)
         .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
@@ -238,7 +240,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey")
     flagged = li.withColumn("__thr", 0.2 * F.avg("l_quantity").over(w))
     return (
-        flagged.join(F.broadcast(part), flagged.l_partkey == part.p_partkey)
+        flagged.join(part, flagged.l_partkey == part.p_partkey)
         .filter(F.col("l_quantity") < F.col("__thr"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
@@ -306,7 +308,7 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
     supp = load(spark, sf_dir, "supplier")
     bulk = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 2100)
@@ -351,7 +353,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(per_order, li.l_orderkey == per_order.po_key)
         .filter((F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("max_ship")))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -394,7 +396,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey"
     )
     value_per_part = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))

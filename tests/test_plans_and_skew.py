@@ -35,6 +35,45 @@ def test_q3_broadcasts_dimension(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # top-10 is TakeOrdered, not Sort+Limit
 
 
+def test_unhinted_scaling_dims_still_broadcast_when_small(spark, sf_dir):
+    """customer/supplier/part carry NO broadcast() hint (they scale with SF;
+    a forced hint would override Spark's size check and OOM at 100×). At
+    fixture scale the size-based planner must still pick BroadcastHashJoin —
+    same local plan, safe at any scale."""
+    for name in ("q3_shipping_priority", "q5_region_revenue", "brand_revenue_broadcast"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        # no user hint survived into the analyzed logical plan
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "customer" not in _hinted_tables(analyzed)
+        assert "supplier" not in _hinted_tables(analyzed)
+        assert "part" not in _hinted_tables(analyzed), name
+        # ...yet the physical plan still broadcasts the small side
+        assert "BroadcastHashJoin" in _physical_plan(df), name
+
+
+def _hinted_tables(analyzed_plan: str) -> str:
+    """Text of ResolvedHint subtrees (empty string when no hints present)."""
+    return "".join(
+        seg.split("+- Relation")[0] for seg in analyzed_plan.split("ResolvedHint")[1:]
+    )
+
+
+def test_no_forced_broadcast_on_scaling_tables_in_source():
+    """Grep-level guard: broadcast( must never wrap customer/supplier/part
+    loads in the plan modules. region/nation (bounded) and 1-row scalar
+    aggregates are the only legitimate hint targets."""
+    import pathlib
+    import re
+
+    plans = pathlib.Path(entrymod.__file__).parent / "my_favorite_etl_pipeline_spark" / "plans"
+    bad = []
+    for f in plans.glob("*.py"):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if re.search(r"broadcast\((cust|supp|part)\w*\)", line):
+                bad.append(f"{f.name}:{i}: {line.strip()}")
+    assert not bad, bad
+
+
 def test_topk_is_takeordered(spark, sf_dir):
     df = entrymod.queries()["embedding_topk_bruteforce"](spark, sf_dir)
     assert "TakeOrderedAndProject" in _physical_plan(df)
