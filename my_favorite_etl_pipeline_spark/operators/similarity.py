@@ -146,9 +146,21 @@ def lsh_pairs_cosine(
     (~0.96 for cos 0.4 with 16×4); tighten ``band_bits`` upward for higher
     thresholds, where the pruning is also much stronger. The band join is
     the only extra shuffle and skewed bands split under AQE.
+
+    The band count is clamped PER ROW to ``floor(dim / band_bits)`` (min 1):
+    with the old unclamped ``n_bands``, a vector shorter than
+    ``n_bands*band_bits`` made every trailing band an empty slice hashing to
+    the same value for all rows — silently collapsing the band join toward
+    all-pairs O(n²). Clamping keeps the bucketing guarantee for arbitrary
+    input dims; short vectors just get proportionally fewer bands (lower
+    recall, never a candidate explosion).
     """
+    n_usable = F.greatest(
+        F.lit(1),
+        F.least(F.lit(n_bands), F.floor(F.size(F.col(vec_col)) / band_bits)),
+    ).cast("int")
     bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        F.sequence(F.lit(0), n_usable - 1),
         lambda b: F.aggregate(
             F.slice(_dbl(F.col(vec_col)), b * band_bits + 1, band_bits),
             F.lit(0).cast("long"),

@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+# Join types whose results survive small-side replication: every output row
+# is driven by a large-side row, so an unmatched small-side row (which exists
+# `salt` times after explode) can never surface. right/full-outer would emit
+# each unmatched small row once PER SALT VALUE — silently duplicated nulls —
+# so they are rejected.
+_SALT_SAFE_HOW = frozenset(
+    {"inner", "cross", "left", "leftouter", "left_outer", "semi", "leftsemi", "left_semi",
+     "anti", "leftanti", "left_anti"}
+)
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -30,10 +41,19 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the large side salted and the small side replicated.
 
-    Output columns == ``large.join(small, on, how)`` (salt is internal).
-    ``rand`` salting is allowed here because it never changes results, only
-    placement — any salt value joins the same rows.
+    Output == ``large.join(small, on, how)`` (salt is internal) for every
+    large-side-driven join type; ``how`` is restricted to those
+    (inner/left/left_semi/left_anti/cross) because right/full-outer would
+    return each unmatched small-side row once per replica. ``rand`` salting
+    is allowed here because it never changes results, only placement — any
+    salt value joins the same rows.
     """
+    if how.replace("_", "").lower() not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            f"rows would be duplicated once per salt replica. Use inner/left/"
+            f"left_semi/left_anti, or a plain join with AQE skew handling."
+        )
     if salt < 2:
         return large.join(small, on, how)
     salted_large = large.withColumn(SALT_COL, (F.rand(seed=0) * salt).cast("int"))

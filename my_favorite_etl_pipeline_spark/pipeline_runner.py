@@ -121,6 +121,13 @@ def run_incremental_batch(
         update_cols = [c for c in DEFAULT_UPDATE_COLS if c in mart.columns] or [
             c for c in mart.columns if c != key
         ]
+    # Lineage must ALWAYS move to the incoming run on match — otherwise rows
+    # whose keys already exist keep the old run id, the per-run reconciliation
+    # below undercounts, and a healthy overlapping backfill / fresh-run-id
+    # retry false-fails. (The reference DAG shares this flaw with
+    # airflow_run_id; parity is not worth spurious DQViolations.)
+    if "batch_run_id" in mart.columns and "batch_run_id" not in update_cols:
+        update_cols = [*update_cols, "batch_run_id"]
     merged = merge_upsert(mart, batch_aligned, key, update_cols)
 
     suite = dq or DQSuite().add_unique(key).add_not_null(key)

@@ -73,10 +73,16 @@ def compact_table(
 
     Micro-batch sinks accrete tiny files (one per trigger per partition);
     scan cost then scales with file COUNT, not bytes. Rewrite the table at
-    ``target_file_mb`` per file and return the new file count. Two-phase
-    (write aside, swap) so a concurrent reader never sees a half state.
-    At 100 TB this runs per-partition (compact yesterday's partition), never
-    whole-table.
+    ``target_file_mb`` per file and return the new file count.
+
+    Swap is a rename CHAIN (old aside → tmp in → delete old), so the window
+    where ``path`` is absent is one ``rename`` syscall, not the full delete
+    — and a crash leaves either the old or the new table recoverable on
+    disk, never neither. A posix rename is atomic per call but the chain as
+    a whole is not a transaction; true concurrent-reader isolation needs a
+    manifest-committing table format (Delta/Iceberg), which is where this
+    delegates at 100 TB. This helper runs per-partition (compact
+    yesterday's partition), never whole-table.
     """
     import shutil
     from pathlib import Path
@@ -85,9 +91,16 @@ def compact_table(
     total_bytes = sum(f.stat().st_size for f in Path(path).rglob("*") if f.is_file())
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     tmp = f"{path}__compacting"
+    old = f"{path}__replaced"
     df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    Path(path).rename(old)
+    try:
+        Path(tmp).rename(path)
+    except OSError:
+        Path(old).rename(path)  # roll back: old table returns intact
+        raise
+    shutil.rmtree(old)
     return n_files
 
 

@@ -110,3 +110,43 @@ def test_ivf_topk_subset_of_probed_cells(spark):
     labels = {r.vec_id % 5 for r in rows}  # label = vec_id % 5 by construction
     assert len(labels) <= 2  # results only from probed cells
     assert rows[0].vec_id == 0  # query's own cell is always nearest
+
+
+def test_lsh_cosine_short_vectors_clamp_bands(spark):
+    """Vectors shorter than n_bands*band_bits must not hash trailing empty
+    bands to a shared constant (which would collapse the band join to
+    all-pairs). With dim=8 and band_bits=4 only 2 bands exist per row."""
+    from my_favorite_etl_pipeline_spark.operators.similarity import (
+        all_pairs_cosine,
+        lsh_pairs_cosine,
+    )
+
+    emb = _emb(spark, n=40, dim=8)
+    exact = {(r.id_a, r.id_b) for r in all_pairs_cosine(emb, threshold=0.2).collect()}
+    lsh = {(r.id_a, r.id_b) for r in lsh_pairs_cosine(emb, threshold=0.2).collect()}
+    assert lsh <= exact  # verify step still exact
+    # candidate generation must be banded, not all-pairs: the internal side
+    # explodes to exactly 2 bands per row, never 16
+    import my_favorite_etl_pipeline_spark.operators.similarity as sim
+    from pyspark.sql import functions as F
+
+    n_usable = F.greatest(
+        F.lit(1), F.least(F.lit(16), F.floor(F.size(F.col("embedding")) / 4))
+    ).cast("int")
+    assert emb.select(n_usable.alias("n")).distinct().collect()[0]["n"] == 2
+
+
+def test_salted_join_rejects_replication_unsafe_how(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from my_favorite_etl_pipeline_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame([Row(k=1, v=1)])
+    small = spark.createDataFrame([Row(k=1, name="x"), Row(k=9, name="unmatched")])
+    for how in ("right", "rightouter", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(large, small, "k", how=how)
+    # left_anti remains supported and correct under replication
+    got = salted_join(large, small.filter("k = 9"), "k", how="left_anti").collect()
+    assert [r.k for r in got] == [1]

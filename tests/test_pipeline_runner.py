@@ -84,3 +84,21 @@ def test_dq_gate_fails_batch(spark, tmp_path):
 
 def test_check_connections(spark, sf_dir):
     assert check_connections(spark, [f"{sf_dir}/region.parquet"])
+
+
+def test_overlapping_backfill_fresh_run_id_updates_lineage(spark, tmp_path):
+    """A retry (or overlapping backfill) under a FRESH run id must not raise:
+    matched rows take the new batch_run_id, so the per-run reconciliation
+    count sees every row the batch touched."""
+    staging = str(tmp_path / "staging")
+    mart = _empty_mart(spark)
+    merged1, _ = run_incremental_batch(
+        spark, _source(spark), mart, staging, WINDOW, run_id="r1"
+    )
+    # same window, different run id — every key already exists in the mart
+    merged2, rep2 = run_incremental_batch(
+        spark, _source(spark), merged1, staging, WINDOW, run_id="r2"
+    )
+    assert rep2.extracted == 2
+    assert rep2.merged_total == 2
+    assert {r["batch_run_id"] for r in merged2.collect()} == {"r2"}
