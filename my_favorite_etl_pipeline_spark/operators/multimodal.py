@@ -1,22 +1,26 @@
-"""Multimodal column plumbing ([EXT] X5, SURVEY.md §2.9).
+"""Multimodal column operators ([EXT] X5, SURVEY.md §2.9).
 
 Images/audio/video ride through the engine as opaque ``binary`` payloads
 plus typed metadata; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so Python touches data in columnar batches, never row by
-row. The decode itself is STUBBED (no image/audio libs in this container):
-``decode_image_stub`` derives deterministic fake dimensions/features from
-the bytes, and the real-library call site is marked. Everything around the
-stub — schema, batch iteration, partition behavior, projection pruning —
-is real and tested.
+row. The decode is REAL and dependency-free: container/header parsers for
+PNG (full chunk walk), BMP, and GIF extract dimensions and frame counts
+from the actual bytes, and a minimal PNG codec (stdlib ``zlib`` only,
+stored-block deflate) supports round-trip encode → decode → resize for
+8-bit grayscale images. Formats beyond those profiles raise — honestly —
+rather than faking values.
 
 Scale notes: payload columns are projected as late as possible (Catalyst
 prunes them from any plan stage that doesn't need them); feature extraction
 is embarrassingly parallel map-only work, so the only knob that matters is
-input split size (``spark.sql.files.maxPartitionBytes``).
+input split size (``spark.sql.files.maxPartitionBytes``). Payloads are
+never shuffled by these operators.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .scaling import ensure_min_partitions
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -47,21 +53,165 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
-    """STUB decoder — deterministic fake (width, height, n_frames).
+# ---------------------------------------------------------------------------
+# Minimal PNG codec (8-bit grayscale, filter 0, stored-block deflate).
+# Stored blocks make encoded size a pure function of dimensions:
+#   len = 8 (sig) + 25 (IHDR) + 12 + [2 + 5*ceil(raw/65535) + raw + 4] (IDAT)
+#       + 12 (IEND),  raw = height * (width + 1)
+# which is what lets a SQL oracle predict byte lengths exactly.
+# ---------------------------------------------------------------------------
 
-    Real implementation would be e.g.::
 
-        from PIL import Image          # not installed in this container
-        img = Image.open(io.BytesIO(payload)); return (*img.size, 1)
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
 
-    The fake derives stable values from the byte length so oracle checks
-    can reproduce them arithmetically.
+
+def encode_png_gray(width: int, height: int, pixel_fn) -> bytes:
+    """Encode a real, spec-valid 8-bit grayscale PNG without PIL.
+
+    ``pixel_fn(x, y) -> int`` supplies pixel values. Deflate uses stored
+    blocks (level 0) so the output size is deterministic per (w, h).
     """
-    if payload is None:
-        raise NotImplementedError("real decode requires an image library")
-    n = len(payload)
-    return 16 + n % 64, 16 + (n // 64) % 64, 1 + n % 4
+    if width < 1 or height < 1:
+        raise ValueError("PNG dimensions must be >= 1")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray, no interlace
+    raw = b"".join(
+        b"\x00" + bytes(pixel_fn(x, y) & 0xFF for x in range(width))
+        for y in range(height)
+    )
+    idat = zlib.compress(raw, 0)  # stored blocks: size-deterministic
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_encoded_len(width: int, height: int) -> int:
+    """Exact byte length :func:`encode_png_gray` produces for (w, h)."""
+    raw = height * (width + 1)
+    n_blocks = max(1, -(-raw // 65535))
+    return 8 + 25 + 12 + (2 + 5 * n_blocks + raw + 4) + 12
+
+
+def _parse_png(buf: bytes, offset: int = 0) -> tuple[int, int, int]:
+    """Walk one PNG's chunks from ``offset``; return (width, height, end).
+
+    A real parser, not a signature grep: chunk lengths are followed until
+    IEND, so pixel data containing the 8-byte signature can't fake a frame
+    boundary.
+    """
+    if buf[offset : offset + 8] != PNG_SIG:
+        raise ValueError("not a PNG at offset %d" % offset)
+    pos = offset + 8
+    width = height = None
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        if ctype == b"IHDR":
+            width, height = struct.unpack(">II", buf[pos + 8 : pos + 16])
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IEND":
+            if width is None:
+                raise ValueError("PNG missing IHDR")
+            return width, height, pos
+    raise ValueError("truncated PNG (no IEND)")
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Parse REAL image headers → (width, height, n_frames).
+
+    - PNG: full chunk walk; concatenated PNGs (this engine's deterministic
+      multi-frame container) count as frames.
+    - GIF87a/89a: logical-screen descriptor (little-endian u16 at 6/8).
+    - BMP: BITMAPINFOHEADER (little-endian i32 at 18/22; height may be
+      negative for top-down rows).
+
+    Anything else raises ``ValueError`` — no fake dimensions.
+    """
+    if payload is None or len(payload) < 8:
+        raise ValueError("payload too short to be an image")
+    buf = bytes(payload)
+    if buf[:8] == PNG_SIG:
+        w, h, end = _parse_png(buf, 0)
+        frames = 1
+        while end < len(buf):
+            _, _, end = _parse_png(buf, end)
+            frames += 1
+        return w, h, frames
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", buf[6:10])
+        return w, h, 1
+    if buf[:2] == b"BM" and len(buf) >= 26:
+        w, h = struct.unpack("<ii", buf[18:26])
+        return w, abs(h), 1
+    raise ValueError("unsupported image format (PNG/GIF/BMP headers expected)")
+
+
+def split_png_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-PNG container into whole single-PNG frames."""
+    buf = bytes(payload)
+    frames, pos = [], 0
+    while pos < len(buf):
+        _, _, end = _parse_png(buf, pos)
+        frames.append(buf[pos:end])
+        pos = end
+    return frames
+
+
+def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode the minimal-profile PNG (8-bit gray, filter 0) → (w, h, pixels).
+
+    Supports exactly the profile :func:`encode_png_gray` emits; other bit
+    depths / color types / filters raise ``NotImplementedError`` (a real
+    image library is the production path for arbitrary PNGs).
+    """
+    buf = bytes(payload)
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, None, None, b""
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color = struct.unpack(">IIBB", data[:10])
+            if (depth, color) != (8, 0):
+                raise NotImplementedError("only 8-bit grayscale PNGs supported")
+        elif ctype == b"IDAT":
+            idat += data
+        pos += 12 + length
+        if ctype == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    pixels = bytearray()
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise NotImplementedError("only filter-0 scanlines supported")
+        pixels.extend(row[1:])
+    return width, height, bytes(pixels)
+
+
+def resize_png_gray(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL nearest-neighbor resize: decode → sample pixel grid → re-encode.
+
+    Operates on the minimal grayscale profile; the output is itself a valid
+    PNG whose :func:`decode_image` dimensions are (target_w, target_h).
+    """
+    w, h, px = decode_png_gray(payload)
+    return encode_png_gray(
+        target_w,
+        target_h,
+        lambda x, y: px[min(h - 1, y * h // target_h) * w + min(w - 1, x * w // target_w)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators — Arrow-batched mapInPandas over binary columns.
+# ---------------------------------------------------------------------------
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -73,7 +223,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [decode_image_stub(p) for p in pdf["payload"]]
+            dims = [decode_image(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -105,32 +255,14 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """STUB resize — deterministic byte-level downsample standing in for::
-
-        from PIL import Image      # not installed in this container
-        Image.open(io.BytesIO(payload)).resize((target_w, target_h))
-
-    Keeps every ``len(payload) // (target_w*target_h)``-th byte so output
-    size is exactly ``target_w*target_h`` (or the input, if smaller) —
-    enough structure for tests to verify the batching plumbing end to end.
-    """
-    if payload is None:
-        raise NotImplementedError("real resize requires an image library")
-    n_out = target_w * target_h
-    if len(payload) <= n_out:
-        return payload
-    step = len(payload) / n_out
-    return bytes(payload[int(i * step)] for i in range(n_out))
-
-
 def resize_media(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
-    """X5 — batched media resize via mapInPandas (decode→resize→re-encode
-    shape; stubbed decode). Map-only: no shuffle, scales with input splits."""
+    """X5 — batched media resize via mapInPandas: real decode → nearest-
+    neighbor resample → re-encode per payload. Map-only: no shuffle, scales
+    with input splits."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [resize_stub(p, target_w, target_h) for p in pdf["payload"]]
+            out = [resize_png_gray(p, target_w, target_h) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -148,36 +280,53 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     (video → frame grid). mapInPandas is the fan-out-capable shape (a
     pandas_udf must stay 1:1); frames of a payload stay in one partition.
 
-    The STUB splits the payload into equal byte slices standing in for
-    decoded video frames (real impl: pyav/ffmpeg frame extraction).
+    The "video" container is concatenated PNGs (the deterministic stand-in
+    for a real codec; pyav/ffmpeg would slot in here). Frames are REAL
+    parsed units — each emitted ``frame_payload`` is a complete, decodable
+    PNG — sampled evenly when the container holds more than ``n_frames``.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None:
-                    raise NotImplementedError("real frame-sampling requires a video library")
-                k = min(n_frames, max(1, len(payload)))
-                step = len(payload) // k
+                all_frames = split_png_frames(payload)
+                k = min(n_frames, len(all_frames))
                 for i in range(k):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(bytes(payload[i * step : (i + 1) * step]))
+                    frames.append(all_frames[i * len(all_frames) // k])
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_payload": frames})
 
     return ensure_min_partitions(media.select("media_id", "payload")).mapInPandas(run, FRAME_SCHEMA)
 
 
-def documents_as_media(documents: DataFrame) -> DataFrame:
-    """Fixture adapter: treat document text bytes as opaque media payloads.
+def documents_as_media(documents: DataFrame, max_frames: int = 3) -> DataFrame:
+    """Fixture adapter: deterministic REAL PNG payloads derived from doc_id.
 
-    Gives the multimodal path real (deterministic) binary data to chew on
-    without shipping binary fixtures.
+    Each document becomes a concatenated-PNG container of
+    ``1 + doc_id % max_frames`` grayscale frames sized
+    ``(1 + doc_id % 16) × (1 + (doc_id // 16) % 16)`` with pixel values a
+    pure function of (doc_id, x, y). Every derived quantity — dimensions,
+    frame count, exact byte length (stored-block deflate) — is reproducible
+    in SQL, which is what makes the decode path oracle-checkable end to end.
     """
-    return documents.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.lit("application/octet-stream").alias("mime_type"),
-        F.length(F.col("text")).cast("int").alias("byte_len"),
-    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 1 + d % 16, 1 + (d // 16) % 16
+                frame = encode_png_gray(w, h, lambda x, y: d * 31 + y * w + x)
+                payloads.append(frame * (1 + d % max_frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": "image/png",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return ensure_min_partitions(documents.select("doc_id")).mapInPandas(run, MEDIA_SCHEMA)

@@ -537,20 +537,27 @@ def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     oracle="""
     SELECT doc_id AS media_id,
-           CAST(STRLEN(text) AS INT) AS byte_len,
-           CAST(16 + STRLEN(text) % 64 AS INT) AS width,
-           CAST(16 + (STRLEN(text) // 64) % 64 AS INT) AS height,
-           CAST(1 + STRLEN(text) % 4 AS INT) AS n_frames
+           CAST((1 + doc_id % 3)
+                * (68 + (1 + (doc_id // 16) % 16) * (2 + doc_id % 16)) AS INT)
+             AS byte_len,
+           CAST(1 + doc_id % 16 AS INT) AS width,
+           CAST(1 + (doc_id // 16) % 16 AS INT) AS height,
+           CAST(1 + doc_id % 3 AS INT) AS n_frames
     FROM documents
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 — binary-payload feature extraction via Arrow-batched mapInPandas.
+    """X5 — REAL image decode via Arrow-batched mapInPandas.
 
-    The decode is a deterministic stub (no media libs in-container; see
-    operators.multimodal), so the oracle reproduces the features from byte
-    lengths. The plumbing under test is real: binary column, batched
-    Python, typed output schema, payload projected away after extraction.
+    The fixture adapter emits genuine multi-frame PNG containers (see
+    operators.multimodal.documents_as_media) whose dimensions, frame count,
+    and exact byte size are pure functions of doc_id; extract_features then
+    PARSES those bytes (PNG chunk walk — no image library, no stub). The
+    oracle recomputes each feature arithmetically: width = 1 + id % 16,
+    height = 1 + (id // 16) % 16, frames = 1 + id % 3, and byte_len =
+    frames × (68 + height × (width + 1)) — the stored-block PNG size
+    formula. A decode regression (wrong endianness, off-by-one chunk walk)
+    breaks the hash match immediately.
     """
     docs = load(spark, sf_dir, "documents")
     return extract_features(documents_as_media(docs))
@@ -560,15 +567,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS media_id, u.i AS frame_idx,
-           CAST(OCTET_LENGTH(ENCODE(text)) // 4 AS INT) AS frame_bytes
+           CAST(68 + (1 + (doc_id // 16) % 16) * (2 + doc_id % 16) AS INT)
+             AS frame_bytes
     FROM documents CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) u
+    WHERE u.i < 1 + doc_id % 3
     """,
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 — frame sampling: 1 media row fans out to 4 frame rows via
-    mapInPandas (the video→frames shape). The stub slices payload bytes into
-    equal frames, so the oracle reproduces per-frame byte lengths from the
-    text length."""
+    """X5 — frame sampling: a multi-frame container fans out to one row per
+    sampled frame via mapInPandas (the video→frames shape; a pandas_udf
+    must stay 1:1). Frames are REAL parsed units — the chunk walk slices the
+    concatenated-PNG container at actual IEND boundaries, so every emitted
+    frame_payload is a complete, independently decodable PNG. The oracle
+    regenerates the fan-out (1 + id % 3 frames) and each frame's exact
+    encoded size from doc_id."""
     from ..operators.multimodal import sample_frames
 
     docs = load(spark, sf_dir, "documents")

@@ -11,9 +11,13 @@ from my_favorite_etl_pipeline_spark.functions.text import (
     token_count,
 )
 from my_favorite_etl_pipeline_spark.operators.multimodal import (
-    decode_image_stub,
+    decode_image,
+    decode_png_gray,
     documents_as_media,
+    encode_png_gray,
     extract_features,
+    png_encoded_len,
+    split_png_frames,
 )
 
 
@@ -57,37 +61,73 @@ def test_scrub_pii(spark):
     assert out[2] == "nothing sensitive here"
 
 
-def test_decode_stub_deterministic():
-    w, h, n = decode_image_stub(b"x" * 100)
-    assert (w, h, n) == (16 + 100 % 64, 16 + (100 // 64) % 64, 1 + 100 % 4)
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(None)
+def test_png_codec_roundtrip():
+    """encode → decode recovers dimensions AND pixel values exactly."""
+    px = lambda x, y: (7 * x + 13 * y) % 256
+    buf = encode_png_gray(5, 3, px)
+    assert len(buf) == png_encoded_len(5, 3)
+    assert decode_image(buf) == (5, 3, 1)
+    w, h, pixels = decode_png_gray(buf)
+    assert (w, h) == (5, 3)
+    assert list(pixels) == [px(x, y) for y in range(3) for x in range(5)]
 
 
-def test_resize_media(spark, sf_dir):
+def test_decode_real_headers():
+    import struct
+
+    # GIF89a logical screen 320×200
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    assert decode_image(gif) == (320, 200, 1)
+    # BMP with BITMAPINFOHEADER, top-down (negative height)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -48) + b"\x00" * 10
+    assert decode_image(bmp) == (64, 48, 1)
+    with pytest.raises(ValueError):
+        decode_image(b"not an image at all")
+    with pytest.raises(ValueError):
+        decode_image(None)
+
+
+def test_concatenated_png_frames():
+    f1 = encode_png_gray(4, 4, lambda x, y: x)
+    f2 = encode_png_gray(4, 4, lambda x, y: y)
+    container = f1 + f2 + f1
+    assert decode_image(container) == (4, 4, 3)
+    frames = split_png_frames(container)
+    assert frames == [f1, f2, f1]
+    # each frame independently decodable
+    assert all(decode_image(f) == (4, 4, 1) for f in frames)
+
+
+def test_resize_media_real(spark, sf_dir):
     from my_favorite_etl_pipeline_spark.operators.multimodal import resize_media
     from my_favorite_etl_pipeline_spark.sources.tables import load
 
     docs = load(spark, sf_dir, "documents").limit(10)
-    out = resize_media(documents_as_media(docs), target_w=8, target_h=8).collect()
+    # resize operates on single-frame PNGs
+    media = documents_as_media(docs, max_frames=1)
+    out = resize_media(media, target_w=8, target_h=8).collect()
     assert len(out) == 10
     for r in out:
         assert (r.width, r.height) == (8, 8)
-        assert len(r.payload) <= 64  # resized payload bounded by target dims
+        # the output is itself a real PNG with the target dimensions
+        assert decode_image(bytes(r.payload)) == (8, 8, 1)
 
 
 def test_sample_frames_fanout(spark, sf_dir):
     from my_favorite_etl_pipeline_spark.operators.multimodal import sample_frames
     from my_favorite_etl_pipeline_spark.sources.tables import load
 
-    docs = load(spark, sf_dir, "documents").limit(5)
-    media = documents_as_media(docs)
+    docs = load(spark, sf_dir, "documents").limit(6)
+    media = documents_as_media(docs)  # 1 + doc_id % 3 frames per container
     frames = sample_frames(media, n_frames=4).collect()
-    assert len(frames) == 20  # 5 media × 4 frames: 1:N fan-out
+    expected = {r.doc_id: 1 + r.doc_id % 3 for r in docs.collect()}
     by_media = {}
     for r in frames:
         by_media.setdefault(r.media_id, []).append(r.frame_idx)
-    assert all(sorted(v) == [0, 1, 2, 3] for v in by_media.values())
+        # every sampled frame is a complete, decodable PNG
+        assert decode_image(bytes(r.frame_payload))[2] == 1
+    assert {k: len(v) for k, v in by_media.items()} == expected
+    assert all(sorted(v) == list(range(len(v))) for v in by_media.values())
 
 
 def test_multimodal_pipeline(spark, sf_dir):
@@ -99,7 +139,7 @@ def test_multimodal_pipeline(spark, sf_dir):
     feats = extract_features(media)
     rows = feats.collect()
     assert len(rows) == 20
-    src = {r.doc_id: len(r.text.encode()) for r in docs.collect()}
     for r in rows:
-        assert r.byte_len == src[r.media_id]
-        assert r.width == 16 + r.byte_len % 64
+        w, h, n = 1 + r.media_id % 16, 1 + (r.media_id // 16) % 16, 1 + r.media_id % 3
+        assert (r.width, r.height, r.n_frames) == (w, h, n)
+        assert r.byte_len == n * png_encoded_len(w, h)
