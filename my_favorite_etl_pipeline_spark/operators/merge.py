@@ -86,14 +86,20 @@ def merge_upsert(
 
 
 def write_staging(df: DataFrame, path: str, run_id: str, run_col: str = "batch_run_id") -> None:
-    """M1 — append the batch to staging, partitioned by run id (dag:246-276).
+    """M1 — land the batch in staging, partitioned by run id (dag:246-276).
 
     Partition-per-run makes M3 a directory drop and bounds every reader's
-    scan to its own run via partition pruning on ``run_col``.
+    scan to its own run via partition pruning on ``run_col``. DYNAMIC
+    partition overwrite (not append) makes the landing idempotent per run:
+    a retry of a crashed run replaces exactly its own partition instead of
+    appending duplicate rows into it, while other runs' partitions are
+    untouched — append mode would hand the merge a duplicate-keyed batch on
+    every retry.
     """
     (
         df.withColumn(run_col, F.lit(run_id))
-        .write.mode("append")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(run_col)
         .parquet(path)
     )

@@ -94,12 +94,17 @@ def run_incremental_batch(
     ts_cols: list[str] | None = None,
     update_cols: list[str] | None = None,
     dq: DQSuite | None = None,
+    mart_path: str | None = None,
 ) -> tuple[DataFrame, BatchReport]:
     """One scheduled batch of the reference pipeline, Spark-first.
 
-    Returns (new mart DataFrame, report). The caller owns persisting the
-    mart (Delta MERGE in production; the harness overwrites parquet) — this
-    function builds the plan and runs the gate/verify actions.
+    Returns (new mart DataFrame, report). With ``mart_path`` set, the merged
+    mart is persisted via :class:`~.sources.mart.VersionedMart` — a
+    write-new-dir + atomic-manifest-rename commit (the dag:322
+    ``conn.commit()`` analogue), crash-safe at every cut point — and the
+    returned DataFrame reads from the committed version. Without it the
+    caller owns persistence (Delta MERGE in production) and the merge is
+    pinned via localCheckpoint only.
     """
     report = BatchReport(run_id=run_id)
     start, end = window
@@ -142,12 +147,21 @@ def run_incremental_batch(
     reconcile_counts(src_count, dst_count)
 
     # M4 ordering: the merge must be durable BEFORE staging cleanup
-    # (dag:322's commit covers insert+upsert+delete; Spark has per-table
-    # atomicity only, so materialize-then-delete gives the same recovery
-    # property). localCheckpoint truncates the lineage that still reads
-    # staging; the production path writes the mart (Delta MERGE) here
-    # instead and the checkpoint disappears.
-    merged = merged.localCheckpoint(eager=True)
+    # (dag:322's commit covers insert+upsert+delete). With a mart_path the
+    # durability point is the VersionedMart manifest swap — one atomic
+    # rename; a crash before it leaves the previous version fully visible,
+    # a crash after it leaves at worst an uncleaned staging partition that
+    # the idempotent retry re-creates and re-deletes. Without a mart_path,
+    # localCheckpoint materializes the merge (truncating the lineage that
+    # still reads staging) and the caller owns real persistence.
+    if mart_path is not None:
+        from .sources.mart import VersionedMart
+
+        vm = VersionedMart(mart_path)
+        vm.commit(merged, version=run_id)
+        merged = vm.read(spark)
+    else:
+        merged = merged.localCheckpoint(eager=True)
     report.merged_total = merged.count()
     delete_staging_run(staging_path, run_id)  # M3: scoped cleanup, metadata-only
     return merged, report

@@ -102,3 +102,63 @@ def test_overlapping_backfill_fresh_run_id_updates_lineage(spark, tmp_path):
     assert rep2.extracted == 2
     assert rep2.merged_total == 2
     assert {r["batch_run_id"] for r in merged2.collect()} == {"r2"}
+
+
+def test_versioned_mart_crash_between_write_and_commit(spark, tmp_path):
+    """A reader must never observe a half state: crash after the version
+    write but BEFORE the manifest swap leaves the previous version fully
+    visible; the retry commits cleanly."""
+    from my_favorite_etl_pipeline_spark.sources.mart import VersionedMart
+
+    vm = VersionedMart(str(tmp_path / "mart"))
+    df1 = spark.createDataFrame([Row(_id="1", v="a")])
+    vm.commit(df1, version="r1")
+    assert {r.v for r in vm.read(spark).collect()} == {"a"}
+
+    # simulated crash: step 1 (write) happened, step 2 (swap) never did
+    df2 = spark.createDataFrame([Row(_id="1", v="b"), Row(_id="2", v="c")])
+    vm._write_version(df2, "r2")
+    assert vm.current_version() == "r1"
+    assert {r.v for r in vm.read(spark).collect()} == {"a"}  # old version intact
+
+    # retry of the same run: idempotent — rewrites r2 and commits
+    vm.commit(df2, version="r2")
+    assert vm.current_version() == "r2"
+    assert {r.v for r in vm.read(spark).collect()} == {"b", "c"}
+    # superseded r1 vacuumed; committed r2 untouched
+    import os
+
+    assert os.listdir(tmp_path / "mart" / "data") == ["r2"]
+
+
+def test_runner_persists_mart_atomically_and_retries_after_cleanup_crash(spark, tmp_path):
+    """End-to-end M4: run with mart_path, then simulate a crash AFTER the
+    manifest commit but BEFORE staging cleanup — the re-run must succeed
+    and the mart must never lose the committed state."""
+    from my_favorite_etl_pipeline_spark.operators.merge import write_staging
+    from my_favorite_etl_pipeline_spark.sources.mart import VersionedMart
+
+    staging = str(tmp_path / "staging")
+    mart_path = str(tmp_path / "mart")
+    merged1, rep1 = run_incremental_batch(
+        spark, _source(spark), _empty_mart(spark), staging, WINDOW,
+        run_id="r1", mart_path=mart_path,
+    )
+    vm = VersionedMart(mart_path)
+    assert vm.current_version() == "r1"
+    assert rep1.merged_total == 2
+
+    # crash-after-commit leftovers: an orphaned staging partition reappears
+    write_staging(transform(_source(spark), "r2"), staging, "r2")
+    # retry under the same run id: overwrite-by-version + append-staging are
+    # both tolerated; the batch completes and commits r2
+    merged2, rep2 = run_incremental_batch(
+        spark, _source(spark), vm.read(spark), staging, WINDOW,
+        run_id="r2", mart_path=mart_path,
+    )
+    assert vm.current_version() == "r2"
+    assert rep2.merged_total == 2
+    assert {r["_id"] for r in vm.read(spark).collect()} == {"1", "2"}
+    import os
+
+    assert not os.path.exists(f"{staging}/batch_run_id=r2")
