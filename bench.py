@@ -35,6 +35,14 @@ HEADLINE = [
     "dedup_fingerprint_groups",
     "minhash_near_dups",
     "embedding_topk_bruteforce",
+    # heavy [EXT] paths — regressions on the LLM-data pipeline must be
+    # visible round over round, not just the relational core
+    "dedup_cluster_components",
+    "pack_sequences_1024",
+    "scd2_status_history",
+    "stream_tumbling_hourly",
+    "nested_transform_chain",
+    "skew_zipf_top_users",
 ]
 
 

@@ -250,3 +250,51 @@ def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+@register(
+    "skew_zipf_top_users",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS hot_key,
+             value
+      FROM events
+    ), dim AS (
+      SELECT DISTINCT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS hot_key
+      FROM events
+    )
+    SELECT s.hot_key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(s.value), 4) AS total_value
+    FROM skewed s JOIN dim d ON s.hot_key = d.hot_key
+    GROUP BY s.hot_key
+    ORDER BY s.hot_key
+    """,
+)
+def skew_zipf_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-evidence query — a zipf-shaped hot key (~90% of events collapse
+    onto key 0) joined against its key dimension via ``salted_join``.
+
+    This is the case AQE's skew-split can't fully fix: ONE key dominates,
+    so splitting oversized partitions still leaves every key-0 row pairing
+    through a single build-side entry. The salt spreads key 0 across 8
+    tasks; the dim side is replicated ×8 (tiny). The oracle is a plain
+    unsalted join — proving salting changes placement, never results.
+    tests/test_plans_and_skew.py compares this plan against the unsalted
+    AQE plan on the same fixture.
+    """
+    from ..operators.skew import salted_join
+
+    events = load(spark, sf_dir, "events")
+    hot = F.when(F.col("user_id") % 10 < 9, F.lit(0)).otherwise(F.col("user_id"))
+    skewed = events.select(hot.cast("long").alias("hot_key"), "value")
+    dim = skewed.select("hot_key").distinct()
+    return (
+        salted_join(skewed, dim, on="hot_key", how="inner", salt=8)
+        .groupBy("hot_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("hot_key")
+    )

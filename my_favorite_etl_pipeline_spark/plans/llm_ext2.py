@@ -199,18 +199,24 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle computes the same fixpoint as a DuckDB recursive CTE
     (min reachable id per node) — an independent algorithm, so agreement
-    checks the iteration's convergence, not just its arithmetic. Pair
-    generation here reuses the exact-Jaccard baseline; at 100 TB the edge
-    list comes from MinHash-LSH instead and components run unchanged.
+    checks the iteration's convergence, not just its arithmetic. Edge
+    generation is the prefix-filtered set-similarity join (EXACT — 100%
+    recall at the threshold, so the all-pairs oracle still matches) plus
+    an exact-Jaccard verify on the candidates only: the scale path, not
+    the fixture-only all-pairs baseline ``ngram_jaccard_pairs`` keeps.
     """
+    from ..operators.dedup import prefix_filter_pairs
+
     docs = load(spark, sf_dir, "documents")
+    cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9)
     sh = docs.select("doc_id", TX.shingles(F.col("text")).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
         F.array_union(F.col("a.sh"), F.col("b.sh"))
     )
     pairs = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(a, cand.id_a == F.col("a.doc_id"))
+        .join(b, cand.id_b == F.col("b.doc_id"))
         .filter(jac >= 0.9)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )

@@ -128,3 +128,51 @@ def test_embedding_quantize_is_map_only(spark, sf_dir):
     # scan -> project -> (final presentation orderBy); no join/agg shuffle
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_zipf_fixture_aqe_skew_split_and_salted_plans(spark):
+    """Skew evidence on a zipf-key fixture: (a) AQE marks and splits the
+    skewed partition of an unsalted sort-merge join (skew=true in the final
+    plan); (b) salted_join instead pre-spreads the hot key by joining on
+    (key, salt); (c) both produce identical results."""
+    from pyspark.sql import Row
+
+    from my_favorite_etl_pipeline_spark.operators.skew import salted_join
+
+    # zipf-ish: 95% of rows on key 0, long tail on 1..50
+    large = spark.range(0, 20000).select(
+        F.when(F.col("id") % 20 < 19, 0).otherwise((F.col("id") % 50) + 1).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame([Row(k=i, name=f"u{i}") for i in range(0, 51)])
+
+    conf = {
+        # force SMJ so AQE's skew-split (SMJ/SHJ-only) is the mechanism
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # tiny thresholds so fixture-sized partitions register as skewed
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        plain = large.join(small, "k")
+        plain_rows = plain.collect()  # AQE finalizes this plan at runtime
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan  # AQE recognized and split the hot partition
+
+        salted = salted_join(large, small, "k", salt=8)
+        splan = salted._jdf.queryExecution().analyzed().toString()
+        assert "__salt" in splan  # hot key pre-spread across 8 buckets
+
+        assert sorted(r.v for r in salted.collect()) == sorted(r.v for r in plain_rows)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
