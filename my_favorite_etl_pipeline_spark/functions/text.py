@@ -47,8 +47,9 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles — the MinHash/Jaccard unit.
+def ngrams(col: Column | str, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity — the unit for repetition metrics
+    (duplicate-gram fractions need occurrence counts, so no dedup here).
 
     Built with sequence+transform over the token array: one pass, no
     explode, no shuffle; the array stays inside the row. The token array is
@@ -59,18 +60,21 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
     return let(
         tokens(col),
-        lambda toks: F.array_distinct(
-            F.when(
-                F.size(toks) >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - n),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-                    ),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the MinHash/Jaccard unit."""
+    return F.array_distinct(ngrams(col, n))
 
 
 def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:

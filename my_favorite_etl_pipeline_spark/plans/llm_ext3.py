@@ -1,0 +1,353 @@
+"""[EXT] Training-data curation ops round 3 (SURVEY.md §2.9 X2/X4+): the
+filters a production LLM pipeline runs between raw ingest and dataset
+assembly — benchmark decontamination (13-gram overlap, the n-gram
+decontamination used by GPT-3/PaLM/Llama data recipes), Gopher-style
+document quality rules (Rae et al. 2021 §A1.1), repetition filters, exact
+set-similarity join (the scalable alternative to MinHash when recall must
+be provably 100%), and winnowing fingerprints (Schleimer et al. 2003).
+
+Every op is native column expressions — zero Python UDFs — and each scale
+note says what the plan does at 100 TB. All oracle-checked against DuckDB
+computing the same definition independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..registry import register
+from ..sources.tables import load
+
+# DuckDB-side word n-gram CTE fragments (mirror functions.text.ngrams /
+# .shingles). {n} is the gram size; grams keep multiplicity, shingles dedup.
+_DUCK_NGRAMS = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {n}
+               THEN list_transform(range(len(t) - {n} + 1),
+                                   i -> array_to_string(t[i+1:i+{n}], ' '))
+               ELSE [] END AS g
+      FROM toks
+    )
+"""
+
+# Benchmark membership: first hex char of md5(doc_id) = '0' → a stable
+# pseudo-random ~1/16 of the corpus plays the held-out eval set. Same
+# expression on both engines (md5 is bit-identical everywhere).
+_BENCH_PRED_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+
+
+def _bench_pred() -> F.Column:
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+
+
+@register(
+    "ssjoin_prefix_filter",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(len(t) - 2),
+                                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+               ELSE [] END) AS s
+      FROM toks
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / LEN(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT * FROM p WHERE jaccard >= 0.9
+    """,
+)
+def q_ssjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — EXACT set-similarity self-join via prefix filtering
+    (SSJoin/PPJoin): candidates from the rare-token prefix equi-join, then
+    exact-Jaccard verify. Same output contract as ``ngram_jaccard_pairs``
+    and ``minhash_near_dups`` but a third, independent algorithm: 100%
+    recall by THEOREM (not probability), and — unlike the all-pairs
+    baseline — every step is an equi-shuffle that survives 100 TB. The
+    all-pairs oracle agreeing is exactly the recall guarantee under test.
+    """
+    from ..operators.dedup import jaccard_verify, prefix_filter_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9)
+    return jaccard_verify(docs, cand, "doc_id", "text", threshold=0.9)
+
+
+@register(
+    "contamination_13gram",
+    oracle=f"""
+    WITH {_DUCK_NGRAMS.format(n=13)},
+    sh AS (SELECT doc_id, list_distinct(g) AS s FROM grams),
+    u AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    b AS (SELECT doc_id AS bench_id, g FROM u WHERE {_BENCH_PRED_SQL}),
+    t AS (SELECT doc_id, g FROM u WHERE NOT ({_BENCH_PRED_SQL}))
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_grams_hit,
+           CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM t JOIN b ON t.g = b.g
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def q_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ — benchmark decontamination: flag every training document that
+    shares at least one 13-token gram with the held-out benchmark set
+    (here a stable md5-designated ~1/16 of the corpus standing in for an
+    eval suite). The GPT-3/Llama data recipes drop or redact these docs;
+    this query returns the flag list with evidence counts.
+
+    Plan at 100 TB: grams explode per side, but the join is a plain
+    equi-join on the gram string — hash-partitioned, no all-pairs anywhere.
+    The benchmark side is eval-suite-sized (MMLU+friends ≪ corpus), so AQE
+    broadcasts it and the big side never shuffles; no hint needed or wanted.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", TX.shingles(F.col("text"), n=13).alias("sh"))
+    g = sh.select("doc_id", F.explode("sh").alias("g"))
+    bench = g.filter(_bench_pred()).select(F.col("doc_id").alias("bench_id"), "g")
+    train = g.filter(~_bench_pred())
+    return (
+        train.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_grams_hit"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "gopher_quality_flags",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             ROUND(list_sum(list_transform(t, w -> CAST(len(w) AS DOUBLE)))
+                   / len(t), 4) AS mean_word_len,
+             CAST(len(list_filter(t,
+               w -> w IN ('a','the','and','of','to','in'))) AS BIGINT)
+               AS n_stopwords,
+             ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS DOUBLE) / len(t), 4) AS alpha_word_frac
+      FROM toks
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000)
+           AND (mean_word_len BETWEEN 3 AND 10)
+           AND (n_stopwords >= 2)
+           AND (alpha_word_frac >= 0.8) AS pass
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — Gopher-style document quality rules (Rae et al. 2021 §A1.1):
+    word count in [50, 100k], mean word length in [3, 10], ≥2 stopwords,
+    ≥80% of words contain a letter. One boolean per rule plus the combined
+    gate, so downstream can tune which rules to enforce.
+
+    Map-only: every metric is a higher-order function over the token array
+    inside the row — zero shuffles, whole-stage codegen, scales as a pure
+    scan at 100 TB. Both engines round the fractional metrics to 4 decimals
+    BEFORE the threshold compare so the flags can't diverge on float dust.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_words = F.size(toks).cast("long")
+    mean_len = F.round(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+        )
+        / F.size(toks),
+        4,
+    )
+    n_stop = TX.stopword_count("text").cast("long")
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / F.size(toks),
+        4,
+    )
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+        alpha_frac.alias("alpha_word_frac"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("n_stopwords") >= 2)
+            & (F.col("alpha_word_frac") >= 0.8)
+        ).alias("pass"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "repetition_filter",
+    oracle=f"""
+    WITH {_DUCK_NGRAMS.format(n=2)},
+    g2 AS (SELECT doc_id, unnest(g) AS g FROM grams),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    t2 AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2_count,
+                  CAST(SUM(c) AS BIGINT) AS n_2grams
+           FROM c2 GROUP BY doc_id),
+    g5s AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+               THEN list_transform(range(len(t) - 4),
+                                   i -> array_to_string(t[i+1:i+5], ' '))
+               ELSE [] END AS g
+      FROM toks
+    ),
+    g5 AS (SELECT doc_id, unnest(g) AS g FROM g5s),
+    c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+    t5 AS (SELECT doc_id,
+                  CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT)
+                    AS dup5_count,
+                  CAST(SUM(c) AS BIGINT) AS n_5grams
+           FROM c5 GROUP BY doc_id)
+    SELECT t2.doc_id, top2_count,
+           ROUND(CAST(top2_count AS DOUBLE) / n_2grams, 4) AS top2_frac,
+           dup5_count,
+           ROUND(CAST(dup5_count AS DOUBLE) / n_5grams, 4) AS dup5_frac,
+           (ROUND(CAST(top2_count AS DOUBLE) / n_2grams, 4) <= 0.2)
+           AND (ROUND(CAST(dup5_count AS DOUBLE) / n_5grams, 4) <= 0.3)
+             AS pass
+    FROM t2 JOIN t5 ON t2.doc_id = t5.doc_id
+    ORDER BY t2.doc_id
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — Gopher-style repetition filter: the occurrence share of the
+    most frequent word 2-gram (top2_frac) and the share of 5-gram
+    occurrences whose gram repeats within the doc (dup5_frac); a doc fails
+    when either exceeds its threshold (0.2 / 0.3). Count-share definitions
+    (not char-share) so the metric is tie-free and engine-portable.
+
+    Plan at 100 TB: grams explode, then two hash aggregations — first keyed
+    (doc_id, gram), then doc_id. Both are equi-shuffles with map-side
+    partial aggregation; per-key state is one counter, so skew equals the
+    longest single document, not the corpus. Docs shorter than the gram
+    width contribute zero grams and are dropped (no 2-grams → no signal),
+    matching the SQL inner join on both gram widths.
+    """
+    docs = load(spark, sf_dir, "documents")
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            docs.select("doc_id", F.explode(TX.ngrams("text", n=n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    t2 = (
+        gram_counts(2)
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("top2_count"),
+            F.sum("c").cast("long").alias("n_2grams"),
+        )
+    )
+    t5 = (
+        gram_counts(5)
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("dup5_count"),
+            F.sum("c").cast("long").alias("n_5grams"),
+        )
+    )
+    top2_frac = F.round(F.col("top2_count") / F.col("n_2grams"), 4)
+    dup5_frac = F.round(F.col("dup5_count") / F.col("n_5grams"), 4)
+    return (
+        t2.join(t5, "doc_id")
+        .select(
+            "doc_id",
+            "top2_count",
+            top2_frac.alias("top2_frac"),
+            "dup5_count",
+            dup5_frac.alias("dup5_frac"),
+            ((top2_frac <= 0.2) & (dup5_frac <= 0.3)).alias("pass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN L >= 8
+               THEN list_transform(range(L - 7), i -> md5(substr(text, i+1, 8)))
+               ELSE [md5(text)] END AS hs
+      FROM d
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+               THEN list_distinct(list_transform(range(len(hs) - 3),
+                                                 j -> list_min(hs[j+1:j+4])))
+               ELSE [list_min(hs)] END AS fps
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+    FROM w ORDER BY doc_id
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — document fingerprinting by winnowing (Schleimer et al. 2003,
+    the MOSS algorithm): hash every char 8-gram, slide a window of 4
+    hashes, keep each window's minimum — guaranteeing any ≥11-char match
+    between two docs shares a fingerprint, with ~2/(w+1) selection density.
+    md5 (bit-identical across engines) as the rolling hash; output is the
+    distinct-fingerprint count plus an order-insensitive digest.
+
+    Map-only: the whole gram→window→min cascade is higher-order functions
+    inside the row — zero shuffles, a pure scan at 100 TB. Fingerprints
+    would feed the same equi-join machinery as ``prefix_filter_pairs`` for
+    plagiarism-style matching.
+    """
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    grams = F.when(
+        F.length(text) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - 7),
+            lambda i: F.md5(text.substr(i, F.lit(8))),
+        ),
+    ).otherwise(F.array(F.md5(text)))
+    from ..functions.exprs import let
+
+    fps = let(
+        grams,
+        lambda hs: F.when(
+            F.size(hs) >= 4,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(hs) - 4),
+                    lambda j: F.array_min(F.slice(hs, j + 1, 4)),
+                )
+            ),
+        ).otherwise(F.array(F.array_min(hs))),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort(fps), ",")).alias("fp_digest"),
+    ).orderBy("doc_id")

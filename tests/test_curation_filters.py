@@ -1,0 +1,141 @@
+"""X2/X4+ — curation round 3: decontamination, Gopher quality rules,
+repetition filters, winnowing fingerprints, exact set-similarity join
+(plans/llm_ext3.py). Planted degenerate docs verify each rule fires."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from my_favorite_etl_pipeline_spark.functions.text import ngrams, shingles
+
+
+def test_ngrams_keep_multiplicity(spark):
+    df = spark.createDataFrame([Row(t="x y x y x")])
+    out = df.select(ngrams("t", 2).alias("g")).collect()[0].g
+    assert out == ["x y", "y x", "x y", "y x"]  # repeats preserved
+    dedup = df.select(shingles("t", 2).alias("s")).collect()[0].s
+    assert dedup == ["x y", "y x"]
+
+
+def _curation_docs(spark):
+    """Three docs: clean, repetitive, and a 13-gram copy of the clean one."""
+    clean = " ".join(f"word{i}" for i in range(60)) + " the a of in"
+    loop = "spam ham " * 40  # one 2-gram dominates
+    contaminated = " ".join(f"w{i}" for i in range(13)) + " unrelated tail here"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=clean),
+            Row(doc_id=2, text=loop.strip()),
+            Row(doc_id=3, text=contaminated),
+        ]
+    )
+
+
+def test_repetition_metrics_flag_loops(spark):
+    # Inline the operator's metric on a planted loop doc: "spam ham" 2-gram
+    # occurs 40/79 times -> top2_frac ~0.506 > 0.2 threshold.
+    docs = _curation_docs(spark)
+    g2 = (
+        docs.select("doc_id", F.explode(ngrams("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("top2_frac"))
+    )
+    rows = {r.doc_id: r.top2_frac for r in g2.collect()}
+    assert rows[2] > 0.2  # loop doc flagged
+    assert rows[1] < 0.2  # clean doc passes
+
+
+def test_gopher_rules_on_planted_docs(spark, tmp_path):
+    # Route the registered query at a tiny planted corpus via parquet.
+    from my_favorite_etl_pipeline_spark.plans.llm_ext3 import q_gopher_quality_flags
+
+    docs = _curation_docs(spark).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in q_gopher_quality_flags(spark, str(tmp_path)).collect()}
+    assert out[1]["pass"]
+    # doc 3 has 16 words < 50 -> fails word-count rule
+    assert not out[3]["pass"]
+    assert out[3].n_words == 16
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark, tmp_path):
+    # Winnowing guarantee: any common substring of length >= k + w - 1 = 11
+    # chars yields at least one common fingerprint.
+    from my_favorite_etl_pipeline_spark.plans.llm_ext3 import q_winnowing_fingerprints
+
+    common = "abcdefghijklmnop"  # 16 chars shared
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="xxx " + common + " yyy zzz extra pad"),
+            Row(doc_id=2, text="qqq rrr " + common + " different ending"),
+            Row(doc_id=3, text="totally unrelated content with no overlap at all"),
+        ]
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    # Recompute raw fingerprint sets (the query returns digests) inline.
+    text = F.col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text) - 7),
+        lambda i: F.md5(text.substr(i, F.lit(8))),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(grams) - 4),
+            lambda j: F.array_min(F.slice(grams, j + 1, 4)),
+        )
+    )
+    sets = {r.doc_id: set(r.f) for r in df.select("doc_id", fps.alias("f")).collect()}
+    assert sets[1] & sets[2]  # shared >=11-char substring -> shared fingerprint
+    assert not (sets[1] & sets[3]) or len(sets[1] & sets[3]) < len(sets[1] & sets[2])
+
+    out = q_winnowing_fingerprints(spark, str(tmp_path)).collect()
+    assert len(out) == 3 and all(r.n_fingerprints > 0 for r in out)
+
+
+def test_contamination_flags_copied_grams(spark, tmp_path):
+    from my_favorite_etl_pipeline_spark.plans.llm_ext3 import q_contamination_13gram
+
+    # doc_ids chosen so md5 first hex char puts exactly one doc in the
+    # benchmark bucket: md5('4') = 'a87ff...'? — instead scan for a bucket
+    # hit deterministically below.
+    import hashlib
+
+    bench_id = next(
+        i for i in range(1, 200) if hashlib.md5(str(i).encode()).hexdigest()[0] == "0"
+    )
+    train_id = next(
+        i for i in range(1, 200) if hashlib.md5(str(i).encode()).hexdigest()[0] != "0"
+    )
+    shared = " ".join(f"tok{i}" for i in range(20))  # >= 13 tokens shared
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=bench_id, text=shared + " bench only suffix"),
+            Row(doc_id=train_id, text="train prefix " + shared),
+        ]
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_contamination_13gram(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == train_id and out[0].n_grams_hit >= 1
+
+
+def test_ssjoin_prefix_filter_matches_allpairs(spark, tmp_path):
+    from my_favorite_etl_pipeline_spark.plans.llm_ext3 import q_ssjoin_prefix_filter
+
+    base = " ".join(f"t{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " t40"),  # near-dup of 1
+            Row(doc_id=3, text=" ".join(f"u{i}" for i in range(40))),
+        ]
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_ssjoin_prefix_filter(spark, str(tmp_path)).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].jaccard >= 0.9
