@@ -43,6 +43,9 @@ HEADLINE = [
     "stream_tumbling_hourly",
     "nested_transform_chain",
     "skew_zipf_top_users",
+    # curation round 3: decontamination join + map-only fingerprinting
+    "contamination_13gram",
+    "winnowing_fingerprints",
 ]
 
 

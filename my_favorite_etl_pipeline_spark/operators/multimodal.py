@@ -330,3 +330,146 @@ def documents_as_media(documents: DataFrame, max_frames: int = 3) -> DataFrame:
             )
 
     return ensure_min_partitions(documents.select("doc_id")).mapInPandas(run, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Minimal WAV (RIFF/WAVE) codec — unsigned 8-bit PCM. Like the PNG codec,
+# encoded size is a pure function of the sample count
+# (44-byte canonical header + n_samples*channels data bytes, plus one pad
+# byte when the data chunk is odd), so a SQL oracle can predict byte
+# lengths and, because samples derive from (media_id, i) arithmetic, even
+# the RMS energy.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm8(sample_rate: int, channels: int, samples: bytes) -> bytes:
+    """Encode unsigned 8-bit PCM frames into a canonical 44-byte-header WAV.
+
+    ``samples`` is the interleaved frame data (n_frames * channels bytes).
+    RIFF requires even chunk sizes on disk — odd data chunks get a pad byte
+    that is NOT counted in the chunk length (the parser must honor this).
+    """
+    data_len = len(samples)
+    byte_rate = sample_rate * channels  # 8-bit mono/stereo: 1 byte/sample
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels, 8)
+    pad = b"\x00" if data_len % 2 else b""
+    riff_len = 4 + (8 + len(fmt)) + (8 + data_len + len(pad))
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_len)
+        + samples
+        + pad
+    )
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Walk RIFF chunks → (sample_rate, channels, n_frames, data).
+
+    A real chunk walk (honoring odd-length padding), not a fixed-offset
+    read, so files with extra chunks (LIST/INFO metadata) parse correctly.
+    Only PCM (format tag 1) at 8 bits is decodable; anything else raises.
+    """
+    buf = bytes(payload)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        ctype = buf[pos : pos + 4]
+        (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            data = body
+        pos += 8 + length + (length % 2)  # odd chunks are padded on disk
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, sample_rate, _, _, bits = fmt
+    if (tag, bits) != (1, 8):
+        raise NotImplementedError("only 8-bit PCM WAV supported")
+    return sample_rate, channels, len(data) // channels, data
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_len", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: parse the RIFF container,
+    decode PCM, compute duration and RMS energy (centered at the unsigned
+    midpoint 128). Same mapInPandas discipline as the image path: map-only,
+    payload projected away immediately, nothing ever shuffled.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, n, data = parse_wav(p)
+                acc = sum((b - 128) ** 2 for b in data)
+                rms = (acc / len(data)) ** 0.5 if data else 0.0
+                rows.append(
+                    (int(mid), len(p), rate, ch, n, round(n / rate * 1000.0, 4), round(rms, 4))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "byte_len",
+                    "sample_rate",
+                    "channels",
+                    "n_frames",
+                    "duration_ms",
+                    "rms",
+                ],
+            )
+
+    return ensure_min_partitions(media.select("media_id", "payload")).mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def documents_as_audio(documents: DataFrame) -> DataFrame:
+    """Fixture adapter: deterministic REAL WAV payloads derived from doc_id.
+
+    ``n = 100 + doc_id % 50`` frames of ``1 + doc_id % 2`` channels at
+    ``8000 * (1 + doc_id % 3)`` Hz; sample bytes are
+    ``(doc_id * 31 + i * 7) % 256`` over the interleaved index — all pure
+    (doc_id, i) arithmetic, so byte length, duration, and RMS are each
+    reproducible in SQL. That is what makes the audio decode path
+    oracle-checkable end to end rather than rows-only.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, ch, rate = 100 + d % 50, 1 + d % 2, 8000 * (1 + d % 3)
+                samples = bytes((d * 31 + i * 7) % 256 for i in range(n * ch))
+                payloads.append(encode_wav_pcm8(rate, ch, samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": "audio/wav",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return ensure_min_partitions(documents.select("doc_id")).mapInPandas(run, MEDIA_SCHEMA)

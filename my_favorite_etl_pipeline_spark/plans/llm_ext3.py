@@ -351,3 +351,89 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fps).cast("long").alias("n_fingerprints"),
         F.md5(F.array_join(F.array_sort(fps), ",")).alias("fp_digest"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             100 + doc_id % 50 AS n,
+             1 + doc_id % 2 AS ch,
+             8000 * (1 + doc_id % 3) AS rate
+      FROM documents
+    ),
+    m AS (SELECT doc_id, n, ch, rate, n * ch AS nb FROM d)
+    SELECT doc_id AS media_id,
+           CAST(44 + nb + (nb % 2) AS INT) AS byte_len,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST(n AS INT) AS n_frames,
+           ROUND(CAST(n AS DOUBLE) / rate * 1000, 4) AS duration_ms,
+           ROUND(sqrt(list_sum(list_transform(range(nb),
+                 i -> (CAST((doc_id*31 + i*7) % 256 AS DOUBLE) - 128)
+                      * (CAST((doc_id*31 + i*7) % 256 AS DOUBLE) - 128))) / nb),
+                 4) AS rms
+    FROM m ORDER BY media_id
+    """,
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (audio) — REAL WAV decode over binary payloads: deterministic
+    8-bit-PCM RIFF containers built per document, then an Arrow-batched
+    mapInPandas that walks the RIFF chunks (honoring odd-chunk padding),
+    decodes PCM, and computes duration + RMS energy. The oracle re-derives
+    byte length, duration, and RMS purely from doc_id arithmetic — so a
+    header-layout bug, a pad-byte bug, or a decode bug all hash-mismatch.
+
+    Plan: map-only twice (encode, then decode); the payload column lives
+    only between the two mapInPandas stages of the SAME task — never
+    shuffled, never collected. At 100 TB the only knob is input split size.
+    """
+    from ..operators.multimodal import documents_as_audio, extract_audio_features
+
+    docs = load(spark, sf_dir, "documents")
+    media = documents_as_audio(docs)
+    return extract_audio_features(media).orderBy("media_id")
+
+
+@register(
+    "unigram_logprob_scores",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    freq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM freq)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(c / t)), 4) AS avg_neg_logprob
+    FROM toks JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — self-information quality score: average -ln(corpus unigram
+    probability) per document, the cheap perplexity proxy data teams use to
+    rank documents before a real LM scores them (CCNet-style). High scores
+    = rare-token-heavy docs (often noise), low = boilerplate.
+
+    Plan at 100 TB: token explode → one hash agg for the frequency table →
+    equi-join tokens⋈freq (the freq table is vocabulary-sized, ≪ corpus —
+    AQE broadcasts it) → per-doc hash agg. The grand total rides along as a
+    1-row broadcast cross join, not a driver collect.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -139,3 +139,60 @@ def test_ssjoin_prefix_filter_matches_allpairs(spark, tmp_path):
     out = q_ssjoin_prefix_filter(spark, str(tmp_path)).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
     assert out[0].jaccard >= 0.9
+
+
+def test_wav_roundtrip_and_odd_padding():
+    from my_favorite_etl_pipeline_spark.operators.multimodal import (
+        encode_wav_pcm8,
+        parse_wav,
+    )
+
+    samples = bytes(range(101))  # odd length -> pad byte on disk
+    wav = encode_wav_pcm8(16000, 1, samples)
+    assert len(wav) == 44 + 101 + 1  # canonical header + data + pad
+    rate, ch, n, data = parse_wav(wav)
+    assert (rate, ch, n) == (16000, 1, 101)
+    assert data == samples  # pad byte NOT leaked into the decoded data
+
+    stereo = encode_wav_pcm8(8000, 2, bytes(50))
+    assert parse_wav(stereo)[:3] == (8000, 2, 25)
+
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFFxxxxAVI ")  # RIFF but not WAVE
+
+
+def test_wav_parser_skips_extra_chunks():
+    import struct
+
+    from my_favorite_etl_pipeline_spark.operators.multimodal import (
+        encode_wav_pcm8,
+        parse_wav,
+    )
+
+    wav = encode_wav_pcm8(8000, 1, bytes([1, 2, 3, 4]))
+    # splice a LIST metadata chunk (odd length -> padded) between fmt and data
+    fmt_end = 12 + 8 + 16
+    meta = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = wav[:fmt_end] + meta + wav[fmt_end:]
+    assert parse_wav(spliced)[:3] == (8000, 1, 4)
+
+
+def test_audio_features_match_direct_computation(spark):
+    from my_favorite_etl_pipeline_spark.operators.multimodal import (
+        documents_as_audio,
+        extract_audio_features,
+    )
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    out = {
+        r.media_id: r
+        for r in extract_audio_features(documents_as_audio(docs)).collect()
+    }
+    for d in range(5):
+        n, ch, rate = 100 + d % 50, 1 + d % 2, 8000 * (1 + d % 3)
+        data = [(d * 31 + i * 7) % 256 for i in range(n * ch)]
+        rms = (sum((b - 128) ** 2 for b in data) / len(data)) ** 0.5
+        r = out[d]
+        assert (r.sample_rate, r.channels, r.n_frames) == (rate, ch, n)
+        assert r.byte_len == 44 + n * ch + (n * ch) % 2
+        assert abs(r.rms - rms) < 1e-3
