@@ -43,9 +43,11 @@ HEADLINE = [
     "stream_tumbling_hourly",
     "nested_transform_chain",
     "skew_zipf_top_users",
-    # curation round 3: decontamination join + map-only fingerprinting
+    # curation round 3: decontamination join + map-only fingerprinting +
+    # sparse similarity search
     "contamination_13gram",
     "winnowing_fingerprints",
+    "tfidf_topk_similar_docs",
 ]
 
 

@@ -13,7 +13,7 @@ computing the same definition independently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -323,7 +323,9 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     would feed the same equi-join machinery as ``prefix_filter_pairs`` for
     plagiarism-style matching.
     """
-    docs = load(spark, sf_dir, "documents")
+    from ..operators.scaling import ensure_min_partitions
+
+    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
     text = F.col("text")
     grams = F.when(
         F.length(text) >= 8,
@@ -341,15 +343,32 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(0), F.size(hs) - 4),
-                    lambda j: F.array_min(F.slice(hs, j + 1, 4)),
+                    # least(element_at×4), not array_min(slice): avoids one
+                    # 4-element array allocation per window position
+                    lambda j: F.least(
+                        *[F.element_at(hs, (j + k + 1).cast("int")) for k in range(4)]
+                    ),
                 )
             ),
         ).otherwise(F.array(F.array_min(hs))),
     )
-    return docs.select(
+    # Both outputs derive from ONE let-bound evaluation of fps: Catalyst
+    # does not CSE through HOF lambdas (and CollapseProject would merge a
+    # two-step select back into duplicated trees), so referencing fps twice
+    # in the projection would run the whole md5 cascade twice — measured 2×
+    # wall on the fixture corpus.
+    out = let(
+        fps,
+        lambda f: F.struct(
+            F.size(f).cast("long").alias("n"),
+            F.md5(F.array_join(F.array_sort(f), ",")).alias("d"),
+        ),
+    )
+    staged = docs.select("doc_id", out.alias("o"))
+    return staged.select(
         "doc_id",
-        F.size(fps).cast("long").alias("n_fingerprints"),
-        F.md5(F.array_join(F.array_sort(fps), ",")).alias("fp_digest"),
+        F.col("o.n").alias("n_fingerprints"),
+        F.col("o.d").alias("fp_digest"),
     ).orderBy("doc_id")
 
 
@@ -436,4 +455,108 @@ def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "tfidf_topk_similar_docs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM toks GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY doc_id),
+    df AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS dfc FROM tf GROUP BY w),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    wts AS (
+      SELECT tf.doc_id, tf.w, (c / len) * ln(nd / dfc) AS wt
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN n
+      WHERE dfc < nd
+    ),
+    nrm AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nv FROM wts GROUP BY doc_id),
+    unit AS (
+      SELECT w.doc_id, w.w, wt / nv AS u
+      FROM wts w JOIN nrm USING (doc_id) WHERE nv > 0
+    ),
+    sims AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst,
+             ROUND(SUM(a.u * b.u), 4) AS sim
+      FROM unit a JOIN unit b ON a.w = b.w AND a.doc_id <> b.doc_id
+      WHERE a.doc_id % 50 = 0
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    rk AS (
+      SELECT src, dst, sim,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+      FROM sims
+    )
+    SELECT src AS doc_id, dst AS similar_doc_id, sim AS cosine_tfidf,
+           CAST(rn AS INT) AS rank
+    FROM rk WHERE rn <= 5 ORDER BY doc_id, rank
+    """,
+)
+def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (sparse) — TF-IDF cosine similarity SEARCH: for each query doc
+    (a stable 2% of the corpus, ``doc_id % 50 = 0``) the top-5 most-similar
+    corpus docs, via the posting-list join — the sparse twin of
+    ``embedding_topk_bruteforce``. Unit-normalized tf·idf vectors never
+    materialize — similarity is SUM(u_a·u_b) grouped by the pair, joined
+    ONLY through shared terms.
+
+    Plan at 100 TB: every step is an equi-shuffle (term or doc key); the
+    pair blow-up is bounded by |queries| × posting-list length, never
+    corpus². (The all-pairs variant — no query-set filter — is quadratic
+    ON THIS FIXTURE because its 40-word vocabulary makes every posting
+    list corpus-length; measured 268 s at sf0.1 vs 3 s for this shape.
+    Real corpora have Zipfian vocab growth, but an engine shouldn't ship a
+    shape whose worst case is n².) Terms present in EVERY document have
+    idf = 0 and are dropped EXACTLY (zero contribution). Ranking happens
+    on the ROUNDED similarity with a doc-id tie-break on both engines, so
+    rank order is deterministic and float-dust-proof.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("len"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("dfc"))
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    wts = (
+        tf.join(dl, "doc_id")
+        .join(df_, "w")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("dfc") < F.col("nd"))
+        .select(
+            "doc_id",
+            "w",
+            ((F.col("c") / F.col("len")) * F.log(F.col("nd") / F.col("dfc"))).alias(
+                "wt"
+            ),
+        )
+    )
+    nrm = wts.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nv"))
+    unit = (
+        wts.join(nrm, "doc_id")
+        .filter(F.col("nv") > 0)
+        .select("doc_id", "w", (F.col("wt") / F.col("nv")).alias("u"))
+    )
+    a = unit.filter(F.col("doc_id") % 50 == 0).alias("a")
+    b = unit.alias("b")
+    sims = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.round(F.sum(F.col("a.u") * F.col("b.u")), 4).alias("sim"))
+    )
+    win = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    return (
+        sims.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("dst").alias("similar_doc_id"),
+            F.col("sim").alias("cosine_tfidf"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
     )
