@@ -10,9 +10,9 @@ id. Each iteration is one shuffle join + one aggregate;
 with the iteration count (the classic iterative-DataFrame trap). Converges
 in O(component diameter) rounds — near-dup clusters are shallow (dozens of
 docs, diameter ≤ a few hops), so 3-5 rounds in practice; for adversarial
-long-chain graphs swap in the large-star/small-star contraction (Kiveris et
-al., "Connected Components in MapReduce and Beyond"), which this API admits
-without signature change.
+long-chain graphs :func:`connected_components_star` implements the
+large-star/small-star contraction (Kiveris et al., "Connected Components in
+MapReduce and Beyond") with the same output contract in O(log² n) rounds.
 """
 
 from __future__ import annotations
@@ -73,3 +73,90 @@ def connected_components(
         if changed == 0:
             return labels.select("node", "comp")
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def _edge_digest(edges: DataFrame) -> tuple[int, int]:
+    """Cheap fixpoint probe: (row count, sum of row hashes). Two scalar
+    aggregates instead of a full set-difference join per round."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row.n, row.h
+
+
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — same ``(node, component)`` contract as
+    :func:`connected_components`, but O(log² n) rounds instead of
+    O(diameter): the operator of choice when dedup chains can be LONG
+    (crawl mirrors re-mirrored, quote-of-quote-of-quote), where plain
+    min-label propagation needs one round per hop.
+
+    Each round is two groupBy-join passes (one per star op), all
+    equi-shuffles on node ids; ``localCheckpoint`` truncates lineage per
+    round. Convergence is detected by an (edge-count, hash-sum) digest —
+    two scalar aggregates, not a set-difference join.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    cur = e.distinct().localCheckpoint(eager=True)
+    digest = _edge_digest(cur)
+    for _ in range(max_iter):
+        # large-star: connect every neighbor v > u to m = min(Γ(u) ∪ {u})
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient (a=max, b=min); connect every smaller neighbor
+        # and a itself to m = min of a's smaller neighborhood
+        ori = ls.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        )
+        m2 = ori.groupBy("a").agg(F.min("b").alias("m"))
+        joined = ori.join(m2, "a")
+        ss = (
+            joined.select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .union(joined.select(F.col("a").alias("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_digest = _edge_digest(ss)
+        cur = ss
+        if new_digest == digest:
+            break
+        digest = new_digest
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+
+    # fixpoint edge set is a union of stars pointing at the component min
+    roots = cur.select(F.greatest("u", "v").alias("node"), F.least("u", "v").alias("comp"))
+    members = roots.groupBy("node").agg(F.min("comp").alias("comp"))
+    root_nodes = members.select(F.col("comp").alias("node"), F.col("comp").alias("comp2")).distinct()
+    labels = members.union(
+        root_nodes.select("node", F.col("comp2").alias("comp"))
+    ).distinct()
+    if vertices is not None:
+        singles = (
+            vertices.select(F.col(vertices.columns[0]).alias("node"))
+            .join(labels.select("node"), "node", "left_anti")
+            .select("node", F.col("node").alias("comp"))
+        )
+        labels = labels.union(singles)
+    return labels.select("node", "comp")

@@ -560,3 +560,38 @@ def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+def _cluster_oracle() -> str:
+    """Reuse dedup_cluster_components' recursive-CTE oracle verbatim — the
+    star variant must produce the identical component assignment. Safe at
+    decoration time: importing this module (directly or via the package)
+    first runs plans/__init__, which imports llm_ext2 before llm_ext3."""
+    from ..registry import REGISTRY
+
+    return REGISTRY["dedup_cluster_components"].oracle
+
+
+@register("dedup_cluster_components_star", oracle=_cluster_oracle())
+def q_dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ — near-dup clustering with the large-star/small-star contraction
+    (Kiveris et al. 2014) instead of min-label propagation: O(log² n)
+    rounds vs O(component diameter), the variant that survives adversarial
+    chain-of-mirrors dedup graphs. Same edge generation (exact
+    prefix-filter join + Jaccard verify ≥ 0.9) and the same oracle as
+    ``dedup_cluster_components`` — agreement across BOTH iterative
+    algorithms and the DuckDB recursive CTE triangulates the fixpoint.
+    """
+    from ..operators.dedup import jaccard_verify, prefix_filter_pairs
+    from ..operators.graph import connected_components_star
+
+    docs = load(spark, sf_dir, "documents")
+    cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9)
+    pairs = jaccard_verify(docs, cand, "doc_id", "text", threshold=0.9).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components_star(pairs, vertices=docs.select("doc_id"))
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+    ).orderBy("doc_id")

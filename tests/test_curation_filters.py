@@ -196,3 +196,39 @@ def test_audio_features_match_direct_computation(spark):
         assert (r.sample_rate, r.channels, r.n_frames) == (rate, ch, n)
         assert r.byte_len == 44 + n * ch + (n * ch) % 2
         assert abs(r.rms - rms) < 1e-3
+
+
+def test_star_cc_matches_propagation_on_random_graph(spark):
+    import random
+
+    from my_favorite_etl_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    v = spark.range(60).withColumnRenamed("id", "doc_id")
+    a = {(r.node, r.comp) for r in connected_components(e, vertices=v).collect()}
+    b = {(r.node, r.comp) for r in connected_components_star(e, vertices=v).collect()}
+    assert a == b
+
+
+def test_star_cc_converges_on_long_chain(spark):
+    # A 300-node path: min-label propagation needs O(300) rounds (its
+    # max_iter raises), the star contraction needs O(log^2 n).
+    import pytest as _pytest
+
+    from my_favorite_etl_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(299)]
+    e = spark.createDataFrame(chain, "src: long, dst: long")
+    out = connected_components_star(e).collect()
+    assert len(out) == 300 and all(r.comp == 0 for r in out)
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iter=5)
