@@ -232,3 +232,67 @@ def test_star_cc_converges_on_long_chain(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(e, max_iter=5)
+
+
+def test_zorder_layout_prunes_2d_box_queries(spark, tmp_path, sf_dir):
+    """Morton clustering must make BOTH dimensions' file-level min/max
+    stats selective; a linear (ts-sorted) layout only helps its sort key."""
+    import pyarrow.parquet as pq
+
+    from my_favorite_etl_pipeline_spark.operators.layout import write_zordered
+    from my_favorite_etl_pipeline_spark.sources.tables import load as load_tbl
+
+    ev = load_tbl(spark, sf_dir, "events").select(
+        "event_id", F.unix_timestamp("ts").alias("ts_s"), "user_id"
+    )
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(ev, zpath, ["user_id", "ts_s"], num_files=32)
+    (
+        ev.repartitionByRange(32, "ts_s")
+        .sortWithinPartitions("ts_s")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    lo_u, hi_u = 10, 20  # a box on user ids ...
+    rows = ev.agg(F.min("ts_s"), F.max("ts_s")).collect()[0]
+    span = rows[1] - rows[0]
+    lo_t, hi_t = rows[0] + span // 4, rows[0] + span // 2  # ... and on time
+
+    def files_hit(path):
+        import glob
+
+        hit = total = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                u, t = cols["user_id"].statistics, cols["ts_s"].statistics
+                total += 1
+                if u.min <= hi_u and u.max >= lo_u and t.min <= hi_t and t.max >= lo_t:
+                    hit += 1
+        return hit, total
+
+    z_hit, z_total = files_hit(zpath)
+    l_hit, l_total = files_hit(lpath)
+    assert z_total >= 32 and l_total >= 32
+    # linear layout: every ts-slice file contains ALL user ids -> the user
+    # predicate prunes nothing (only the time quarter helps). The Morton
+    # layout must strictly beat it.
+    assert z_hit < l_hit, (z_hit, z_total, l_hit, l_total)
+
+    # correctness: both layouts return identical rows for the box query
+    zq = (
+        spark.read.parquet(zpath)
+        .filter((F.col("user_id").between(lo_u, hi_u)) & (F.col("ts_s").between(lo_t, hi_t)))
+        .count()
+    )
+    lq = (
+        spark.read.parquet(lpath)
+        .filter((F.col("user_id").between(lo_u, hi_u)) & (F.col("ts_s").between(lo_t, hi_t)))
+        .count()
+    )
+    assert zq == lq > 0
