@@ -72,18 +72,22 @@ CURATED_FIRST: tuple[str, ...] = (
     "anti_join_customers",
     "range_join_ship_latency",
     "asof_last_click_before_purchase",
-    # X1 exact dedup
+    # X1 exact dedup (fingerprint variant checked locally; slot given to a
+    # family the window otherwise misses entirely)
     "dedup_exact_groups",
     "dedup_keep_first",
-    "dedup_fingerprint_groups",
-    # X2 near-dup
+    # X2 near-dup — oracle-checkable algorithms only: rows-only entries
+    # (simhash, ivf) waste driver slots that hash-verified families can use
     "minhash_near_dups",
-    "ngram_jaccard_pairs",
-    "simhash_near_dups",
+    "ssjoin_prefix_filter",
     "embedding_cosine_near_dups",
-    # X3 similarity search
+    # X3 similarity search (dense + sparse)
     "embedding_topk_bruteforce",
-    "embedding_topk_ivf",
+    "tfidf_topk_similar_docs",
+    # X4+ curation filters
+    "contamination_13gram",
+    "gopher_quality_flags",
+    "repetition_filter",
     # X4 text analysis / chunking / prep
     "text_quality_scores",
     "lang_id_heuristic",
@@ -92,9 +96,9 @@ CURATED_FIRST: tuple[str, ...] = (
     "chunk_documents_50tok",
     "scrub_pii_documents",
     "training_data_prep",
-    # X5 multimodal
+    # X5 multimodal (image decode + audio decode; frame-sample checked locally)
     "multimodal_features",
-    "multimodal_frame_sample",
+    "multimodal_audio_features",
     # dataset assembly
     "dataset_split_hash",
     "stratified_sample_per_lang",
@@ -111,7 +115,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "stream_stateful_user_stats",
     "stream_dedup_within_watermark",
     "stream_stream_attribution_join",
-    "sliding_window_3h_1h",
     "session_window_30m",
 )
 

@@ -19,11 +19,12 @@ FAMILY_SENTINELS = {
     "relational": ["q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue"],
     "window/rollup/pivot": ["top_orders_per_customer", "rollup_order_status", "pivot_status_by_segment"],
     "join-surface": ["anti_join_customers", "range_join_ship_latency", "asof_last_click_before_purchase"],
-    "X1-exact-dedup": ["dedup_exact_groups", "dedup_keep_first", "dedup_fingerprint_groups"],
-    "X2-near-dup": ["minhash_near_dups", "ngram_jaccard_pairs", "simhash_near_dups", "embedding_cosine_near_dups"],
-    "X3-similarity": ["embedding_topk_bruteforce", "embedding_topk_ivf"],
+    "X1-exact-dedup": ["dedup_exact_groups", "dedup_keep_first"],
+    "X2-near-dup": ["minhash_near_dups", "ssjoin_prefix_filter", "embedding_cosine_near_dups"],
+    "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs"],
     "X4-text": ["text_quality_scores", "lang_id_heuristic", "chunk_documents_50tok", "training_data_prep"],
-    "X5-multimodal": ["multimodal_features", "multimodal_frame_sample"],
+    "X4-curation": ["contamination_13gram", "gopher_quality_flags", "repetition_filter"],
+    "X5-multimodal": ["multimodal_features", "multimodal_audio_features"],
     "assembly": ["dataset_split_hash", "pack_sequences_1024", "dedup_cluster_components", "corpus_mix_temperature"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stateful_user_stats", "session_window_30m"],
 }
