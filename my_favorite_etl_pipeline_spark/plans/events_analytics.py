@@ -298,3 +298,78 @@ def skew_zipf_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hot_key")
     )
+
+
+@register(
+    "sessionize_events_gap30m",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                  OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM f
+    )
+    SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def sessionize_events_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap-based (30 min inactivity) variant of
+    the streaming ``session_window_30m``: LAG to flag session starts,
+    running SUM to number sessions, then per-session aggregates. The
+    canonical islands-and-gaps shape every product-analytics engine ships.
+
+    ONE shuffle on user_id serves both windows AND the final group-by
+    (same partitioning key) — Catalyst reuses the exchange; per-user state
+    is a sort, never a collect, so skew equals the busiest user, not the
+    table. Deterministic (ts, event_id) tie-break on both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # double epoch, not long: micros must count toward the gap
+            # exactly as DuckDB's interval compare does (1800.5 s > 30 min)
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > F.lit(1800.0)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_seq"
+        ),
+    )
+    return (
+        numbered.groupBy("user_id", F.col("session_seq").cast("int").alias("session_seq"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -353,3 +353,81 @@ def q_sorted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .limit(100)
     )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+ — column profiling, the generalized form of the reference's Soda
+    checks (dag:338-357 runs row_count/missing/duplicate per mart column):
+    one row per profiled column with row/null/distinct counts and
+    stringified min/max — the stats a DQ gate or a CBO would ingest.
+
+    ONE pass over the table: all per-column aggregates run in a single
+    HashAggregate (count/min/max are cheap; the distincts expand to an
+    Expand + two-phase agg, still one scan), then a tiny literal unpivot.
+    At 100 TB swap COUNT(DISTINCT) for approx_count_distinct — same shape,
+    constant memory; exact kept here so DuckDB can verify values.
+    """
+    orders = load(spark, sf_dir, "orders")
+    # min/max run on the NATIVE type (string-typed min would order "9999"
+    # above "14999"); the formatter stringifies the aggregated result, the
+    # same order of operations as the oracle's CAST(MIN(..) AS VARCHAR)
+    spec = [
+        ("o_orderkey", lambda c: c.cast("string")),
+        ("o_orderstatus", lambda c: c),
+        ("o_totalprice", lambda c: F.round(c, 2).cast("string")),
+        ("o_orderdate", lambda c: c.cast("string")),
+    ]
+    aggs = []
+    for name, fmt in spec:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__rows"),
+            (F.count(F.lit(1)) - F.count(name)).alias(f"{name}__nulls"),
+            F.countDistinct(name).alias(f"{name}__distinct"),
+            fmt(F.min(name)).alias(f"{name}__min"),
+            fmt(F.max(name)).alias(f"{name}__max"),
+        ]
+    one = orders.agg(*aggs)
+    rows = None
+    for name, _fmt in spec:
+        r = one.select(
+            F.lit(name).alias("column_name"),
+            F.col(f"{name}__rows").cast("long").alias("n_rows"),
+            F.col(f"{name}__nulls").cast("long").alias("n_nulls"),
+            F.col(f"{name}__distinct").cast("long").alias("n_distinct"),
+            F.col(f"{name}__min").alias("min_value"),
+            F.col(f"{name}__max").alias("max_value"),
+        )
+        rows = r if rows is None else rows.union(r)
+    return rows.orderBy("column_name")
