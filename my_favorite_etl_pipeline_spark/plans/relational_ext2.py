@@ -582,3 +582,87 @@ def sql_api_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "fuzzy_join_part_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (approximate-string) join — the messy-ETL dictionary-matching
+    operator: DISTINCT the name dictionary first (64 names, not 2000
+    rows — dedupe BEFORE the quadratic step), block on the first token so
+    candidate pairs stay per-block, then levenshtein ≤ 5 inside the block.
+
+    Plan at 100 TB: the distinct is one hash shuffle that collapses the
+    fact table to its dictionary (names are Zipf-repetitive); the block
+    equi-join is hash-partitioned with per-block all-pairs only — the
+    standard record-linkage blocking strategy. levenshtein is identical
+    edit-distance semantics on both engines, so the oracle verifies the
+    matcher, not just the plumbing.
+    """
+    part = load(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.split(F.col("p_name"), " ").getItem(0).alias("blk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .filter(lev <= 5)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.cast("int").alias("edit_dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT 'l_discount' AS measure,
+           ROUND(SUM(l_discount), 2) AS total
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', ROUND(SUM(l_extendedprice), 2) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', ROUND(SUM(l_quantity), 2) FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', ROUND(SUM(l_tax), 2) FROM lineitem
+    ORDER BY measure
+    """,
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native ``DataFrame.unpivot`` (melt)
+    operator — the inverse of ``pivot_status_by_segment``. Unpivot expands
+    each row into (measure, value) pairs inside the scan stage (an Expand
+    node, no shuffle), then one partial-agg-backed sum per measure.
+
+    The oracle reaches the same totals through four scans + UNION ALL —
+    different plan, same numbers — so the check verifies the unpivot
+    transform itself rather than mirroring its implementation.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("measure")
+    )
