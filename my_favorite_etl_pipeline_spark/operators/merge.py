@@ -137,3 +137,33 @@ def assert_unique_key(df: DataFrame, key: str) -> None:
         raise ValueError(f"primary-key violation: {row['nn']} NULL {key} values")
     if row["n"] != row["nd"]:
         raise ValueError(f"primary-key violation: {row['n']} rows but {row['nd']} distinct {key}")
+
+
+def vacuum_staging(
+    path: str,
+    keep_runs: int = 7,
+    run_col: str = "batch_run_id",
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention sweep over the partition-per-run staging area: keep the
+    ``keep_runs`` lexicographically-latest run partitions (run ids embed
+    ISO timestamps, so lexical order IS arrival order), drop the rest.
+    Returns the run ids removed (or that WOULD be removed with dry_run).
+
+    Filesystem-metadata only — no Spark job; each drop is the same
+    directory-level operation as :func:`delete_staging_run`, so a vacuum
+    never touches surviving runs and is safe to re-run (idempotent: gone
+    partitions simply stop matching). The 100 TB analogue is a lifecycle
+    rule on the object-store prefix; this operator is the self-managed
+    fallback and the test surface for retention semantics.
+    """
+    root = Path(path)
+    if not root.exists():
+        return []
+    prefix = f"{run_col}="
+    runs = sorted(p.name[len(prefix):] for p in root.iterdir() if p.name.startswith(prefix))
+    doomed = runs[:-keep_runs] if keep_runs > 0 else runs
+    if not dry_run:
+        for run_id in doomed:
+            shutil.rmtree(root / f"{run_col}={run_id}")
+    return doomed

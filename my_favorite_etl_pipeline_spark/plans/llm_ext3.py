@@ -657,3 +657,45 @@ def q_zorder_events_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=16,
     )
     return joined.select("event_id", z.alias("zval")).orderBy("event_id")
+
+
+@register(
+    "negative_pairs_contrastive",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+    j AS (SELECT unnest(range(1, 5)) AS neg_rank),
+    raw AS (
+      SELECT d.doc_id, CAST(j.neg_rank AS INT) AS neg_rank,
+             (d.doc_id * 2654435761 + j.neg_rank * 40503) % nd AS neg0, nd
+      FROM documents d CROSS JOIN j CROSS JOIN n
+    )
+    SELECT doc_id, neg_rank,
+           CASE WHEN neg0 = doc_id THEN (neg0 + 1) % nd ELSE neg0 END AS neg_doc_id
+    FROM raw ORDER BY doc_id, neg_rank
+    """,
+)
+def q_negative_pairs_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (assembly) — deterministic negative sampling for contrastive
+    training pairs: each document draws 4 pseudo-random partners via
+    Knuth-multiplicative hashing over the contiguous id space, with a
+    +1 skip when the draw hits the anchor itself. No RNG state — the same
+    (doc_id, rank) always yields the same negative, so retries, partition
+    changes, and incremental rebuilds all reproduce the dataset (the same
+    property ``dataset_split_hash`` guarantees for splits).
+
+    Plan: documents × a 4-row literal range — a broadcast nested-loop over
+    a tiny side, then pure per-row arithmetic; zero shuffles beyond the
+    final presentation sort. At 100 TB this is a map over the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    j = spark.range(1, 5).select(F.col("id").cast("int").alias("neg_rank"))
+    raw = docs.select("doc_id").crossJoin(F.broadcast(j)).crossJoin(F.broadcast(nd))
+    neg0 = (F.col("doc_id") * F.lit(2654435761) + F.col("neg_rank") * F.lit(40503)) % F.col("nd")
+    return raw.select(
+        "doc_id",
+        "neg_rank",
+        F.when(neg0 == F.col("doc_id"), (neg0 + 1) % F.col("nd"))
+        .otherwise(neg0)
+        .alias("neg_doc_id"),
+    ).orderBy("doc_id", "neg_rank")

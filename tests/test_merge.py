@@ -105,3 +105,29 @@ def test_assert_unique_key(spark):
     nulls = spark.createDataFrame([Row(_id="a"), Row(_id=None)])
     with pytest.raises(ValueError, match="NULL"):
         assert_unique_key(nulls, "_id")
+
+
+def test_vacuum_staging_retention(spark, tmp_path):
+    from my_favorite_etl_pipeline_spark.operators.merge import (
+        read_staging_run,
+        vacuum_staging,
+        write_staging,
+    )
+
+    path = str(tmp_path / "staging")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    runs = [f"run-2024-01-{d:02d}T00" for d in range(1, 6)]
+    for r in runs:
+        write_staging(df, path, r)
+
+    # dry run reports without deleting
+    assert vacuum_staging(path, keep_runs=2, dry_run=True) == runs[:3]
+    assert read_staging_run(spark, path, runs[0]).count() == 10
+
+    removed = vacuum_staging(path, keep_runs=2)
+    assert removed == runs[:3]
+    # survivors intact, victims gone, re-vacuum is a no-op
+    assert read_staging_run(spark, path, runs[4]).count() == 10
+    assert read_staging_run(spark, path, runs[3]).count() == 10
+    assert read_staging_run(spark, path, runs[0]).count() == 0
+    assert vacuum_staging(path, keep_runs=2) == []

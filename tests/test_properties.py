@@ -84,3 +84,59 @@ def test_fingerprint_equals_normalized_equality(spark, texts):
         for r2 in rows:
             same_norm = r1.t.strip().lower() == r2.t.strip().lower()
             assert (r1.f == r2.f) == same_norm
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=3, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_prefix_filter_complete_vs_bruteforce(spark, token_lists):
+    """PPJoin completeness property: prefix_filter_pairs candidates must be
+    a SUPERSET of every pair with Jaccard >= t (here t=0.5, small-vocab
+    docs make collisions and near-dups likely)."""
+    from my_favorite_etl_pipeline_spark.operators.dedup import prefix_filter_pairs
+    from my_favorite_etl_pipeline_spark.functions.text import shingles
+
+    rows = [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows)
+    cand = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    sh = {r.doc_id: set(r.s) for r in df.select("doc_id", shingles("text").alias("s")).collect()}
+    ids = sorted(sh)
+    for i in ids:
+        for j in ids:
+            if i >= j or not (sh[i] | sh[j]):
+                continue
+            jac = len(sh[i] & sh[j]) / len(sh[i] | sh[j])
+            if jac >= 0.5:
+                assert (i, j) in cand, (i, j, jac)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=0, max_size=30
+    )
+)
+def test_star_cc_equals_propagation_property(spark, edge_list):
+    """Both CC algorithms must produce the identical component map on any
+    graph (self-loops and duplicate edges included)."""
+    from my_favorite_etl_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    v = spark.range(26).withColumnRenamed("id", "doc_id")
+    if edge_list:
+        e = spark.createDataFrame(edge_list, "src: long, dst: long")
+    else:
+        e = spark.createDataFrame([], "src: long, dst: long")
+    a = {(r.node, r.comp) for r in connected_components(e, vertices=v, max_iter=40).collect()}
+    b = {(r.node, r.comp) for r in connected_components_star(e, vertices=v).collect()}
+    assert a == b
