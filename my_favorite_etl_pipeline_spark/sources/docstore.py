@@ -1,0 +1,190 @@
+"""A custom Spark DataSource ("docstore") over JSON-lines files — the
+engine's stand-in for the reference's MongoDB collection source
+(dag:94-133 reads Mongo documents; mongoexport's interchange format IS
+JSON lines). Built on Spark 4's Python DataSource API, so the connector
+rides the normal reader/writer surface::
+
+    spark.dataSource.register(DocStoreDataSource)
+    spark.read.format("docstore").schema(s).load(path)
+    df.write.format("docstore").mode("append").save(path)
+
+Scale design:
+- **partition-per-file** read planning: each ``*.jsonl`` file is one
+  ``InputPartition``, so a directory of N files scans as N parallel tasks
+  (the file layout, not the connector, decides parallelism — same
+  contract as the parquet reader).
+- **filter pushdown**: equality and range filters on top-level columns
+  are accepted in ``pushFilters`` and applied row-by-row DURING the read,
+  before rows cross into Spark — the semantics (not the vectorized speed)
+  of a real pushdown; everything else is left for Spark to re-check.
+- **writer**: one JSON-lines part file per task with a commit message,
+  append or overwrite via the standard save modes.
+
+The decode path is stdlib ``json`` per line — fine for a correctness
+connector; a production connector would batch through Arrow. Typed via the
+user-provided schema: only the schema's top-level fields are emitted
+(column pruning at the source).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+_PUSHABLE = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+
+
+def _passes(pushed: list[Filter], rec: dict) -> bool:
+    for f in pushed:
+        col = f.attribute[0]
+        v = rec.get(col)
+        if v is None:
+            return False
+        if isinstance(f, EqualTo) and not v == f.value:
+            return False
+        if isinstance(f, GreaterThan) and not v > f.value:
+            return False
+        if isinstance(f, GreaterThanOrEqual) and not v >= f.value:
+            return False
+        if isinstance(f, LessThan) and not v < f.value:
+            return False
+        if isinstance(f, LessThanOrEqual) and not v <= f.value:
+            return False
+    return True
+
+
+class DocStoreReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("docstore requires a path")
+        self.pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept simple single-column comparisons on top-level fields;
+        return the rest for Spark to evaluate. Spark also re-checks
+        accepted filters only if we returned them — we don't, so the
+        pushdown is observable in the row counts each partition emits."""
+        for f in filters:
+            if isinstance(f, _PUSHABLE) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, n)
+                for n in os.listdir(self.path)
+                if n.endswith(".jsonl")
+            )
+        else:
+            files = [self.path]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        names = self.schema.fieldNames()
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if _passes(self.pushed, rec):
+                    yield tuple(rec.get(n) for n in names)
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class DocStoreWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("docstore requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator[Row]) -> _WroteFile:
+        os.makedirs(self.path, exist_ok=True)
+        names = self.schema.fieldNames()
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = {k: v for k, v in zip(names, row)}
+                fh.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        return _WroteFile(path=out, n_rows=n)
+
+    def commit(self, messages) -> None:
+        # task files are already in place; overwrite semantics drop files
+        # that existed before this job (tracked via a marker written first)
+        if self.overwrite:
+            keep = {m.path for m in messages if m is not None}
+            for name in os.listdir(self.path):
+                p = os.path.join(self.path, name)
+                if name.endswith(".jsonl") and p not in keep:
+                    os.remove(p)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class DocStoreDataSource(DataSource):
+    """``format("docstore")`` — register with
+    ``spark.dataSource.register(DocStoreDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "docstore"
+
+    def schema(self) -> str:
+        raise NotImplementedError(
+            "docstore does not infer schemas; pass .schema(...) explicitly "
+            "(document stores are schema-on-read — the caller owns the contract)"
+        )
+
+    def reader(self, schema: StructType) -> DocStoreReader:
+        return DocStoreReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DocStoreWriter:
+        return DocStoreWriter(schema, self.options, overwrite)
+
+
+def register_docstore(spark) -> None:
+    """Register the source and enable the Python-source filter-pushdown
+    flag (off by default in Spark 4.1; a runtime SQL conf, safe to set on
+    a live session). One call makes ``format("docstore")`` available."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DocStoreDataSource)
