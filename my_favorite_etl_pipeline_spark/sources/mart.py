@@ -36,11 +36,19 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_MANIFEST"
+HISTORY = "_HISTORY"
 DATA_DIR = "data"
 
 
 class VersionedMart:
-    """A parquet table whose visible version is one atomic pointer swap."""
+    """A parquet table whose visible version is one atomic pointer swap.
+
+    ``_HISTORY`` records the committed-version sequence (rewritten
+    atomically on each commit), which buys the two snapshot features the
+    lakehouse formats layer on this protocol: ``read(version=...)`` time
+    travel over retained versions and ``vacuum(keep=N)`` retention.
+    Single-writer by design — concurrent writers need the real formats.
+    """
 
     def __init__(self, root: str) -> None:
         self.root = Path(root)
@@ -59,16 +67,29 @@ class VersionedMart:
         tmp.write_text(version + "\n")
         os.replace(tmp, self.root / MANIFEST)
 
-    def commit(self, df: DataFrame, version: str, vacuum: bool = True) -> str:
+    def _append_history(self, version: str) -> None:
+        """Step 2b — record the commit order (atomic whole-file rewrite;
+        a crash before this leaves the version readable but unlisted, and
+        the next commit of the same version repairs the log — advisory
+        metadata, never the source of visibility truth)."""
+        entries = [v for v in self.history() if v != version] + [version]
+        tmp = self.root / f"{HISTORY}.tmp"
+        tmp.write_text("".join(e + "\n" for e in entries))
+        os.replace(tmp, self.root / HISTORY)
+
+    def commit(self, df: DataFrame, version: str, vacuum: bool = True, keep: int = 1) -> str:
         """Write ``df`` as ``version`` and atomically make it current.
 
         Idempotent per version: a retry after any crash point rewrites the
-        same directory and swaps again. Returns the committed version.
+        same directory and swaps again. ``keep`` retains that many latest
+        committed versions through the post-commit vacuum (keep > 1
+        enables :meth:`read` time travel). Returns the committed version.
         """
         self._write_version(df, version)
         self._swap_manifest(version)
+        self._append_history(version)
         if vacuum:
-            self.vacuum()
+            self.vacuum(keep=keep)
         return version
 
     # -- read side ----------------------------------------------------------
@@ -79,28 +100,52 @@ class VersionedMart:
             return None
         return mf.read_text().strip() or None
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        version = self.current_version()
+    def history(self) -> list[str]:
+        """Committed versions, oldest first (advisory log)."""
+        hf = self.root / HISTORY
+        if not hf.exists():
+            return []
+        return [v for v in hf.read_text().splitlines() if v]
+
+    def available_versions(self) -> list[str]:
+        """History entries whose data directories survived vacuum."""
+        return [v for v in self.history() if (self.root / DATA_DIR / v).exists()]
+
+    def read(self, spark: SparkSession, version: str | None = None) -> DataFrame:
+        """Read the current version, or time-travel to a retained one."""
+        version = version or self.current_version()
         if version is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
-        return spark.read.parquet(str(self.root / DATA_DIR / version))
+        target = self.root / DATA_DIR / version
+        if not target.exists():
+            raise FileNotFoundError(
+                f"version {version!r} not available (vacuumed or never "
+                f"committed); retained: {self.available_versions()}"
+            )
+        return spark.read.parquet(str(target))
 
     # -- maintenance --------------------------------------------------------
 
-    def vacuum(self) -> list[str]:
-        """Step 3 — drop version dirs the manifest no longer references.
+    def vacuum(self, keep: int = 1) -> list[str]:
+        """Step 3 — drop version dirs beyond the ``keep`` latest committed
+        (the manifest's current version is always retained).
 
         Safe at any time: the referenced version is never touched, and a
         concurrent reader that already resolved the manifest holds the
-        current version by definition.
+        current version by definition. Orphan dirs from crashed
+        pre-commit writes are reclaimed too (they are absent from the
+        history, so they never count toward ``keep``).
         """
         current = self.current_version()
+        retained = set(self.history()[-max(keep, 1):])
+        if current:
+            retained.add(current)
         removed = []
         data = self.root / DATA_DIR
         if not data.exists():
             return removed
         for d in data.iterdir():
-            if d.is_dir() and d.name != current:
+            if d.is_dir() and d.name not in retained:
                 shutil.rmtree(d)
                 removed.append(d.name)
         return removed

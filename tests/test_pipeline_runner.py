@@ -162,3 +162,28 @@ def test_runner_persists_mart_atomically_and_retries_after_cleanup_crash(spark, 
     import os
 
     assert not os.path.exists(f"{staging}/batch_run_id=r2")
+
+
+def test_versioned_mart_time_travel_and_retention(spark, tmp_path):
+    from my_favorite_etl_pipeline_spark.sources.mart import VersionedMart
+
+    mart = VersionedMart(str(tmp_path / "mart"))
+    for i in range(1, 5):
+        mart.commit(spark.range(i * 10), f"v{i}", keep=2)
+
+    assert mart.current_version() == "v4"
+    assert mart.history() == ["v1", "v2", "v3", "v4"]
+    # keep=2 retained only the two latest data dirs
+    assert mart.available_versions() == ["v3", "v4"]
+
+    assert mart.read(spark).count() == 40
+    assert mart.read(spark, version="v3").count() == 30
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="v1"):
+        mart.read(spark, version="v1")
+
+    # re-committing an existing version is idempotent and doesn't dup history
+    mart.commit(spark.range(45), "v4", keep=2)
+    assert mart.history() == ["v1", "v2", "v3", "v4"]
+    assert mart.read(spark).count() == 45
