@@ -346,11 +346,12 @@ def sessionize_events_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            # double epoch, not long: micros must count toward the gap
-            # exactly as DuckDB's interval compare does (1800.5 s > 30 min)
+            # interval compare, not an epoch cast: works for TIMESTAMP_NTZ
+            # and counts micros toward the gap exactly as DuckDB's
+            # `ts - prev_ts > INTERVAL 30 MINUTE` does (1800.5 s > 30 min)
             | (
-                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-                > F.lit(1800.0)
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr("INTERVAL '30' MINUTE")
             ),
             1,
         )

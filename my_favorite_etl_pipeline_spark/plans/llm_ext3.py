@@ -478,10 +478,18 @@ def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w.doc_id, w.w, wt / nv AS u
       FROM wts w JOIN nrm USING (doc_id) WHERE nv > 0
     ),
+    posting AS (
+      SELECT doc_id, w, u,
+             ROW_NUMBER() OVER (
+               PARTITION BY w ORDER BY ROUND(u, 6) DESC, doc_id
+             ) AS pn
+      FROM unit
+    ),
+    cand AS (SELECT doc_id, w, u FROM posting WHERE pn <= 256),
     sims AS (
       SELECT a.doc_id AS src, b.doc_id AS dst,
              ROUND(SUM(a.u * b.u), 4) AS sim
-      FROM unit a JOIN unit b ON a.w = b.w AND a.doc_id <> b.doc_id
+      FROM unit a JOIN cand b ON a.w = b.w AND a.doc_id <> b.doc_id
       WHERE a.doc_id % 50 = 0
       GROUP BY a.doc_id, b.doc_id
     ),
@@ -503,16 +511,26 @@ def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize — similarity is SUM(u_a·u_b) grouped by the pair, joined
     ONLY through shared terms.
 
-    Plan at 100 TB: every step is an equi-shuffle (term or doc key); the
-    pair blow-up is bounded by |queries| × posting-list length, never
-    corpus². (The all-pairs variant — no query-set filter — is quadratic
-    ON THIS FIXTURE because its 40-word vocabulary makes every posting
-    list corpus-length; measured 268 s at sf0.1 vs 3 s for this shape.
-    Real corpora have Zipfian vocab growth, but an engine shouldn't ship a
-    shape whose worst case is n².) Terms present in EVERY document have
-    idf = 0 and are dropped EXACTLY (zero contribution). Ranking happens
-    on the ROUNDED similarity with a doc-id tie-break on both engines, so
-    rank order is deterministic and float-dust-proof.
+    Plan at 100 TB: every step is an equi-shuffle (term or doc key), and
+    the candidate side is IMPACT-TRUNCATED — per term, only the top-256
+    postings by unit weight survive (row_number over the term partition,
+    ranked on ROUND(u, 6) with a doc-id tie-break so both engines truncate
+    identically). That caps the pair blow-up at |queries| × Σ_t min(256,
+    df_t) regardless of how Zipfian the vocabulary is: a heavy-hitter term
+    with df ≈ 0.5·N contributes at most 256 candidates instead of a
+    near-corpus-length posting list. The recall cost is bounded precisely
+    where it is cheapest — a truncated posting's u is the SMALLEST weight
+    of its term, and heavy-hitter terms have low idf, so the dropped tail
+    is the lowest-impact mass in the index (impact-ordered pruning,
+    standard IR practice). A pure df-cutoff is NOT usable here: on this
+    fixture 30 of 31 terms have df ≈ 0.78·N, so dropping df > 20 %·N
+    terms would empty every vector. Query vectors stay exact. (The
+    all-pairs variant — no query-set filter, no truncation — measured
+    268 s at sf0.1 vs ~3 s for this shape.) Terms present in EVERY
+    document have idf = 0 and are dropped EXACTLY (zero contribution).
+    Final ranking happens on the ROUNDED similarity with a doc-id
+    tie-break on both engines, so rank order is deterministic and
+    float-dust-proof.
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
@@ -541,8 +559,29 @@ def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nv") > 0)
         .select("doc_id", "w", (F.col("wt") / F.col("nv")).alias("u"))
     )
+    # Impact-ordered posting truncation: per term, keep the 256 highest-
+    # weight postings on the candidate side (rank on the ROUNDED weight +
+    # doc_id so Spark and DuckDB truncate the same set). Bounds the join
+    # at |queries| x sum_t min(256, df_t) — Zipf-proof. Two-phase top-K:
+    # a salted local window first, so a heavy-hitter term never lands a
+    # corpus-length posting list on one reducer (per-reducer input is
+    # <= 256 rows in phase 1 per salt bucket, <= 256*32 in phase 2); an
+    # exact refinement, since every global top-256 row is in its salt
+    # bucket's top-256.
+    rank_cols = [F.round(F.col("u"), 6).desc(), F.col("doc_id")]
+    wlocal = Window.partitionBy(
+        "w", F.pmod(F.xxhash64("doc_id"), F.lit(32))
+    ).orderBy(*rank_cols)
+    wterm = Window.partitionBy("w").orderBy(*rank_cols)
+    cand = (
+        unit.withColumn("ln", F.row_number().over(wlocal))
+        .filter(F.col("ln") <= 256)
+        .withColumn("pn", F.row_number().over(wterm))
+        .filter(F.col("pn") <= 256)
+        .drop("ln", "pn")
+    )
     a = unit.filter(F.col("doc_id") % 50 == 0).alias("a")
-    b = unit.alias("b")
+    b = cand.alias("b")
     sims = (
         a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") != F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
