@@ -54,22 +54,25 @@ def connected_components(
             .groupBy(F.col("u").alias("nb_node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # change-detection is folded into the label update: a `changed` flag
+        # column plus a lazy localCheckpoint means the single count-aggregate
+        # action below BOTH materializes the round's checkpoint (the full
+        # aggregate computes every partition, unlike limit(1)) and returns
+        # the convergence signal — one job launch per round, no
+        # set-difference join against the previous labels.
         new_labels = (
             labels.join(nbr_min, labels.node == F.col("nb_node"), "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(
+            F.coalesce(F.sum(F.col("chg").cast("long")), F.lit(0))
+        ).collect()[0][0]
+        labels = new_labels.drop("chg")
         if changed == 0:
             return labels.select("node", "comp")
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

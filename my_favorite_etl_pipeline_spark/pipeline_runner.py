@@ -167,6 +167,57 @@ def run_incremental_batch(
     return merged, report
 
 
+def run_backfill(
+    spark: SparkSession,
+    source: DataFrame,
+    mart: DataFrame,
+    staging_path: str,
+    windows: list[tuple[str, str]],
+    run_id_prefix: str = "backfill",
+    key: str = "_id",
+    ts_cols: list[str] | None = None,
+    update_cols: list[str] | None = None,
+    dq: DQSuite | None = None,
+    mart_path: str | None = None,
+) -> tuple[DataFrame, list[BatchReport]]:
+    """Backfill = map :func:`run_incremental_batch` over historical windows
+    (SURVEY §2.11; reference ``catchup`` at dag:441, README.md:5
+    "backfill-safe scheduling").
+
+    Safety comes from three already-tested properties, not from this loop:
+    the window predicate scopes each read, the keyed merge is idempotent, and
+    staging is partition-isolated per run. The per-window run id is derived
+    from the window BOUNDS (not the loop index), so re-running any window —
+    after a crash, or because two backfill invocations overlap — hits the
+    same staging partition and the same merge fixpoint as the tested retry
+    path. Empty windows short-circuit (F4) without touching staging.
+
+    Returns the final mart plus one :class:`BatchReport` per window, in
+    order. Windows may overlap: later windows win per key, matching the
+    reference's last-writer-wins upsert arm (dag:311-315).
+    """
+    reports: list[BatchReport] = []
+    for start, end in windows:
+        run_id = f"{run_id_prefix}_" + "".join(
+            ch if ch.isalnum() else "-" for ch in f"{start}_{end}"
+        )
+        mart, report = run_incremental_batch(
+            spark,
+            source,
+            mart,
+            staging_path,
+            (start, end),
+            run_id=run_id,
+            key=key,
+            ts_cols=ts_cols,
+            update_cols=update_cols,
+            dq=dq,
+            mart_path=mart_path,
+        )
+        reports.append(report)
+    return mart, reports
+
+
 def check_connections(spark: SparkSession, paths: list[str] | None = None) -> bool:
     """S4 — connection health probe (dag:79-84): a trivial catalog query plus
     a limit-1 scan per source path. Raises on failure, True otherwise."""

@@ -13,6 +13,7 @@ computing the same definition independently.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -481,7 +482,7 @@ def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting AS (
       SELECT doc_id, w, u,
              ROW_NUMBER() OVER (
-               PARTITION BY w ORDER BY ROUND(u, 6) DESC, doc_id
+               PARTITION BY w ORDER BY ROUND(u, 4) DESC, doc_id
              ) AS pn
       FROM unit
     ),
@@ -534,8 +535,13 @@ def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
-    tf = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
+    # tf feeds THREE downstream aggregates (dl, df_, wts) plus the df-skew
+    # probe below; persist it once (spills to disk under pressure) instead
+    # of re-tokenizing the corpus per consumer.
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dl = tf.groupBy("doc_id").agg(F.sum("c").alias("len"))
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("dfc"))
@@ -561,22 +567,37 @@ def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Impact-ordered posting truncation: per term, keep the 256 highest-
     # weight postings on the candidate side (rank on the ROUNDED weight +
-    # doc_id so Spark and DuckDB truncate the same set). Bounds the join
-    # at |queries| x sum_t min(256, df_t) — Zipf-proof. Two-phase top-K:
-    # a salted local window first, so a heavy-hitter term never lands a
-    # corpus-length posting list on one reducer (per-reducer input is
-    # <= 256 rows in phase 1 per salt bucket, <= 256*32 in phase 2); an
-    # exact refinement, since every global top-256 row is in its salt
-    # bucket's top-256.
-    rank_cols = [F.round(F.col("u"), 6).desc(), F.col("doc_id")]
-    wlocal = Window.partitionBy(
-        "w", F.pmod(F.xxhash64("doc_id"), F.lit(32))
-    ).orderBy(*rank_cols)
+    # doc_id so Spark and DuckDB truncate the same set; 4 decimals keeps the
+    # discretization boundaries sparse enough that cross-engine float-dust
+    # cannot flip the rank-256 cut — ties fall to the doc_id break, which
+    # both engines apply identically). Bounds the join at
+    # |queries| x sum_t min(256, df_t) — Zipf-proof.
+    #
+    # The salted two-phase top-K (local window per salt bucket, then the
+    # global window) only pays for itself when some term's posting list is
+    # long enough to hot-spot one reducer; when max df <= 256*32 even the
+    # hottest term fits a single reducer's phase-2 input, so the salted
+    # pre-pass is pure overhead. A scalar max(df) probe on the cached tf
+    # decides — at production scale this statistic comes for free from
+    # table-level column stats.
+    rank_cols = [F.round(F.col("u"), 4).desc(), F.col("doc_id")]
     wterm = Window.partitionBy("w").orderBy(*rank_cols)
+    df_max = df_.agg(F.max("dfc")).collect()[0][0] or 0.0
+    if df_max > 256 * 32:
+        # Two-phase exact top-K: a heavy-hitter term never lands a corpus-
+        # length posting list on one reducer (per-reducer input is <= 256
+        # rows per salt bucket in phase 1, <= 256*32 in phase 2); exact,
+        # since every global top-256 row is in its salt bucket's top-256.
+        wlocal = Window.partitionBy(
+            "w", F.pmod(F.xxhash64("doc_id"), F.lit(32))
+        ).orderBy(*rank_cols)
+        pruned = unit.withColumn("ln", F.row_number().over(wlocal)).filter(
+            F.col("ln") <= 256
+        )
+    else:
+        pruned = unit.withColumn("ln", F.lit(1))
     cand = (
-        unit.withColumn("ln", F.row_number().over(wlocal))
-        .filter(F.col("ln") <= 256)
-        .withColumn("pn", F.row_number().over(wterm))
+        pruned.withColumn("pn", F.row_number().over(wterm))
         .filter(F.col("pn") <= 256)
         .drop("ln", "pn")
     )

@@ -15,6 +15,7 @@ from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -54,24 +55,42 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
         return ()
 
 
+def normalize_event_time(df: DataFrame, ns_cols: tuple[str, ...] = ()) -> DataFrame:
+    """One canonical timestamp repair for batch AND streaming readers.
+
+    The fixture generator has shipped event time three ways across rounds:
+    TIMESTAMP(NANOS) (Spark rejects outright → read as int64 and rebuild),
+    TIMESTAMP(MICROS) with UTC adjustment (plain TIMESTAMP, nothing to do),
+    and TIMESTAMP(MICROS) *without* UTC adjustment, which Spark reads as
+    TIMESTAMP_NTZ. NTZ breaks ``withWatermark`` ([EVENT_TIME_IS_NOT_ON_
+    TIMESTAMP_TYPE]) and epoch casts; the session TZ is pinned UTC in
+    session.py, so casting NTZ→TIMESTAMP preserves wall-clock exactly and
+    keeps DuckDB oracle hashes unchanged. Funneling every reader through
+    this helper makes the next fixture dtype flip a one-line fix.
+    """
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one fixture table. Columns/filters prune at the scan.
 
     Nanosecond-timestamp columns are read as raw int64 (legacy conf) and
     rebuilt as microsecond timestamps via integer division — the same
     ns→µs truncation DuckDB applies, so oracle comparisons stay exact.
+    NTZ columns are normalized to TIMESTAMP (see normalize_event_time).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_cols(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
-    return df
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_time(spark.read.parquet(path), ns_cols)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

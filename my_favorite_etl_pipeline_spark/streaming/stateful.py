@@ -143,8 +143,17 @@ def stream_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def _run_to_memory(df: DataFrame, prefix: str) -> DataFrame:
+    """HARNESS-ONLY sink: funnels the whole stream into driver memory so the
+    oracle can compare final state. That is a deliberate driver bottleneck —
+    NEVER route a production path here. The production sink is
+    ``foreachBatch`` → :func:`~..operators.merge.merge_upsert` (distributed,
+    idempotent; tested in tests/test_streaming_extras.py). The guard below
+    enforces the boundary: only availableNow (bounded, batch-parity) runs
+    may use the memory sink.
+    """
     import time
 
+    assert df.isStreaming, "_run_to_memory is for bounded availableNow harness runs"
     name = f"{prefix}_{int(time.time() * 1000) % 10_000_000}"
     q = (
         df.writeStream.format("memory")

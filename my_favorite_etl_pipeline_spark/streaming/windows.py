@@ -20,15 +20,17 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import _nanos_timestamp_cols
+from ..sources.tables import _nanos_timestamp_cols, normalize_event_time
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events parquet with the ns-timestamp repair.
 
-    Streaming sources need an explicit schema; we take it from the batch
-    reader (post nanosAsLong), then rebuild proper timestamps exactly like
-    the batch path so stream and batch agree to the microsecond.
+    Streaming sources need an explicit schema; we take it from the raw batch
+    reader (post nanosAsLong), then normalize event time exactly like the
+    batch path (normalize_event_time) so stream and batch agree to the
+    microsecond — including the NTZ→TIMESTAMP cast that ``withWatermark``
+    requires ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE] on TIMESTAMP_NTZ).
     """
     path = f"{sf_dir}/events.parquet"
     ns_cols = _nanos_timestamp_cols(path)
@@ -42,9 +44,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))"))
-    return df
+    return normalize_event_time(df, ns_cols)
 
 
 def watermarked_hourly_counts(
@@ -62,7 +62,7 @@ def watermarked_hourly_counts(
     batches is observable — the unit test feeds an on-time file then a late
     file and asserts the late row didn't reach the closed window.
     """
-    stream = (
+    stream = normalize_event_time(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")

@@ -104,6 +104,60 @@ def test_overlapping_backfill_fresh_run_id_updates_lineage(spark, tmp_path):
     assert {r["batch_run_id"] for r in merged2.collect()} == {"r2"}
 
 
+def test_run_backfill_overlapping_windows_match_single_shot(spark, tmp_path):
+    """§2.11 backfill: mapping the batch over 3 historical windows — one of
+    which overlaps the others — must land the exact row-set of one single
+    full-range run, leave staging empty, and be a fixpoint when any window
+    is re-run (its bounds-derived run id makes that the retry path)."""
+    import glob
+
+    from my_favorite_etl_pipeline_spark.pipeline_runner import run_backfill
+
+    src = spark.createDataFrame(
+        [
+            Row(_id=1, name="a", status="open", createdAt=TS(2024, 1, 10, 1),
+                updatedAt=None, createdby=Row(id="u1", name="ann", role="r", client="c")),
+            Row(_id=2, name="b", status="open", createdAt=TS(2024, 1, 11, 2),
+                updatedAt=None, createdby=None),
+            Row(_id=3, name="c", status="open", createdAt=TS(2024, 1, 2, 1),
+                updatedAt=TS(2024, 1, 12, 3), createdby=None),
+        ],
+        "`_id` long, name string, status string, createdAt timestamp, updatedAt timestamp, "
+        "createdby struct<id:string,name:string,role:string,client:string>",
+    )
+    windows = [
+        ("2024-01-10 00:00:00", "2024-01-11 00:00:00"),  # row 1
+        ("2024-01-11 00:00:00", "2024-01-12 00:00:00"),  # row 2
+        ("2024-01-10 12:00:00", "2024-01-13 00:00:00"),  # rows 2+3 (overlap)
+    ]
+    staging = str(tmp_path / "staging")
+    mart0 = transform(src.limit(0), "seed")
+    final, reports = run_backfill(spark, src, mart0, staging, windows)
+    assert [r.extracted for r in reports] == [1, 1, 2]
+    assert not any(r.skipped_empty for r in reports)
+
+    single, _ = run_incremental_batch(
+        spark, src, mart0, str(tmp_path / "staging2"),
+        ("2024-01-10 00:00:00", "2024-01-13 00:00:00"), run_id="single",
+    )
+    a, b = final.drop("batch_run_id"), single.drop("batch_run_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # staging fully cleaned: no per-run partitions survive any window
+    assert glob.glob(f"{staging}/batch_run_id=*") == []
+
+    # re-running a window re-derives the SAME run id → merge fixpoint
+    final2, reports2 = run_backfill(spark, src, final, staging, [windows[2]])
+    assert reports2[0].extracted == 2
+    assert final2.exceptAll(final).count() == 0
+
+    # an empty historical window short-circuits without touching staging
+    _, rep_empty = run_backfill(
+        spark, src, final2, staging, [("2020-01-01 00:00:00", "2020-01-02 00:00:00")]
+    )
+    assert rep_empty[0].skipped_empty
+
+
 def test_versioned_mart_crash_between_write_and_commit(spark, tmp_path):
     """A reader must never observe a half state: crash after the version
     write but BEFORE the manifest swap leaves the previous version fully

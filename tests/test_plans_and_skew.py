@@ -176,3 +176,50 @@ def test_zipf_fixture_aqe_skew_split_and_salted_plans(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sessionize_ntz_fractional_second_gap(spark, tmp_path):
+    """The 30-min gap compare must work on a TIMESTAMP_NTZ fixture (µs
+    parquet without UTC adjustment — the dtype that broke epoch casts) and
+    count fractional seconds toward the gap: exactly 1800.0 s is the SAME
+    session, 1800.5 s opens a new one. Also pins normalize_event_time's
+    NTZ→TIMESTAMP repair on the batch reader."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = {
+        "event_id": [1, 2, 3],
+        "ts": [t0, t0 + dt.timedelta(seconds=1800), t0 + dt.timedelta(seconds=3600.5)],
+        "user_id": [7, 7, 7],
+        "event_type": ["view"] * 3,
+        "value": [1.0, 2.0, 3.0],
+        "props": ["{}"] * 3,
+    }
+    table = pa.table(rows).cast(
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),  # no tz → Spark reads TIMESTAMP_NTZ
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    ev = load(spark, str(tmp_path), "events")
+    assert ev.schema["ts"].dataType.typeName() == "timestamp"  # NTZ repaired
+
+    out = entrymod.queries()["sessionize_events_gap30m"](spark, str(tmp_path)).collect()
+    by_session = {r.session_seq: r for r in out}
+    assert len(by_session) == 2
+    assert by_session[1].n_events == 2  # exactly-1800 s gap: same session
+    assert by_session[2].n_events == 1  # 1800.5 s gap: new session
+    assert by_session[2].session_start == t0 + dt.timedelta(seconds=3600.5)
