@@ -45,4 +45,5 @@ def _import_or_warn(mod_name: str) -> None:
 _import_or_warn("llm_ext")
 _import_or_warn("llm_ext2")
 _import_or_warn("llm_ext3")
+_import_or_warn("llm_ext4")
 _import_or_warn("streaming_queries")

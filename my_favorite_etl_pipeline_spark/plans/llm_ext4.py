@@ -1,0 +1,205 @@
+"""[EXT] curation round 4 — corpus-assembly operators a production
+pretraining-data pipeline runs between dedup and packing (SURVEY.md §2.9
+X4/X1; no reference citation exists — the citation is BASELINE.json's
+LLM-data mandate).
+
+Three operators, each with an exact DuckDB oracle:
+
+- ``quota_sample_per_source``  — per-domain document caps (the "no source
+  may dominate the mixture" rule every corpus spec has). Deterministic
+  hash-priority sampling, salted two-phase top-K so a hot domain cannot
+  hot-spot one reducer.
+- ``dedup_keep_best``          — near-dup clustering composed with
+  canonical selection: keep the highest-quality member of each cluster
+  (here: most characters), not the arbitrary min-id.
+- ``dedup_normalized_text``    — exact dedup AFTER text normalization
+  (casefold + whitespace collapse): catches trivially-reformatted copies
+  that byte-exact fingerprints miss, at map-only cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators.graph import connected_components
+from ..registry import register
+from ..sources.tables import load
+
+# restated from llm_ext2 (same reason as there: each oracle must be a
+# self-contained SQL string the driver can run verbatim)
+_DUCK_SHINGLES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(len(t) - 2),
+                                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+               ELSE [] END) AS s
+      FROM toks
+    )
+"""
+
+# small enough to BIND on the fixtures (20 sources × 25 docs at sf0.01), so
+# the truncation boundary itself is oracle-checked, not just the pass-through
+_QUOTA = 10
+
+
+@register(
+    "quota_sample_per_source",
+    oracle=f"""
+    WITH pri AS (
+      SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+      FROM pri
+    )
+    SELECT source, CAST(doc_id AS BIGINT) AS doc_id
+    FROM r WHERE rn <= {_QUOTA}
+    ORDER BY source, doc_id
+    """,
+)
+def q_quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ — per-source document quota (domain caps): keep at most N docs
+    per source, chosen by a DETERMINISTIC hash priority (md5 of the doc id),
+    so the sample is reproducible across runs/engines and unbiased by
+    ingestion order — the standard "cap crawl-dump domination" rule in
+    corpus mixing specs.
+
+    Scale shape: sources are FEW and HOT by construction (a per-key window
+    over `source` is exactly the skewed-window case), so the top-K is the
+    salted two-phase pattern — phase 1 ranks within (source, salt) buckets
+    and keeps K per bucket, phase 2 ranks the surviving ≤ K·32 rows per
+    source. No reducer ever sorts a whole domain; both phases are exact
+    (every global top-K row is in its bucket's top-K).
+    """
+    docs = load(spark, sf_dir, "documents")
+    pri = docs.select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("pri")
+    )
+    rank_cols = [F.col("pri"), F.col("doc_id")]
+    wlocal = Window.partitionBy(
+        "source", F.pmod(F.xxhash64("doc_id"), F.lit(32))
+    ).orderBy(*rank_cols)
+    wglob = Window.partitionBy("source").orderBy(*rank_cols)
+    return (
+        pri.withColumn("ln", F.row_number().over(wlocal))
+        .filter(F.col("ln") <= _QUOTA)
+        .withColumn("rn", F.row_number().over(wglob))
+        .filter(F.col("rn") <= _QUOTA)
+        .select("source", F.col("doc_id").cast("long").alias("doc_id"))
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+            / LEN(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    ),
+    edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(root) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.component, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_docs
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(doc_id AS BIGINT) AS kept_doc_id,
+           CAST(n_chars AS BIGINT) AS kept_chars,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1 ORDER BY component
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ — near-dup clustering composed with CANONICAL SELECTION: inside
+    each ≥0.9-Jaccard component keep the doc with the most characters
+    (tie-break min doc_id), not the arbitrary min-id member. This is what
+    production dedup actually ships — dropping the truncated mirror and
+    keeping the full article — and it exercises the cluster → join-back →
+    per-cluster argmax composition end to end.
+
+    Plan: exact prefix-filtered pair generation (equi-shuffles only, 100%
+    recall at the threshold) → one-job-per-round connected components →
+    broadcast-size join back to documents → per-component row_number.
+    Cluster sizes are near-dup groups (tiny), so the final window has no
+    skew; the heavy lifting stays in the pair join, which is bounded by the
+    prefix filter.
+    """
+    from ..operators.dedup import prefix_filter_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9)
+    sh = docs.select("doc_id", TX.shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    pairs = (
+        cand.join(a, cand.id_a == F.col("a.doc_id"))
+        .join(b, cand.id_b == F.col("b.doc_id"))
+        .filter(jac >= 0.9)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(pairs, vertices=docs.select("doc_id"))
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("doc_id").cast("long").alias("kept_doc_id"),
+            F.col("n_chars").cast("long").alias("kept_chars"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("component")
+    )
+
+
+@register(
+    "dedup_normalized_text",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY fp
+    """,
+)
+def q_dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+ — exact dedup after TEXT NORMALIZATION (casefold + whitespace
+    collapse + trim): the cheapest rung of the dedup ladder above byte-exact
+    hashing — catches re-wrapped/re-cased copies at map-only cost before the
+    expensive MinHash tiers run. One hash aggregate, partial map-side
+    combine, no data movement beyond the fingerprint groupBy.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")))
+    return (
+        docs.groupBy(fp.alias("fp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+        .orderBy("fp")
+    )
