@@ -17,6 +17,7 @@ deterministic across runs and partitionings.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -120,7 +121,12 @@ def prefix_filter_pairs(
     sh = ensure_min_partitions(df).select(
         F.col(id_col), shingles(F.col(text_col)).alias("sh")
     )
-    tok = sh.select(id_col, F.explode("sh").alias("t"))
+    # tok feeds the frequency agg AND the ranked re-agg; pref self-joins.
+    # Without persistence the shingle/explode chain runs four times —
+    # persist the two fan-out points (spill-safe) so it runs once.
+    tok = sh.select(id_col, F.explode("sh").alias("t")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
     ranked = (
         tok.join(freq, "t")
@@ -133,7 +139,7 @@ def prefix_filter_pairs(
         F.col(id_col),
         n.alias("n"),
         F.explode(F.slice(F.transform("ord", lambda s: s["t"]), F.lit(1), plen)).alias("t"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = pref.alias("a"), pref.alias("b")
     return (
         a.join(
@@ -160,7 +166,13 @@ def jaccard_verify(
     Joins the (small) candidate set back to the corpus twice; at scale both
     joins broadcast the pair list. Returns (id_a, id_b, jaccard≥threshold).
     """
-    sh = ensure_min_partitions(df).select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    # the self-join below would otherwise compute the shingle projection
+    # twice — persist the single map-only pass instead
+    sh = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = sh.alias("sa")
     b = sh.alias("sb")
     jac = (

@@ -560,10 +560,14 @@ def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrm = wts.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nv"))
+    # unit feeds TWO consumers (the exact query side and the truncated
+    # candidate side); persisting it stops the dl/df_/nrm join chain from
+    # running twice — same multi-consumer rationale as tf above.
     unit = (
         wts.join(nrm, "doc_id")
         .filter(F.col("nv") > 0)
         .select("doc_id", "w", (F.col("wt") / F.col("nv")).alias("u"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Impact-ordered posting truncation: per term, keep the 256 highest-
     # weight postings on the candidate side (rank on the ROUNDED weight +
