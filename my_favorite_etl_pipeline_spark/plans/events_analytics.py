@@ -105,7 +105,8 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(value), 4) AS sum_value,
-           ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+           (CAST(ROUND(ROUND(SUM(value), 4) * 10000) AS BIGINT) // COUNT(*))
+             / 10000.0 AS avg_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -129,12 +130,24 @@ def continuous_aggregate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appended per batch window; computing it inline keeps the harness
     # hermetic while exercising the identical merge math
     merged = rollup_with_tail(hourly_rollup(history), tail)
+    # avg is FIXED-POINT: scale the (cross-engine-identical) rounded sum to
+    # an exact integer and integer-divide by the count. A float division
+    # here is not reproducible — rounded_sum/count lands on exact decimal
+    # halves (x.xx125 for counts like 24), where Spark rounds the shortest
+    # decimal representation (BigDecimal HALF_UP) and DuckDB rounds the raw
+    # binary double, and they disagree. Integer math is bit-identical at
+    # any scale factor; the contract truncates toward zero at 1e-4.
     return merged.select(
         "bucket_start",
         "event_type",
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
-        F.round(F.col("avg_value"), 4).alias("avg_value"),
+        (
+            F.expr(
+                "CAST(ROUND(ROUND(sum_value, 4) * 10000) AS BIGINT) DIV n_events"
+            )
+            / F.lit(10000.0)
+        ).alias("avg_value"),
     )
 
 

@@ -9,7 +9,14 @@ compares both sides (row count + schema + order-insensitive value hash), so:
 - round floating aggregates to a fixed number of decimals on BOTH sides
   (summation order differs between engines; see ``fdec`` helpers in plans);
 - cast count-like integer aggregates to BIGINT on the DuckDB side (DuckDB
-  widens SUM(int) to HUGEINT, Spark keeps BIGINT).
+  widens SUM(int) to HUGEINT, Spark keeps BIGINT);
+- NEVER round a float DIVISION whose true quotient can hit exact decimal
+  halves (sum/count with 4-decimal sums and small counts → x.xx125):
+  Spark rounds the shortest decimal representation (BigDecimal HALF_UP),
+  DuckDB rounds the raw binary double, and they disagree exactly at those
+  halves. Use fixed-point integer math instead — scale to an exact BIGINT
+  and integer-divide on both engines (see continuous_aggregate_rollup,
+  found by an sf0.1 sweep after passing at sf0.01 for three rounds).
 """
 
 from __future__ import annotations
