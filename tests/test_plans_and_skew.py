@@ -223,3 +223,14 @@ def test_sessionize_ntz_fractional_second_gap(spark, tmp_path):
     assert by_session[1].n_events == 2  # exactly-1800 s gap: same session
     assert by_session[2].n_events == 1  # 1800.5 s gap: new session
     assert by_session[2].session_start == t0 + dt.timedelta(seconds=3600.5)
+
+
+def test_multiconsumer_frames_are_cached(spark, sf_dir):
+    """The round-4 perf fix: tfidf and the prefix-filter join persist their
+    multi-consumer frames (tf/unit, tok/pref). If a refactor drops the
+    persists, correctness stays green but each consumer re-runs the
+    tokenize/aggregate chain — pin the InMemoryTableScan in the plan."""
+    df = entrymod.queries()["tfidf_topk_similar_docs"](spark, sf_dir)
+    assert "InMemoryTableScan" in _physical_plan(df)
+    df2 = entrymod.queries()["ssjoin_prefix_filter"](spark, sf_dir)
+    assert "InMemoryTableScan" in _physical_plan(df2)
