@@ -79,10 +79,11 @@ CURATED_FIRST: tuple[str, ...] = (
     "anti_join_customers",
     "range_join_ship_latency",
     "asof_last_click_before_purchase",
-    # X1 exact dedup (fingerprint variant checked locally; slot given to a
-    # family the window otherwise misses entirely)
+    # X1 exact dedup (fingerprint + keep-first variants checked locally;
+    # the second slot goes to keep-BEST, which exercises the richer
+    # cluster → canonical-selection composition end to end)
     "dedup_exact_groups",
-    "dedup_keep_first",
+    "dedup_keep_best",
     # X2 near-dup — oracle-checkable algorithms only: rows-only entries
     # (simhash, ivf) waste driver slots that hash-verified families can use
     "minhash_near_dups",
@@ -106,9 +107,11 @@ CURATED_FIRST: tuple[str, ...] = (
     # X5 multimodal (image decode + audio decode; frame-sample checked locally)
     "multimodal_features",
     "multimodal_audio_features",
-    # dataset assembly
+    # dataset assembly (stratified_sample_per_lang checked locally — the
+    # quota variant covers the same deterministic-hash sampling family AND
+    # the salted two-phase top-K pattern, with a cap that binds)
     "dataset_split_hash",
-    "stratified_sample_per_lang",
+    "quota_sample_per_source",
     "quality_filter_above_median",
     "dedup_cluster_components",
     "embedding_quantize_int8",

@@ -19,7 +19,7 @@ FAMILY_SENTINELS = {
     "relational": ["q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue"],
     "window/rollup/pivot": ["top_orders_per_customer", "rollup_order_status", "pivot_status_by_segment"],
     "join-surface": ["anti_join_customers", "range_join_ship_latency", "asof_last_click_before_purchase"],
-    "X1-exact-dedup": ["dedup_exact_groups", "dedup_keep_first"],
+    "X1-exact-dedup": ["dedup_exact_groups", "dedup_keep_best"],
     "X2-near-dup": ["minhash_near_dups", "ssjoin_prefix_filter", "embedding_cosine_near_dups"],
     "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs"],
     "X4-text": ["text_quality_scores", "lang_id_heuristic", "chunk_documents_50tok", "training_data_prep"],
