@@ -160,3 +160,76 @@ def test_foreachbatch_streaming_merge(spark, tmp_path):
 
     final = {r.event_id: r.value for r in spark.read.parquet(mart_path).collect()}
     assert final == {1: 1.0, 2: 2.0, 3: 3.0}  # 1 inserted, 2 updated, 3 kept
+
+
+def test_stream_merge_into_versioned_mart(spark, tmp_path):
+    """The PRODUCTION streaming sink: foreachBatch → merge_upsert →
+    VersionedMart atomic commit, one version per micro-batch; a replayed
+    run (at-least-once recovery) must re-commit identical state, not
+    duplicate it."""
+    from my_favorite_etl_pipeline_spark.sources.mart import VersionedMart
+    from my_favorite_etl_pipeline_spark.streaming.sink import stream_merge_into_mart
+
+    import glob
+    import shutil
+
+    in_dir = str(tmp_path / "stream_in")
+    os.makedirs(in_dir)
+    _write_one_file(
+        spark,
+        [Row(event_id=1, ts=TS(2024, 1, 1, 1), value=1.0),
+         Row(event_id=2, ts=TS(2024, 1, 1, 2), value=2.0)],
+        f"{in_dir}/f1.parquet",
+    )
+    _write_one_file(
+        spark,
+        [Row(event_id=2, ts=TS(2024, 1, 1, 3), value=22.0),  # update
+         Row(event_id=4, ts=TS(2024, 1, 1, 4), value=4.0)],  # insert
+        f"{in_dir}/f2.parquet",
+    )
+    # FileStreamSource does not recurse into subdirectories: hoist each
+    # table's part-file to the top level, mtime-ordered (f1 then f2)
+    now = time.time()
+    for i, sub in enumerate(("f1.parquet", "f2.parquet")):
+        (part,) = glob.glob(f"{in_dir}/{sub}/part-*.parquet")
+        dst = f"{in_dir}/{sub.replace('.parquet', '_data.parquet')}"
+        shutil.copy(part, dst)
+        shutil.rmtree(f"{in_dir}/{sub}")
+        os.utime(dst, (now - 120 + i * 60, now - 120 + i * 60))
+
+    mart_path = str(tmp_path / "mart")
+    vm = VersionedMart(mart_path)
+    vm.commit(
+        spark.createDataFrame(
+            [Row(event_id=3, ts=TS(2020, 1, 1), value=3.0)], EVENT_SCHEMA
+        ),
+        version="seed",
+    )
+
+    def run(checkpoint):
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")  # one version per input file
+            .parquet(in_dir)
+        )
+        q = stream_merge_into_mart(
+            stream, mart_path, key="event_id", update_cols=["value", "ts"],
+            checkpoint_dir=str(tmp_path / checkpoint),
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    assert vm.history()[0] == "seed" and len(vm.history()) == 3  # 2 micro-batches
+    final = {r.event_id: r.value for r in vm.read(spark).collect()}
+    assert final == {1: 1.0, 2: 22.0, 3: 3.0, 4: 4.0}
+
+    # full replay without the checkpoint: same merges re-apply, same final
+    # state (idempotent upsert + overwrite-by-version commits)
+    run("ckpt2")
+    assert {r.event_id: r.value for r in vm.read(spark).collect()} == final
+
+    # a resumed run WITH the original checkpoint replays nothing
+    before = vm.history()
+    run("ckpt1")
+    assert {r.event_id: r.value for r in vm.read(spark).collect()} == final
+    assert vm.history() == before
