@@ -253,3 +253,64 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    centroid_mod: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X2 (embedding, scale path) — SemDeDup-style semantic dedup
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): assign every vector to its nearest
+    centroid, then search for near-duplicate pairs ONLY within a cluster.
+
+    The quadratic all-pairs join becomes Σ_c |cluster_c|² — with k
+    balanced clusters that is n²/k, and the per-cluster joins are plain
+    equi-shuffles on the cluster id. Centroids here are a deterministic
+    corpus sample (``id % centroid_mod == 0``) so the whole operator is
+    reproducible cross-engine and oracle-checkable; production swaps in
+    k-means centroids without touching the dataflow. Assignment broadcasts
+    the (tiny) centroid table and takes a rounded-cosine argmax with a
+    centroid-id tie-break — deterministic on both engines.
+    """
+    from pyspark.sql import Window
+
+    side = ensure_min_partitions(corpus).select(
+        F.col(id_col), _dbl(F.col(vec_col)).alias("__v"), norm(F.col(vec_col)).alias("__n")
+    )
+    cent = side.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    )
+    cos_c = F.round(
+        dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")), 4
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos_c").desc(), F.col("__cid"))
+    assign = (
+        side.crossJoin(F.broadcast(cent))
+        .withColumn("__cos_c", cos_c)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__cid").alias("cluster"), "__v", "__n")
+    )
+    a, b = assign.alias("sa"), assign.alias("sb")
+    cos = F.round(
+        dot(F.col("sa.__v"), F.col("sb.__v")) / (F.col("sa.__n") * F.col("sb.__n")), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("sa.cluster") == F.col("sb.cluster"))
+            & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
+        )
+        .select(
+            F.col("sa.cluster").alias("cluster"),
+            F.col(f"sa.{id_col}").alias("id_a"),
+            F.col(f"sb.{id_col}").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("cluster", "id_a", "id_b")
+    )

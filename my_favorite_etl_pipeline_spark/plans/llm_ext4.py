@@ -206,3 +206,51 @@ def q_dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fp")
     )
+
+
+@register(
+    "semdedup_cluster_pairs",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT n.vec_id, n.v, n.nrm, c.cid,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> n.v[i] * c.cv[i]))
+                   / (n.nrm * c.cn), 4) AS cos_c
+      FROM n CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id, v, nrm, cid AS cluster
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos_c DESC, cid) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+    SELECT a.cluster AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
+                 / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM assign a JOIN assign b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
+                / (a.nrm * b.nrm), 4) >= 0.4
+    ORDER BY cluster, id_a, id_b
+    """,
+)
+def q_semdedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ — SemDeDup (Abbas et al. 2023): semantic near-dup pairs found
+    WITHIN nearest-centroid clusters only, the shape that replaces the
+    O(n²) all-pairs cosine join with Σ|cluster|² ≈ n²/k work. Centroids are
+    a deterministic corpus sample (vec_id % 100 == 0) so assignment — a
+    broadcast join + rounded-cosine argmax with centroid-id tie-break — is
+    reproducible cross-engine; the exact all-pairs twin
+    (embedding_cosine_near_dups) is the recall ground truth.
+    """
+    from ..operators.similarity import semdedup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, threshold=0.4, centroid_mod=100)

@@ -150,3 +150,21 @@ def test_salted_join_rejects_replication_unsafe_how(spark):
     # left_anti remains supported and correct under replication
     got = salted_join(large, small.filter("k = 9"), "k", how="left_anti").collect()
     assert [r.k for r in got] == [1]
+
+
+def test_semdedup_pairs_subset_of_exact_with_decent_recall(spark, sf_dir):
+    """SemDeDup's within-cluster pairs must be a strict SUBSET of the exact
+    all-pairs result at the same threshold (it can only miss cross-cluster
+    pairs, never invent one), with non-trivial recall on the fixture."""
+    from my_favorite_etl_pipeline_spark.operators.similarity import (
+        all_pairs_cosine,
+        semdedup_pairs,
+    )
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in all_pairs_cosine(emb, 0.4).collect()}
+    clustered = {(r.id_a, r.id_b) for r in semdedup_pairs(emb, 0.4).collect()}
+    assert clustered <= exact
+    assert exact  # fixture produces near-dup pairs
+    assert len(clustered) / len(exact) >= 0.3  # within-cluster recall floor
