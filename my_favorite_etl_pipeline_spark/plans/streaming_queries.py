@@ -20,7 +20,7 @@ from ..streaming.stateful import (
     stream_stream_view_purchase_join,
     user_stats_stateful,
 )
-from ..streaming.windows import tumbling_hourly_counts
+from ..streaming.windows import session_window_counts, tumbling_hourly_counts
 
 
 @register(
@@ -102,6 +102,44 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state; with all data in one availableNow pass the result equals the
     batch interval join, so even this is oracle-checked."""
     return stream_stream_view_purchase_join(spark, sf_dir)
+
+
+@register(
+    "stream_session_window_30m",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — session windows through the STREAMING engine: the stateful
+    session-merge operator runs inside Structured Streaming (state store +
+    per-trigger session merge), not as a batch gaps-and-islands window.
+    With the whole fixture in one availableNow micro-batch the update-mode
+    final state equals the batch session aggregation, so the streaming
+    session operator itself is oracle-checked — the gap-sessionization
+    shape that, at 100 TB, adds a watermark to bound state and emits via
+    foreachBatch into the merge sink (streaming/sink.py).
+    """
+    return session_window_counts(spark, sf_dir)
 
 
 @register(

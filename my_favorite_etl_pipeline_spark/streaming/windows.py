@@ -110,3 +110,42 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink_name)
+
+
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user THROUGH the streaming engine.
+
+    The stateful session-merge operator itself runs inside Structured
+    Streaming (state store, session merge on trigger), not as a batch
+    window — with the whole fixture in one availableNow micro-batch the
+    complete-mode final state equals the batch ``session_window``
+    aggregation, so even the streaming session operator is
+    oracle-checkable. (Update mode is unsupported for streaming session
+    windows; the production shape is watermark + append + foreachBatch.)
+    """
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    sink_name = f"session_sink_{int(time.time() * 1000) % 10_000_000}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
