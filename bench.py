@@ -6,8 +6,15 @@ top-k, ETL transform chain) at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
 line::
 
-    {"metric": "headline_wall_sec", "value": <total>, "unit": "sec",
-     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
+    {"metric": "headline_wall_sec", "value": <sum of per-query medians>,
+     "unit": "sec", "queries": {"q1_pricing_summary": <median sec>, ...},
+     "sf": 0.1, "runs": 3, "per_run_totals": [..]}
+
+MEDIAN PROTOCOL (BASELINE.md): single-run totals on this box swing ±15-25%
+(JIT, page cache, thread scheduling), so each query is warmed once and then
+timed ``--runs N`` times (default 3, env ``SPARK_GRAFT_BENCH_RUNS``);
+``queries`` holds per-query MEDIANS and ``value`` is their sum. The raw
+per-run totals are kept alongside so round-over-round noise stays visible.
 
 Each query executes through a ``noop`` sink so the full plan runs on the
 executors without driver-side materialization (collect would bottleneck on
@@ -19,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -56,6 +64,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    runs = max(1, runs)
+
     from my_favorite_etl_pipeline_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -63,25 +76,34 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    timings: dict[str, float] = {}
+    per_run: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: JVM/JIT + file listing
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        per_run[name] = samples
 
-    total = round(sum(timings.values()), 3)
+    medians = {name: round(statistics.median(s), 3) for name, s in per_run.items()}
+    per_run_totals = [
+        round(sum(per_run[name][i] for name in HEADLINE), 3) for i in range(runs)
+    ]
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": sf,
+                "runs": runs,
+                "per_run_totals": per_run_totals,
             }
         )
     )

@@ -255,10 +255,129 @@ def ivf_topk(
     )
 
 
+#: fixed-point scale for deterministic centroid means: Σ floor(x·SCALE) is
+#: exact BIGINT arithmetic, so the mean is bit-identical on Spark and DuckDB
+#: regardless of aggregation order (float Σ is order-dependent; integer Σ
+#: is not). 1e7 keeps 7 decimals — far below any cosine-relevant noise.
+CENTROID_SCALE = 10_000_000
+
+
+def build_hash_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-k coarse quantizer: mean vector of each of ``k`` hash buckets.
+
+    ``bucket = id % k`` — k is a PARAMETER, independent of corpus size, so
+    the centroid table is O(k) rows (always broadcastable) and any
+    nearest-centroid assignment against it is O(n·k), never O(n²). This is
+    the scale-honest centroid source for SemDeDup/IVF-style operators; a
+    production build k-means-iterates from these buckets (same dataflow:
+    see :func:`kmeans_iterate`), which tightens clusters but never changes
+    the cost shape.
+
+    Means use fixed-point integer sums (``Σ floor(x·1e7) / (count·1e7)``):
+    float summation is order-dependent and Spark's partial aggregation
+    order is nondeterministic, so a float mean could flip last bits vs the
+    DuckDB oracle; BIGINT summation is exact and order-free on both.
+    """
+    per_dim = (
+        corpus.select(
+            (F.col(id_col) % k).cast("long").alias("cid"),
+            F.posexplode(_dbl(F.col(vec_col))).alias("dim", "val"),
+        )
+        .withColumn("sv", F.floor(F.col("val") * CENTROID_SCALE).cast("long"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("sv").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "cid",
+            "dim",
+            (F.col("s") / (F.col("c") * F.lit(float(CENTROID_SCALE)))).alias("mean_val"),
+        )
+    )
+    return (
+        per_dim.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("pairs"))
+        .select(
+            F.col("cid"),
+            F.transform(F.col("pairs"), lambda p: p.mean_val).alias("centroid"),
+        )
+    )
+
+
+def kmeans_iterate(
+    corpus: DataFrame,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means refinement of :func:`build_hash_centroids`.
+
+    Each round: broadcast the k centroids, assign every vector to its
+    nearest (one max_by aggregate, same shape as :func:`semdedup_pairs`
+    assignment), recompute fixed-point means per assigned cluster. Cost per
+    round is one O(n·k) map + two narrow aggregations — the round count is
+    a constant (pretraining-corpus quantizers converge usefully in 2-5
+    rounds; SemDeDup uses k-means centroids exactly this way), so the
+    total stays O(n·k·iters) with an O(k) broadcast. Empty clusters keep
+    their previous centroid (standard Lloyd fallback) via left join.
+    """
+    cent = build_hash_centroids(corpus, k=k, id_col=id_col, vec_col=vec_col)
+    side = corpus.select(F.col(id_col), _dbl(F.col(vec_col)).alias("__v"))
+    for _ in range(n_iter):
+        c = F.broadcast(
+            cent.select(
+                F.col("cid").alias("__cid"),
+                F.col("centroid").alias("__cv"),
+                norm(F.col("centroid")).alias("__cn"),
+            )
+        )
+        cos_c = F.round(dot(F.col("__v"), F.col("__cv")) / (norm(F.col("__v")) * F.col("__cn")), 4)
+        assigned = (
+            side.crossJoin(c)
+            .withColumn("__cos_c", cos_c)
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("__cid"), F.col("__v")),
+                    F.struct(F.col("__cos_c").alias("c"), (-F.col("__cid")).alias("nc")),
+                ).alias("__best")
+            )
+            .select(F.col("__best.__cid").alias("cid"), F.col("__best.__v").alias("__v"))
+        )
+        per_dim = (
+            assigned.select("cid", F.posexplode(F.col("__v")).alias("dim", "val"))
+            .withColumn("sv", F.floor(F.col("val") * CENTROID_SCALE).cast("long"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("sv").alias("s"), F.count(F.lit(1)).alias("c"))
+            .select(
+                "cid",
+                "dim",
+                (F.col("s") / (F.col("c") * F.lit(float(CENTROID_SCALE)))).alias("mean_val"),
+            )
+        )
+        refreshed = (
+            per_dim.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("pairs"))
+            .select(
+                F.col("cid"), F.transform(F.col("pairs"), lambda p: p.mean_val).alias("centroid")
+            )
+        )
+        cent = (
+            cent.select("cid", F.col("centroid").alias("__prev"))
+            .join(refreshed, "cid", "left")
+            .select("cid", F.coalesce(F.col("centroid"), F.col("__prev")).alias("centroid"))
+        )
+    return cent
+
+
 def semdedup_pairs(
     corpus: DataFrame,
     threshold: float,
-    centroid_mod: int = 100,
+    k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -267,33 +386,50 @@ def semdedup_pairs(
     through semantic deduplication"): assign every vector to its nearest
     centroid, then search for near-duplicate pairs ONLY within a cluster.
 
-    The quadratic all-pairs join becomes Σ_c |cluster_c|² — with k
-    balanced clusters that is n²/k, and the per-cluster joins are plain
-    equi-shuffles on the cluster id. Centroids here are a deterministic
-    corpus sample (``id % centroid_mod == 0``) so the whole operator is
-    reproducible cross-engine and oracle-checkable; production swaps in
-    k-means centroids without touching the dataflow. Assignment broadcasts
-    the (tiny) centroid table and takes a rounded-cosine argmax with a
-    centroid-id tie-break — deterministic on both engines.
-    """
-    from pyspark.sql import Window
+    The quadratic all-pairs join becomes Σ_c |cluster_c|² ≈ n²/k, and the
+    per-cluster joins are plain equi-shuffles on the cluster id. Centroids
+    come from :func:`build_hash_centroids` with FIXED k — the centroid
+    table is O(k) (broadcast never grows with the corpus) and assignment
+    is O(n·k), not the O(n²/100) a corpus-sampled centroid set degrades
+    to. Assignment itself is ONE aggregate: broadcast-crossJoin the k
+    centroids, then ``max_by`` on (rounded cosine, −centroid_id) — partial
+    map-side combine collapses the n·k scored rows to n before the only
+    shuffle, and there is no per-vector window. Deterministic on both
+    engines: fixed-point centroid means, rounded cosine, id tie-break.
 
+    Recall trades off against k (only within-cluster pairs are found, and
+    borderline pairs straddle boundaries): pick k for the target cluster
+    size (n/k vectors each), not for recall — production SemDeDup accepts
+    this by design. :func:`kmeans_iterate` centroids recover a few points
+    of recall at the same k if needed.
+    """
     side = ensure_min_partitions(corpus).select(
         F.col(id_col), _dbl(F.col(vec_col)).alias("__v"), norm(F.col(vec_col)).alias("__n")
     )
-    cent = side.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn")
+    cent = build_hash_centroids(corpus, k=k, id_col=id_col, vec_col=vec_col).select(
+        F.col("cid").alias("__cid"),
+        F.col("centroid").alias("__cv"),
+        norm(F.col("centroid")).alias("__cn"),
     )
     cos_c = F.round(
         dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")), 4
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cos_c").desc(), F.col("__cid"))
     assign = (
         side.crossJoin(F.broadcast(cent))
         .withColumn("__cos_c", cos_c)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("__cid").alias("cluster"), "__v", "__n")
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("__cid"), F.col("__v"), F.col("__n")),
+                F.struct(F.col("__cos_c").alias("c"), (-F.col("__cid")).alias("nc")),
+            ).alias("__best")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__best.__cid").alias("cluster"),
+            F.col("__best.__v").alias("__v"),
+            F.col("__best.__n").alias("__n"),
+        )
     )
     a, b = assign.alias("sa"), assign.alias("sb")
     cos = F.round(

@@ -196,11 +196,16 @@ def run_backfill(
     order. Windows may overlap: later windows win per key, matching the
     reference's last-writer-wins upsert arm (dag:311-315).
     """
+    import hashlib
+
     reports: list[BatchReport] = []
     for start, end in windows:
-        run_id = f"{run_id_prefix}_" + "".join(
-            ch if ch.isalnum() else "-" for ch in f"{start}_{end}"
-        )
+        # readable slug + short hash of the RAW bounds: the slug alone maps
+        # every non-alphanumeric char to '-', so two windows differing only
+        # in punctuation could collide onto one staging partition
+        raw = hashlib.sha256(f"{start!r}\x00{end!r}".encode()).hexdigest()[:8]
+        slug = "".join(ch if ch.isalnum() else "-" for ch in f"{start}_{end}")
+        run_id = f"{run_id_prefix}_{slug}_{raw}"
         mart, report = run_incremental_batch(
             spark,
             source,

@@ -515,7 +515,7 @@ def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan at 100 TB: every step is an equi-shuffle (term or doc key), and
     the candidate side is IMPACT-TRUNCATED — per term, only the top-256
     postings by unit weight survive (row_number over the term partition,
-    ranked on ROUND(u, 6) with a doc-id tie-break so both engines truncate
+    ranked on ROUND(u, 4) with a doc-id tie-break so both engines truncate
     identically). That caps the pair blow-up at |queries| × Σ_t min(256,
     df_t) regardless of how Zipfian the vocabulary is: a heavy-hitter term
     with df ≈ 0.5·N contributes at most 256 candidates instead of a

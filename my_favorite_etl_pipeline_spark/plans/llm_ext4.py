@@ -217,12 +217,22 @@ def q_dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
              SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
     ),
-    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 0),
+    dims AS (
+      SELECT vec_id % 8 AS cid, d.dim AS dim,
+             CAST(FLOOR(v[d.dim] * 10000000.0) AS BIGINT) AS sv
+      FROM n, (SELECT UNNEST(range(1, 65)) AS dim) d
+    ),
+    cstat AS (SELECT cid, dim, SUM(sv) AS s, COUNT(*) AS c FROM dims GROUP BY cid, dim),
+    cvec AS (
+      SELECT cid, LIST(s / (c * 10000000.0) ORDER BY dim) AS cv
+      FROM cstat GROUP BY cid
+    ),
+    cent AS (SELECT cid, cv, SQRT(LIST_SUM(LIST_TRANSFORM(cv, x -> x * x))) AS cn FROM cvec),
     scored AS (
       SELECT n.vec_id, n.v, n.nrm, c.cid,
              ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> n.v[i] * c.cv[i]))
                    / (n.nrm * c.cn), 4) AS cos_c
-      FROM n CROSS JOIN c
+      FROM n CROSS JOIN cent c
     ),
     assign AS (
       SELECT vec_id, v, nrm, cid AS cluster
@@ -244,13 +254,15 @@ def q_dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semdedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2+ — SemDeDup (Abbas et al. 2023): semantic near-dup pairs found
     WITHIN nearest-centroid clusters only, the shape that replaces the
-    O(n²) all-pairs cosine join with Σ|cluster|² ≈ n²/k work. Centroids are
-    a deterministic corpus sample (vec_id % 100 == 0) so assignment — a
-    broadcast join + rounded-cosine argmax with centroid-id tie-break — is
-    reproducible cross-engine; the exact all-pairs twin
-    (embedding_cosine_near_dups) is the recall ground truth.
+    O(n²) all-pairs cosine join with Σ|cluster|² ≈ n²/k work. Centroids
+    are FIXED-k hash-bucket means (k=8, fixed-point integer sums so both
+    engines compute bit-identical centroids regardless of aggregation
+    order) — the centroid table is O(k) and never grows with the corpus,
+    and assignment is one broadcast + one max_by aggregate (no per-vector
+    window). The exact all-pairs twin (embedding_cosine_near_dups) is the
+    recall ground truth (see tests/test_dedup_similarity.py).
     """
     from ..operators.similarity import semdedup_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    return semdedup_pairs(emb, threshold=0.4, centroid_mod=100)
+    return semdedup_pairs(emb, threshold=0.4, k=8)

@@ -333,6 +333,44 @@ def q_nested_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "typed_struct_props_chain",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def q_typed_struct_props_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 typed twin (SURVEY §1.2/§4.1) — ``from_json`` → STRUCT instead of
+    per-path ``get_json_object`` string probing: the "keep structs typed
+    end-to-end" variant of the props extraction (reference keeps
+    ``requestparams`` as JSONB, dag:226). The declared schema is WIDER than
+    what's consumed (``extra`` is never referenced) — Catalyst's JSON
+    expression optimization prunes the parse schema down to the referenced
+    fields and column pruning carries only (event_id, event_type, props)
+    into the parquet scan; tests/test_transform.py asserts both on the
+    optimized/executed plans. One Project over the scan, zero shuffles;
+    parsing happens ONCE per row even with several fields consumed, where
+    N ``get_json_object`` calls parse N times.
+    """
+    ev = load(spark, sf_dir, "events")
+    # parse consumed through ONE field reference, derived columns built from
+    # the aliased field — referencing the struct twice would block project
+    # collapse (from_json is not duplicable-cheap) and hide the
+    # GetStructField(JsonToStructs) pattern the pruning rule rewrites
+    parsed = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.from_json("props", "struct<k:int, extra:string>").getField("k").alias("k_val"),
+    )
+    return parsed.select(
+        "event_id", "event_type", "k_val", (F.col("k_val") % 10).alias("k_bucket")
+    )
+
+
+@register(
     "sorted_extract",
     oracle="""
     SELECT event_id, ts, event_type

@@ -108,7 +108,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window_30m",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -116,8 +116,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     numbered AS (
+      -- ORDER BY must match the LAG total order exactly (ts, event_id):
+      -- with ts alone, duplicate (user_id, ts) rows at a session start can
+      -- nondeterministically order the marker after a peer row and split
+      -- one session in two
       SELECT user_id, ts, value,
-             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       FROM marked
     )
@@ -173,7 +177,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_30m",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -181,8 +185,12 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     numbered AS (
+      -- ORDER BY must match the LAG total order exactly (ts, event_id):
+      -- with ts alone, duplicate (user_id, ts) rows at a session start can
+      -- nondeterministically order the marker after a peer row and split
+      -- one session in two
       SELECT user_id, ts, value,
-             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       FROM marked
     )

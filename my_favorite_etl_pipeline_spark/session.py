@@ -43,6 +43,13 @@ def get_spark(app_name: str = "my-favorite-etl-pipeline-spark") -> SparkSession:
         # this build (hangs even range().count()) — verified by bisection;
         # bloom-filter runtime filtering alone is the safe, useful half
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # fixture parquet has shipped TIMESTAMP(NANOS) columns (see
+        # sources/tables.py:normalize_event_time); Spark 4 rejects them
+        # unless read as raw int64. Set ONCE here — session-wide, declared,
+        # and documented — instead of mutating conf inside load(), which
+        # silently changed how other readers in a shared session saw ns
+        # parquet. Effect when no ns columns exist: none.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -60,6 +67,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.adaptive.enabled", "true"),
+        # ns-parquet compatibility — session-wide by design (see get_spark);
+        # normalize_event_time rebuilds the affected columns after scan
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:
             spark.conf.set(key, val)

@@ -88,8 +88,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_cols(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong is set session-wide at build/tune time (session.py) —
+    # a loader must NOT mutate shared session conf mid-query. If the
+    # session somehow lacks it AND the fixture is ns this round, the scan
+    # throws PARQUET_TYPE_ILLEGAL loudly rather than silently diverging.
     return normalize_event_time(spark.read.parquet(path), ns_cols)
 
 

@@ -34,8 +34,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = f"{sf_dir}/events.parquet"
     ns_cols = _nanos_timestamp_cols(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong is session-wide, set at build/tune time (session.py) —
+    # readers never mutate shared conf mid-query.
     schema = spark.read.parquet(path).schema
     # FileStreamSource requires a directory basePath; point it at sf_dir and
     # glob-filter down to the one table file.

@@ -31,6 +31,10 @@ def spark():
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", warehouse)
+        # loaders no longer set this per read (session-wide by design, see
+        # session.py) — any session that reads the fixtures needs it in
+        # case the round's parquet ships TIMESTAMP(NANOS)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )
     yield s

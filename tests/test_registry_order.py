@@ -25,7 +25,19 @@ FAMILY_SENTINELS = {
     "X4-text": ["text_quality_scores", "lang_id_heuristic", "chunk_documents_50tok", "training_data_prep"],
     "X4-curation": ["contamination_13gram", "gopher_quality_flags", "repetition_filter"],
     "X5-multimodal": ["multimodal_features", "multimodal_audio_features"],
-    "assembly": ["dataset_split_hash", "pack_sequences_1024", "dedup_cluster_components", "corpus_mix_temperature"],
+    # r5 rotation: pack_sequences_1024 / corpus_mix_temperature moved past
+    # the cap after two green driver rounds, making room for
+    # never-driver-checked entries (semdedup, normalized-text dedup, star
+    # CC, sessionize, z-order) — the window must ROTATE to catch fixture
+    # drift, not freeze (r4 verdict item 2)
+    "assembly": ["dataset_split_hash", "quota_sample_per_source", "dedup_cluster_components"],
+    "r5-rotated-in": [
+        "semdedup_cluster_pairs",
+        "dedup_normalized_text",
+        "dedup_cluster_components_star",
+        "sessionize_events_gap30m",
+        "zorder_events_morton",
+    ],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stateful_user_stats", "session_window_30m"],
 }
 

@@ -94,3 +94,23 @@ def test_align_to_schema(spark):
     row = out.collect()[0]
     assert row["_id"] == "1" and row.n == 7 and row.missing is None
     assert isinstance(out.schema["missing"].dataType, T.TimestampType)
+
+
+def test_typed_struct_props_prunes_json_schema_and_scan(spark, sf_dir):
+    """The from_json twin must stay typed AND pruned: (a) Catalyst trims the
+    declared parse schema to the referenced fields (the unused 'extra'
+    field disappears from the optimized plan), and (b) column pruning
+    carries only the three needed columns into the parquet scan."""
+    import re
+
+    from my_favorite_etl_pipeline_spark.registry import REGISTRY
+
+    df = REGISTRY["typed_struct_props_chain"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "from_json" in opt
+    assert "extra" not in opt  # JSON expression optimization pruned it
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", phys)
+    assert m, f"no ReadSchema in plan:\n{phys}"
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"event_id", "event_type", "props"}

@@ -72,6 +72,10 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # queries may persist() multi-consumer frames and the registry
+            # contract says the CALLER owns cleanup — drop them so a
+            # 100+-query sweep doesn't accumulate CacheManager entries
+            spark.catalog.clearCache()
         except Exception:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
