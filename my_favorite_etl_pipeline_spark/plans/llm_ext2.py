@@ -230,6 +230,97 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Deterministic 1-in-10 doc subset for the SAMPLED cluster twins: the full
+# recursive-CTE oracle is all-pairs over |documents| and grinds for 30+ min
+# at sf0.1 (5 000 docs) — these twins restrict BOTH engine and oracle to
+# doc_id % 10 == 0 so the local sf0.1 sweep can hash-check the cluster
+# family end-to-end (r4 verdict item 4). The Spark side is the identical
+# operator composition; only the input set shrinks.
+_DUCK_SHINGLES_SAMPLED = """
+    sdocs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM sdocs),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(len(t) - 2),
+                                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+               ELSE [] END) AS s
+      FROM toks
+    )
+"""
+
+_CLUSTER_SAMPLED_ORACLE = f"""
+    WITH RECURSIVE {_DUCK_SHINGLES_SAMPLED},
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+            / LEN(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    ),
+    edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM sdocs
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(MIN(root) AS BIGINT) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
+    """
+
+
+def _sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+
+
+@register("dedup_cluster_components_sampled", oracle=_CLUSTER_SAMPLED_ORACLE)
+def q_dedup_cluster_components_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ sweep twin of ``dedup_cluster_components`` on the deterministic
+    doc_id %% 10 subset — same exact prefix-filter + verify + min-label CC
+    composition, but the recursive-CTE oracle stays tractable at sf0.1, so
+    the scale sweep hash-checks this family instead of skipping it."""
+    from ..operators.dedup import prefix_filter_pairs
+
+    docs = _sampled_docs(spark, sf_dir)
+    cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9)
+    sh = docs.select("doc_id", TX.shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    pairs = (
+        cand.join(a, cand.id_a == F.col("a.doc_id"))
+        .join(b, cand.id_b == F.col("b.doc_id"))
+        .filter(jac >= 0.9)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(pairs, vertices=docs.select("doc_id"))
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+    ).orderBy("doc_id")
+
+
+@register("dedup_cluster_components_star_sampled", oracle=_CLUSTER_SAMPLED_ORACLE)
+def q_dedup_cluster_components_star_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep twin of ``dedup_cluster_components_star`` (large/small-star
+    contraction) on the doc_id %% 10 subset — triangulates BOTH iterative
+    CC algorithms against the recursive CTE at sf0.1."""
+    from ..operators.dedup import jaccard_verify, prefix_filter_pairs
+    from ..operators.graph import connected_components_star
+
+    docs = _sampled_docs(spark, sf_dir)
+    cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9)
+    pairs = jaccard_verify(docs, cand, "doc_id", "text", threshold=0.9).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components_star(pairs, vertices=docs.select("doc_id"))
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+    ).orderBy("doc_id")
+
+
 @register(
     "embedding_quantize_int8",
     oracle="""

@@ -178,6 +178,89 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_SHINGLES_SAMPLED = """
+    sdocs AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM sdocs),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(len(t) - 2),
+                                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+               ELSE [] END) AS s
+      FROM toks
+    )
+"""
+
+
+@register(
+    "dedup_keep_best_sampled",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES_SAMPLED},
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+            / LEN(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    ),
+    edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM sdocs
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(root) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.component, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_docs
+      FROM comp c JOIN sdocs d ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(doc_id AS BIGINT) AS kept_doc_id,
+           CAST(n_chars AS BIGINT) AS kept_chars,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1 ORDER BY component
+    """,
+)
+def q_dedup_keep_best_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep twin of ``dedup_keep_best`` on the deterministic doc_id %% 10
+    subset (see llm_ext2's sampled cluster twins): the recursive-CTE +
+    per-component argmax oracle stays tractable at sf0.1, so the scale
+    sweep hash-checks cluster→canonical selection instead of skipping it."""
+    from ..operators.dedup import prefix_filter_pairs
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9)
+    sh = docs.select("doc_id", TX.shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    pairs = (
+        cand.join(a, cand.id_a == F.col("a.doc_id"))
+        .join(b, cand.id_b == F.col("b.doc_id"))
+        .filter(jac >= 0.9)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(pairs, vertices=docs.select("doc_id"))
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("doc_id").cast("long").alias("kept_doc_id"),
+            F.col("n_chars").cast("long").alias("kept_chars"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("component")
+    )
+
+
 @register(
     "dedup_normalized_text",
     oracle="""

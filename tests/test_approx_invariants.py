@@ -1,0 +1,101 @@
+"""Quantitative invariants for the rows-only registry entries (r4 verdict
+item 7): every approximate operator is bounded against its exact twin — a
+recall floor for the candidate-pruning family (IVF, sign-hyperplane LSH),
+a relative-error bound for the sketch family (HLL, HLL++, KLL percentile).
+SimHash's recall test lives in test_dedup_similarity.py.
+
+Floors are calibrated with headroom: the fixture tables REGENERATE each
+round (seeded differently), so a bound that binds at one decimal of the
+measured value would flake. Measured at sf0.001 on r5: HLL/ACD rel-err 0.0
+(cardinality 15 ≪ sketch capacity), percentile rel-err ≤ 0.002, IVF
+top-20 overlap 0.55, LSH pair recall 0.94.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import my_favorite_etl_pipeline_spark as engine
+from pyspark.sql import functions as F
+
+from my_favorite_etl_pipeline_spark.sources.tables import load
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return engine.queries()
+
+
+def test_hll_sketch_merge_error_bound_and_union_sanity(spark, sf_dir, qs):
+    rows = qs["hll_sketch_merge"](spark, sf_dir).collect()
+    per_type = [r for r in rows if r.exact_distinct is not None]
+    overall = [r for r in rows if r.exact_distinct is None]
+    assert per_type and len(overall) == 1
+    for r in per_type:
+        assert abs(r.approx_distinct - r.exact_distinct) <= max(
+            2, 0.05 * r.exact_distinct
+        ), f"{r.event_type}: HLL {r.approx_distinct} vs exact {r.exact_distinct}"
+    # the union estimates the distinct of the WHOLE set: at least any part,
+    # at most the sum of parts (both with sketch-error slack)
+    est = overall[0].approx_distinct
+    parts = [r.approx_distinct for r in per_type]
+    assert est >= max(parts) * 0.9
+    assert est <= sum(parts) * 1.1
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir, qs):
+    exact = {
+        r.event_type: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in qs["approx_distinct_users"](spark, sf_dir).collect():
+        # rsd=0.02 requested; allow 3 sigma plus integer slack on tiny groups
+        assert abs(r.n_users_approx - exact[r.event_type]) <= max(
+            2, 0.06 * exact[r.event_type]
+        )
+
+
+def test_approx_percentile_error_bound(spark, sf_dir, qs):
+    approx = {
+        r.o_orderstatus: (r.p50_approx, r.p99_approx)
+        for r in qs["approx_percentile_sketch"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.p50, r.p99)
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (a50, a99) in approx.items():
+        e50, e99 = exact[k]
+        assert a50 <= a99  # monotone in the quantile
+        # sketch returns an actual element; exact is interpolated — allow 2%
+        assert abs(a50 - e50) / e50 <= 0.02
+        assert abs(a99 - e99) / e99 <= 0.02
+
+
+def test_ivf_topk_recall_floor_vs_bruteforce(spark, sf_dir, qs):
+    brute = [r.vec_id for r in qs["embedding_topk_bruteforce"](spark, sf_dir).collect()]
+    ivf = [r.vec_id for r in qs["embedding_topk_ivf"](spark, sf_dir).collect()]
+    assert brute and len(ivf) <= len(brute)
+    # n_probe=3 cells of the label partition: approximate by design, but a
+    # collapse (e.g. probing empty cells) would send this to ~0
+    assert len(set(brute) & set(ivf)) / len(brute) >= 0.35
+
+
+def test_lsh_cosine_pairs_subset_and_recall_floor(spark, sf_dir, qs):
+    exact = {(r.id_a, r.id_b) for r in qs["embedding_cosine_near_dups"](spark, sf_dir).collect()}
+    lsh = {(r.id_a, r.id_b) for r in qs["embedding_cosine_near_dups_lsh"](spark, sf_dir).collect()}
+    assert exact
+    # every LSH pair passed the exact cosine verify -> never a false positive
+    assert lsh <= exact
+    # banded signatures (16x4 on 64 dims) target ~0.96 recall at cos 0.4
+    assert len(lsh) / len(exact) >= 0.8
