@@ -374,6 +374,80 @@ def kmeans_iterate(
     return cent
 
 
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 scale path without a pre-existing cell column: IVF over
+    :func:`kmeans_iterate` centroids (fixed ``n_clusters``, hash-bucket
+    init + Lloyd refinement) instead of :func:`ivf_topk`'s requirement
+    that the corpus already carries a ``label`` cell.
+
+    Dataflow: centroids (O(n_clusters), broadcast) → assign every vector
+    to its nearest via ONE max_by aggregate (same shape as
+    :func:`semdedup_pairs` assignment) → score centroids against the query
+    and keep the ``n_probe`` best cells → exact cosine only inside probed
+    cells → TakeOrdered(k). At 100 TB the assignment is precomputed once
+    and stored as a partition column (then this reduces to
+    :func:`ivf_topk` with partition pruning); recomputing it per query,
+    as here, is still one O(n·n_clusters) map + one shuffle.
+    """
+    side = ensure_min_partitions(corpus).select(
+        F.col(id_col), _dbl(F.col(vec_col)).alias("__v"), norm(F.col(vec_col)).alias("__n")
+    )
+    cent = F.broadcast(
+        kmeans_iterate(corpus, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col("cid").alias("__cid"),
+            F.col("centroid").alias("__cv"),
+            norm(F.col("centroid")).alias("__cn"),
+        )
+    )
+    cos_c = F.round(dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")), 4)
+    assign = (
+        side.crossJoin(cent)
+        .withColumn("__cos_c", cos_c)
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("__cid"), F.col("__v"), F.col("__n")),
+                F.struct(F.col("__cos_c").alias("c"), (-F.col("__cid")).alias("nc")),
+            ).alias("__best")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__best.__cid").alias("__cid"),
+            F.col("__best.__v").alias("__v"),
+            F.col("__best.__n").alias("__n"),
+        )
+    )
+    q = F.broadcast(query.select(_dbl(F.col(vec_col)).alias("__qv"), norm(F.col(vec_col)).alias("__qn")))
+    probed = F.broadcast(
+        cent.crossJoin(q)
+        .select(
+            "__cid",
+            (dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))).alias("__c_sim"),
+        )
+        .orderBy(F.col("__c_sim").desc(), F.col("__cid"))
+        .limit(n_probe)
+        .select("__cid")
+    )
+    sim = F.round(dot(F.col("__v"), F.col("__qv")) / (F.col("__n") * F.col("__qn")), 4)
+    return (
+        assign.join(probed, "__cid", "left_semi")
+        .crossJoin(q)
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def semdedup_pairs(
     corpus: DataFrame,
     threshold: float,

@@ -377,6 +377,20 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, query, k=20, n_probe=3)
 
 
+@register("embedding_topk_ivf_kmeans")  # rows-only: approximate by design
+def q_embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path, self-contained — IVF top-20 over FIXED-k k-means
+    centroids (hash-bucket init + one Lloyd round): no pre-existing cell
+    column needed, closing the r4 verdict's gap that ``build_ivf_centroids``
+    only worked when a ``label`` already partitioned the corpus. Centroid
+    table is O(n_clusters) broadcast; assignment is one max_by aggregate.
+    Recall floor vs the exact brute force is pinned in
+    tests/test_approx_invariants.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return SIM.ivf_topk_kmeans(emb, query, k=20, n_clusters=16, n_probe=3, n_iter=1)
+
+
 @register(
     "chunk_documents_50tok",
     oracle="""

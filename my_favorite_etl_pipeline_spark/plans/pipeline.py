@@ -371,6 +371,39 @@ def q_typed_struct_props_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_props_chain",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def q_variant_props_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 VARIANT twin (SURVEY §1.2) — the Spark 4 ``VariantType`` path for
+    semi-structured props: ``try_parse_json`` → binary variant →
+    ``variant_get`` typed extraction. Same results as
+    ``typed_struct_props_chain`` but schema-ON-READ: no declared struct, so
+    heterogeneous/evolving JSON shapes (the reference's JSONB posture,
+    dag:226) need no migration — and parquet-stored variants shred into
+    columnar subfields at 100 TB. ``try_`` variant of the parse matches the
+    pipeline's "coerce, don't throw" semantics (malformed JSON → NULL row
+    values, not a failed batch).
+    """
+    ev = load(spark, sf_dir, "events")
+    kv = F.expr("variant_get(try_parse_json(props), '$.k', 'int')")
+    parsed = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        kv.alias("k_val"),
+    )
+    return parsed.select(
+        "event_id", "event_type", "k_val", (F.col("k_val") % 10).alias("k_bucket")
+    )
+
+
+@register(
     "sorted_extract",
     oracle="""
     SELECT event_id, ts, event_type

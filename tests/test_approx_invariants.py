@@ -91,6 +91,14 @@ def test_ivf_topk_recall_floor_vs_bruteforce(spark, sf_dir, qs):
     assert len(set(brute) & set(ivf)) / len(brute) >= 0.35
 
 
+def test_ivf_kmeans_topk_recall_floor_vs_bruteforce(spark, sf_dir, qs):
+    brute = [r.vec_id for r in qs["embedding_topk_bruteforce"](spark, sf_dir).collect()]
+    ivf = [r.vec_id for r in qs["embedding_topk_ivf_kmeans"](spark, sf_dir).collect()]
+    assert brute and len(ivf) <= len(brute)
+    # self-contained IVF (no label column): k-means cells + 3-probe
+    assert len(set(brute) & set(ivf)) / len(brute) >= 0.35
+
+
 def test_lsh_cosine_pairs_subset_and_recall_floor(spark, sf_dir, qs):
     exact = {(r.id_a, r.id_b) for r in qs["embedding_cosine_near_dups"](spark, sf_dir).collect()}
     lsh = {(r.id_a, r.id_b) for r in qs["embedding_cosine_near_dups_lsh"](spark, sf_dir).collect()}
