@@ -205,11 +205,25 @@ def build_ivf_centroids(
     narrow aggregations; output is #cells rows (always broadcastable).
     A production build would k-means-iterate this; one mean step is the
     same dataflow shape.
+
+    Means use the same fixed-point integer sums as
+    :func:`build_hash_centroids` (``Σ floor(x·1e7) / (count·1e7)``): float
+    ``avg`` is partial-aggregation-order dependent, so centroids would
+    differ in last bits run-to-run AND vs the DuckDB oracle; BIGINT sums
+    are exact and order-free on both engines, which is what lets
+    ``embedding_topk_ivf`` carry a value-hash oracle instead of a
+    rows-only check.
     """
     per_dim = (
         corpus.select(F.col(cell_col), F.posexplode(_dbl(F.col(vec_col))).alias("dim", "val"))
+        .withColumn("sv", F.floor(F.col("val") * CENTROID_SCALE).cast("long"))
         .groupBy(cell_col, "dim")
-        .agg(F.avg("val").alias("mean_val"))
+        .agg(F.sum("sv").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            cell_col,
+            "dim",
+            (F.col("s") / (F.col("c") * F.lit(float(CENTROID_SCALE)))).alias("mean_val"),
+        )
     )
     return (
         per_dim.groupBy(cell_col)

@@ -364,20 +364,119 @@ def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk_pandas(emb, query, k=20)
 
 
-@register("embedding_topk_ivf")  # rows-only: approximate by design
+@register(
+    "embedding_topk_ivf",
+    oracle="""
+    WITH e AS (SELECT vec_id, label,
+                      LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS qn
+          FROM e WHERE vec_id = 0),
+    dims AS (SELECT UNNEST(range(64)) AS dim),
+    per_dim AS (
+      SELECT e.label, d.dim,
+             CAST(SUM(CAST(FLOOR(e.v[d.dim + 1] * 10000000) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 10000000.0) AS mean_val
+      FROM e CROSS JOIN dims d
+      GROUP BY e.label, d.dim
+    ),
+    cent AS (SELECT label, LIST(mean_val ORDER BY dim) AS centroid
+             FROM per_dim GROUP BY label),
+    probed AS (
+      SELECT label FROM (
+        SELECT c.label,
+               LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * q.qv[i]))
+                 / (SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))
+                    * q.qn) AS c_sim
+        FROM cent c CROSS JOIN q
+      ) ORDER BY c_sim DESC, label LIMIT 3
+    )
+    SELECT vec_id, cos_sim FROM (
+      SELECT e.vec_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> e.v[i] * q.qv[i]))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> e.v[i] * e.v[i]))) * q.qn),
+             4) AS cos_sim
+      FROM e JOIN probed p ON e.label = p.label CROSS JOIN q
+    ) ORDER BY cos_sim DESC, vec_id LIMIT 20
+    """,
+)
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path — IVF top-20: probe the 3 nearest label-cells only.
 
     Centroids built per ``label`` cell (one narrow agg, broadcastable);
     the probe semi-join prunes ~70% of the corpus here and ~(1 - p/√N) at
-    scale. Approximate overall ⇒ rows-only check.
+    scale. Approximate vs exact top-k, but DETERMINISTIC as an algorithm
+    (r5): fixed-point centroid means are order-free BIGINT sums, cosines
+    sequential-fold doubles, probe ties broken by label — so the oracle
+    replays the same IVF computation in SQL and the driver hash-checks it
+    (was rows-only through r4; recall-vs-brute-force floor additionally
+    pinned in tests/test_approx_invariants.py).
     """
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     return SIM.ivf_topk(emb, query, k=20, n_probe=3)
 
 
-@register("embedding_topk_ivf_kmeans")  # rows-only: approximate by design
+@register(
+    "embedding_topk_ivf_kmeans",
+    oracle="""
+    WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    en AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS n FROM e),
+    q AS (SELECT v AS qv, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS qn
+          FROM e WHERE vec_id = 0),
+    dims AS (SELECT UNNEST(range(64)) AS dim),
+    pd0 AS (
+      SELECT vec_id % 16 AS cid, d.dim,
+             CAST(SUM(CAST(FLOOR(v[d.dim + 1] * 10000000) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 10000000.0) AS mean_val
+      FROM e CROSS JOIN dims d GROUP BY 1, 2
+    ),
+    c0 AS (SELECT cid, LIST(mean_val ORDER BY dim) AS centroid FROM pd0 GROUP BY cid),
+    a1 AS (
+      SELECT vec_id, cid, v FROM (
+        SELECT en.vec_id, c.cid, en.v,
+               ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> en.v[i] * c.centroid[i]))
+                 / (en.n * SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))),
+               4) AS cc
+        FROM en CROSS JOIN c0 c
+      ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) = 1
+    ),
+    pd1 AS (
+      SELECT a1.cid, d.dim,
+             CAST(SUM(CAST(FLOOR(a1.v[d.dim + 1] * 10000000) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 10000000.0) AS mean_val
+      FROM a1 CROSS JOIN dims d GROUP BY 1, 2
+    ),
+    r1 AS (SELECT cid, LIST(mean_val ORDER BY dim) AS centroid FROM pd1 GROUP BY cid),
+    c1 AS (SELECT c0.cid, COALESCE(r1.centroid, c0.centroid) AS centroid
+           FROM c0 LEFT JOIN r1 ON c0.cid = r1.cid),
+    af AS (
+      SELECT vec_id, cid, v, n FROM (
+        SELECT en.vec_id, c.cid, en.v, en.n,
+               ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> en.v[i] * c.centroid[i]))
+                 / (en.n * SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))),
+               4) AS cc
+        FROM en CROSS JOIN c1 c
+      ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) = 1
+    ),
+    probed AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * q.qv[i]))
+                 / (SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))
+                    * q.qn) AS cs
+        FROM c1 c CROSS JOIN q
+      ) ORDER BY cs DESC, cid LIMIT 3
+    )
+    SELECT vec_id, cos_sim FROM (
+      SELECT af.vec_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> af.v[i] * q.qv[i]))
+               / (af.n * q.qn), 4) AS cos_sim
+      FROM af JOIN probed p ON af.cid = p.cid CROSS JOIN q
+    ) ORDER BY cos_sim DESC, vec_id LIMIT 20
+    """,
+)
 def q_embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path, self-contained — IVF top-20 over FIXED-k k-means
     centroids (hash-bucket init + one Lloyd round): no pre-existing cell
@@ -385,7 +484,13 @@ def q_embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     only worked when a ``label`` already partitioned the corpus. Centroid
     table is O(n_clusters) broadcast; assignment is one max_by aggregate.
     Recall floor vs the exact brute force is pinned in
-    tests/test_approx_invariants.py."""
+    tests/test_approx_invariants.py.
+
+    Hash-checked since r5: every step is deterministic (hash-bucket init,
+    order-free fixed-point means, 4-decimal-rounded assignment cosines with
+    cid tie-break), so the oracle unrolls the single Lloyd round in SQL —
+    init means → assign (QUALIFY row_number) → refreshed means with
+    empty-cluster COALESCE → final assign → probe top-3 cells → top-20."""
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     return SIM.ivf_topk_kmeans(emb, query, k=20, n_clusters=16, n_probe=3, n_iter=1)
@@ -445,14 +550,45 @@ def q_embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.all_pairs_cosine(emb, threshold=0.4)
 
 
-@register("embedding_cosine_near_dups_lsh")  # rows-only: approximate recall
+@register(
+    "embedding_cosine_near_dups_lsh",
+    oracle="""
+    WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    en AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS n FROM e),
+    bands AS (
+      SELECT en.vec_id, b.band_idx,
+             CAST(LIST_SUM(LIST_TRANSFORM(range(4), j ->
+               (CASE WHEN en.v[b.band_idx * 4 + j + 1] >= 0 THEN 1 ELSE 0 END)
+                 * (1 << (3 - j)))) AS BIGINT) AS band_val
+      FROM en CROSS JOIN (SELECT UNNEST(range(16)) AS band_idx) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT c.id_a, c.id_b,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> ea.v[i] * eb.v[i]))
+               / (ea.n * eb.n), 4) AS cos_sim
+      FROM cand c
+      JOIN en ea ON c.id_a = ea.vec_id
+      JOIN en eb ON c.id_b = eb.vec_id
+    ) WHERE cos_sim >= 0.4
+    """,
+)
 def q_embedding_cosine_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (embedding flavor, scale path) — banded sign-hyperplane LSH.
 
     16 bands × 4 sign bits; only band-colliding pairs are verified. The
     all-pairs join above becomes a per-band-bucket join — the shape that
-    survives 100 TB. Approximate (recall ~0.96 at cos 0.4) ⇒ rows-only
-    check; the exact variant is the oracle-checked ground truth.
+    survives 100 TB. Approximate RECALL vs the exact all-pairs variant
+    (~0.96 at cos 0.4 — floor pinned in tests/test_approx_invariants.py),
+    but the algorithm itself is deterministic: axis-aligned sign bits, no
+    RNG — so since r5 the oracle replays the band construction + candidate
+    join + verify in SQL and the driver hash-checks the exact output.
     """
     emb = load(spark, sf_dir, "embeddings")
     return SIM.lsh_pairs_cosine(emb, threshold=0.4, n_bands=16, band_bits=4)

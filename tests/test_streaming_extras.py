@@ -97,6 +97,32 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir):
     assert batch.exceptAll(streamed).count() == 0
 
 
+def test_stateful_user_stats_tws_matches_legacy_api(spark, sf_dir):
+    """transformWithStateInPandas twin == applyInPandasWithState result.
+
+    The TWS state-server protocol needs google.protobuf, absent from this
+    container; the operator raises a documented capability error then, and
+    the equivalence assertion runs wherever the dependency exists.
+    """
+    import pytest
+
+    from my_favorite_etl_pipeline_spark.streaming.stateful import (
+        user_stats_stateful,
+        user_stats_stateful_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            user_stats_stateful_tws(spark, sf_dir)
+        pytest.skip("google.protobuf not installed; gate verified")
+    tws = user_stats_stateful_tws(spark, sf_dir)
+    legacy = user_stats_stateful(spark, sf_dir)
+    assert tws.exceptAll(legacy).count() == 0
+    assert legacy.exceptAll(tws).count() == 0
+
+
 def test_stream_dedup_drops_injected_duplicates(spark, tmp_path):
     """dropDuplicatesWithinWatermark with real duplicate keys in the stream."""
     in_dir = str(tmp_path / "dup_in")
