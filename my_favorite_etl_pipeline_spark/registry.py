@@ -91,27 +91,32 @@ CURATED_FIRST: tuple[str, ...] = (
     "anti_join_customers",
     "range_join_ship_latency",
     "asof_last_click_before_purchase",
-    # X1 exact dedup (fingerprint + keep-first variants checked locally;
+    # X1 exact dedup (plain-groups rotated out mid-r5 after four green
+    # rounds — fingerprint/keep-first variants stay locally checked;
     # keep-BEST exercises the richer cluster → canonical-selection
     # composition; normalized-text is the casefold/whitespace rung)
-    "dedup_exact_groups",
     "dedup_keep_best",
     "dedup_normalized_text",
-    # X2 near-dup — oracle-checkable algorithms only: rows-only entries
-    # (simhash, ivf) waste driver slots that hash-verified families can use
+    # X2 near-dup — every slot hash-verified; the deterministic LSH scale
+    # path earned an oracle mid-r5 (axis-aligned sign bands replayed in
+    # SQL) and rotates in never-driver-checked
     "minhash_near_dups",
     "ssjoin_prefix_filter",
     "embedding_cosine_near_dups",
+    "embedding_cosine_near_dups_lsh",
     "semdedup_cluster_pairs",
-    # X3 similarity search (dense + sparse)
+    # X3 similarity search (dense + sparse; the self-contained k-means IVF
+    # scale path earned an oracle mid-r5 — Lloyd round unrolled in SQL —
+    # and rotates in never-driver-checked)
     "embedding_topk_bruteforce",
+    "embedding_topk_ivf_kmeans",
     "tfidf_topk_similar_docs",
     # X4+ curation filters
     "contamination_13gram",
     "gopher_quality_flags",
     "repetition_filter",
-    # X4 text analysis / chunking / prep
-    "text_quality_scores",
+    # X4 text analysis / chunking / prep (quality-scores rotated out
+    # mid-r5 after four green rounds; five X4 slots remain)
     "lang_id_heuristic",
     "term_frequencies_top50",
     "bpe_ish_token_counts",

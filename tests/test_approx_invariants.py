@@ -107,3 +107,24 @@ def test_lsh_cosine_pairs_subset_and_recall_floor(spark, sf_dir, qs):
     assert lsh <= exact
     # banded signatures (16x4 on 64 dims) target ~0.96 recall at cos 0.4
     assert len(lsh) / len(exact) >= 0.8
+
+
+def test_centroid_means_partitioning_invariant(spark, sf_dir):
+    """Fixed-point centroid means are BIT-identical under any physical
+    partitioning — the property that makes the IVF/SemDeDup oracles
+    hash-stable (a float avg differs in last bits when Spark's partial
+    aggregation order changes, which is exactly what repartitioning does).
+    Exact float equality is intentional."""
+    from my_favorite_etl_pipeline_spark.operators.similarity import (
+        build_hash_centroids,
+        build_ivf_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = build_ivf_centroids(emb.repartition(1), "label", "embedding").collect()
+    b = build_ivf_centroids(emb.repartition(13, "vec_id"), "label", "embedding").collect()
+    assert {r.label: r.centroid for r in a} == {r.label: r.centroid for r in b}
+
+    ha = build_hash_centroids(emb.repartition(1)).collect()
+    hb = build_hash_centroids(emb.repartition(7, "vec_id")).collect()
+    assert {r.cid: r.centroid for r in ha} == {r.cid: r.centroid for r in hb}

@@ -19,10 +19,12 @@ FAMILY_SENTINELS = {
     "relational": ["q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue"],
     "window/rollup/pivot": ["top_orders_per_customer", "rollup_order_status", "pivot_status_by_segment"],
     "join-surface": ["anti_join_customers", "range_join_ship_latency", "asof_last_click_before_purchase"],
-    "X1-exact-dedup": ["dedup_exact_groups", "dedup_keep_best"],
+    # dedup_exact_groups / text_quality_scores rotated past the cap mid-r5
+    # after four green rounds each; their families stay represented below
+    "X1-exact-dedup": ["dedup_keep_best", "dedup_normalized_text"],
     "X2-near-dup": ["minhash_near_dups", "ssjoin_prefix_filter", "embedding_cosine_near_dups"],
     "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs"],
-    "X4-text": ["text_quality_scores", "lang_id_heuristic", "chunk_documents_50tok", "training_data_prep"],
+    "X4-text": ["lang_id_heuristic", "chunk_documents_50tok", "training_data_prep"],
     "X4-curation": ["contamination_13gram", "gopher_quality_flags", "repetition_filter"],
     "X5-multimodal": ["multimodal_features", "multimodal_audio_features"],
     # r5 rotation: pack_sequences_1024 / corpus_mix_temperature moved past
@@ -37,6 +39,10 @@ FAMILY_SENTINELS = {
         "dedup_cluster_components_star",
         "sessionize_events_gap30m",
         "zorder_events_morton",
+        # mid-r5 second wave: earned oracles (were rows-only), never
+        # driver-checked before
+        "embedding_cosine_near_dups_lsh",
+        "embedding_topk_ivf_kmeans",
     ],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stateful_user_stats", "session_window_30m"],
 }
