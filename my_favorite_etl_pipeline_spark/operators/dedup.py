@@ -280,3 +280,77 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def exact_span_matches(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X1/X2 — maximal exact token spans shared across documents.
+
+    The substring-dedup primitive of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", which removes exact
+    duplicate spans of >= 50 BPE tokens corpus-wide), re-expressed as
+    relational dataflow instead of a suffix array:
+
+    1. every document emits its ``min_tokens``-gram at each start position
+       (map-only; one row per token, like the winnowing fingerprinter);
+    2. grams equi-join across documents (``id_a < id_b``) — exact match,
+       no hashing, so recall is 100% by construction;
+    3. consecutive matching positions merge into MAXIMAL spans with the
+       gaps-and-islands trick: within a (pair, ``pos_a - pos_b``) group,
+       ``pos_a - row_number()`` is constant exactly along a consecutive
+       run, so grouping on it yields one row per maximal span — two
+       disjoint shared spans with the same alignment stay separate.
+
+    Scale posture: the gram join is the only wide exchange and shuffles
+    |tokens| rows — at 100 TB you would join on a 64-bit rolling hash of
+    the gram (then verify) to cut shuffle width; the gram string is kept
+    here so the DuckDB oracle replays the join byte-for-byte. The islands
+    window partitions by (doc pair, alignment), whose groups are bounded
+    by document length — never a corpus-scale sort. Suffix-array
+    construction is inherently sequential; this shape trades its
+    O(n log n) for two shuffles that AQE can split arbitrarily wide.
+
+    Returns (doc_a, doc_b, a_start, b_start, span_tokens); starts are
+    0-based token offsets, span_tokens >= min_tokens.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    ).filter(F.size("__t") >= min_tokens)
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - min_tokens),
+                lambda i: F.array_join(F.slice("__t", i + 1, min_tokens), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    a, b = grams.alias("ga"), grams.alias("gb")
+    matches = a.join(
+        b,
+        (F.col("ga.gram") == F.col("gb.gram"))
+        & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")),
+    ).select(
+        F.col(f"ga.{id_col}").alias("doc_a"),
+        F.col(f"gb.{id_col}").alias("doc_b"),
+        F.col("ga.pos").alias("pa"),
+        F.col("gb.pos").alias("pb"),
+    )
+    run = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
+    return (
+        matches.withColumn("diff", F.col("pa") - F.col("pb"))
+        .withColumn("grp", F.col("pa") - F.row_number().over(run))
+        .groupBy("doc_a", "doc_b", "diff", "grp")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.max("pa") - F.min("pa") + min_tokens).alias("span_tokens"),
+        )
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    )

@@ -349,3 +349,41 @@ def q_semdedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return semdedup_pairs(emb, threshold=0.4, k=8)
+
+
+@register(
+    "exact_span_dedup_20tok",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g0 AS (SELECT doc_id, UNNEST(range(len(t) - 19)) AS pos, t
+           FROM toks WHERE len(t) >= 20),
+    g AS (SELECT doc_id, pos,
+                 ARRAY_TO_STRING(list_slice(t, pos + 1, pos + 20), ' ') AS gram
+          FROM g0),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    r AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diff,
+                 pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                         ORDER BY pa) AS grp
+          FROM m)
+    SELECT doc_a, doc_b,
+           CAST(MIN(pa) AS BIGINT) AS a_start,
+           CAST(MIN(pb) AS BIGINT) AS b_start,
+           CAST(MAX(pa) - MIN(pa) + 20 AS BIGINT) AS span_tokens
+    FROM r GROUP BY doc_a, doc_b, diff, grp
+    """,
+)
+def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 — exact-substring span dedup (Lee et al. 2021): every maximal
+    exact token span of >= 20 tokens shared between two documents, with
+    0-based start offsets on both sides. The operator the "remove exact
+    duplicate spans corpus-wide" pretraining step needs — distinct from
+    contamination_13gram (train-vs-benchmark overlap FLAG) in that it
+    returns the aligned spans themselves, merged to maximal length via
+    gaps-and-islands, ready for span excision. 20 tokens here because the
+    fixture's docs have a 56-token median (Lee et al. use 50 BPE tokens;
+    the width is a parameter of :func:`exact_span_matches`).
+    """
+    from ..operators.dedup import exact_span_matches
+
+    return exact_span_matches(load(spark, sf_dir, "documents"), min_tokens=20)

@@ -115,10 +115,12 @@ CURATED_FIRST: tuple[str, ...] = (
     "contamination_13gram",
     "gopher_quality_flags",
     "repetition_filter",
-    # X4 text analysis / chunking / prep (quality-scores rotated out
-    # mid-r5 after four green rounds; five X4 slots remain)
+    # X4 text analysis / chunking / prep (quality-scores and
+    # term-frequencies rotated out mid-r5 after four green rounds each;
+    # the exact-substring span dedup — new this round, Lee et al. 2021 —
+    # takes a slot with a fresh oracle)
     "lang_id_heuristic",
-    "term_frequencies_top50",
+    "exact_span_dedup_20tok",
     "bpe_ish_token_counts",
     "chunk_documents_50tok",
     "scrub_pii_documents",

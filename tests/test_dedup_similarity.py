@@ -192,3 +192,22 @@ def test_kmeans_iterate_centroids_shape_and_recall(spark, sf_dir):
     dim = emb.select(F.size("embedding")).head()[0]
     assert all(len(r.centroid) == dim for r in cent)
     assert all(all(v is not None for v in r.centroid) for r in cent)
+
+
+def test_exact_span_matches_merges_runs_and_splits_gaps(spark):
+    """Two disjoint shared spans with the SAME alignment must stay two
+    rows (the gaps-and-islands grouping), each merged to maximal length."""
+    from my_favorite_etl_pipeline_spark.operators.dedup import exact_span_matches
+
+    c1 = [f"c{i}" for i in range(22)]
+    c2 = [f"z{i}" for i in range(22)]
+    d1 = c1 + [f"x{i}" for i in range(5)] + c2
+    d2 = c1 + [f"y{i}" for i in range(5)] + c2
+    docs = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2))], "doc_id long, text string"
+    )
+    rows = {
+        (r.a_start, r.b_start, r.span_tokens)
+        for r in exact_span_matches(docs, min_tokens=20).collect()
+    }
+    assert rows == {(0, 0, 22), (27, 27, 22)}

@@ -43,6 +43,9 @@ FAMILY_SENTINELS = {
         # driver-checked before
         "embedding_cosine_near_dups_lsh",
         "embedding_topk_ivf_kmeans",
+        # brand-new mid-r5 (Lee et al. exact-substring span dedup),
+        # driver-checked from day one
+        "exact_span_dedup_20tok",
     ],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stateful_user_stats", "session_window_30m"],
 }
