@@ -354,3 +354,63 @@ def exact_span_matches(
         )
         .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
     )
+
+
+def excise_span_duplicates(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X1/X2 — cut duplicated spans out of the corpus (Lee et al. 2021,
+    the excision step that follows :func:`exact_span_matches`).
+
+    Policy: for every matched span the LOWER-id document is canonical and
+    keeps its copy; the higher-id side has the aligned token range
+    removed. A document can lose several (possibly overlapping) spans to
+    different partners — positions are deduplicated before removal.
+
+    Dataflow: span matches → explode losing-side position ranges (bounded
+    by document length, map-only) → distinct (doc, pos) removal set →
+    anti-join against the per-token explode of the corpus → re-assemble
+    surviving tokens in position order. Every join is an equi-join on
+    (doc, pos); the re-assembly aggregate is per-document, so no stage
+    sees more than one document's tokens in a single group.
+
+    Returns (doc_id, clean_text, n_removed_tokens) for EVERY input
+    document (untouched docs come through with 0 removed).
+    """
+    spans = exact_span_matches(docs, min_tokens=min_tokens, id_col=id_col, text_col=text_col)
+    removed = (
+        spans.select(
+            F.col("doc_b").alias(id_col),
+            F.explode(
+                F.sequence(F.col("b_start"), F.col("b_start") + F.col("span_tokens") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("__cut", F.lit(True))
+    )
+    tokens = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    return (
+        tokens.join(removed, [id_col, "pos"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__cut").isNull(), F.struct("pos", "tok"))
+                        )
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("__cut").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )

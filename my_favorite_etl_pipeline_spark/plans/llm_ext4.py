@@ -387,3 +387,58 @@ def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_span_matches
 
     return exact_span_matches(load(spark, sf_dir, "documents"), min_tokens=20)
+
+
+@register(
+    "dedup_excise_spans_20tok",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g0 AS (SELECT doc_id, UNNEST(range(len(t) - 19)) AS pos, t
+           FROM toks WHERE len(t) >= 20),
+    g AS (SELECT doc_id, pos,
+                 ARRAY_TO_STRING(list_slice(t, pos + 1, pos + 20), ' ') AS gram
+          FROM g0),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    r AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diff,
+                 pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                         ORDER BY pa) AS grp
+          FROM m),
+    spans AS (
+      SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+             MAX(pa) - MIN(pa) + 20 AS span_tokens
+      FROM r GROUP BY doc_a, doc_b, diff, grp
+    ),
+    removed AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_b AS doc_id,
+               UNNEST(generate_series(b_start, b_start + span_tokens - 1)) AS pos
+        FROM spans)
+    ),
+    tp AS (
+      SELECT doc_id, pos, t[pos + 1] AS tok FROM (
+        SELECT doc_id, UNNEST(range(len(t))) AS pos, t FROM toks)
+    ),
+    j AS (
+      SELECT tp.doc_id, tp.pos, tp.tok, rm.pos IS NOT NULL AS cut
+      FROM tp LEFT JOIN removed rm
+        ON tp.doc_id = rm.doc_id AND tp.pos = rm.pos
+    )
+    SELECT doc_id,
+           COALESCE(ARRAY_TO_STRING(LIST(tok ORDER BY pos) FILTER (WHERE NOT cut), ' '),
+                    '') AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE cut) AS BIGINT) AS n_removed_tokens
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 — the excision step of Lee et al. 2021 substring dedup: the
+    lower-id side of every matched span keeps its copy, the higher-id side
+    has the aligned token range cut out (overlapping losses deduplicated
+    by position), and every document comes back with its surviving text
+    reassembled in order plus the removed-token count. Composes
+    :func:`exact_span_matches` end-to-end — span DETECTION is checked by
+    exact_span_dedup_20tok, this checks the REMOVAL semantics."""
+    from ..operators.dedup import excise_span_duplicates
+
+    return excise_span_duplicates(load(spark, sf_dir, "documents"), min_tokens=20)

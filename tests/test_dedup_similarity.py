@@ -211,3 +211,24 @@ def test_exact_span_matches_merges_runs_and_splits_gaps(spark):
         for r in exact_span_matches(docs, min_tokens=20).collect()
     }
     assert rows == {(0, 0, 22), (27, 27, 22)}
+
+
+def test_excise_span_duplicates_cuts_loser_side_only(spark):
+    """Lower-id doc keeps every span; higher-id doc loses all matched
+    positions (deduplicated); untouched docs pass through with 0 removed."""
+    from my_favorite_etl_pipeline_spark.operators.dedup import excise_span_duplicates
+
+    c1 = [f"c{i}" for i in range(22)]
+    c2 = [f"z{i}" for i in range(22)]
+    d1 = c1 + [f"x{i}" for i in range(5)] + c2
+    d2 = c1 + [f"y{i}" for i in range(5)] + c2
+    d3 = [f"u{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3))],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in excise_span_duplicates(docs, min_tokens=20).collect()}
+    assert out[1].clean_text == " ".join(d1) and out[1].n_removed_tokens == 0
+    assert out[2].clean_text == " ".join(f"y{i}" for i in range(5))
+    assert out[2].n_removed_tokens == 44
+    assert out[3].clean_text == " ".join(d3) and out[3].n_removed_tokens == 0
