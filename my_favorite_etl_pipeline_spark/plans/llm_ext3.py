@@ -47,6 +47,10 @@ def _bench_pred() -> F.Column:
 
 @register(
     "ssjoin_prefix_filter",
+    # exact Jaccard via the inverted-index equi-join (see llm_ext.py
+    # _DUCK_JACCARD_PAIRS): identical result set to the O(n²) inequality
+    # join for any positive threshold, but parallelizable in DuckDB — the
+    # nested-loop form stalled the sf0.1 sweep for ~20 min per query
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (
@@ -57,11 +61,19 @@ def _bench_pred() -> F.Column:
                ELSE [] END) AS s
       FROM toks
     ),
+    sizes AS (SELECT doc_id, LEN(s) AS n FROM sh),
+    ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
     p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             ROUND(CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
-                   / LEN(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      SELECT inter.id_a, inter.id_b,
+             ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
     )
     SELECT * FROM p WHERE jaccard >= 0.9
     """,

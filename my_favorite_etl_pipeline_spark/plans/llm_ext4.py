@@ -99,13 +99,22 @@ def q_quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_keep_best",
+    # inverted-index edge generation — identical pair set, parallelizable
+    # (see dedup_cluster_components in llm_ext2.py)
     oracle=f"""
     WITH RECURSIVE {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, LEN(s) AS n FROM sh),
+    ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
     p AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
-            / LEN(list_distinct(list_concat(a.s, b.s))) >= 0.9
+      SELECT u, v FROM inter
+      JOIN sizes sa ON inter.u = sa.doc_id
+      JOIN sizes sb ON inter.v = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
     ),
     edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
     reach(node, root) AS (
