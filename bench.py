@@ -56,6 +56,10 @@ HEADLINE = [
     "contamination_13gram",
     "winnowing_fingerprints",
     "tfidf_topk_similar_docs",
+    # round 5: exact-substring span dedup (gram join + islands merge) — the
+    # 20th entry; when comparing totals to pre-r5 rounds subtract this row
+    # (BASELINE.md tracks both the comparable-19 and full totals)
+    "exact_span_dedup_20tok",
 ]
 
 

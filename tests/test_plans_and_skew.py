@@ -234,3 +234,19 @@ def test_multiconsumer_frames_are_cached(spark, sf_dir):
     assert "InMemoryTableScan" in _physical_plan(df)
     df2 = entrymod.queries()["ssjoin_prefix_filter"](spark, sf_dir)
     assert "InMemoryTableScan" in _physical_plan(df2)
+
+
+def test_exact_span_join_is_equi_not_cartesian(spark, sf_dir):
+    """The span-dedup gram join must plan as a HASH join keyed on the gram
+    with the id inequality as a residual condition — never a cartesian
+    product or broadcast-nested-loop (the O(n²) shapes that would make the
+    operator a lie at scale)."""
+    from my_favorite_etl_pipeline_spark.operators.dedup import exact_span_matches
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    df = exact_span_matches(load(spark, sf_dir, "documents"), min_tokens=20)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    join_lines = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert any("gram" in l for l in join_lines), join_lines
