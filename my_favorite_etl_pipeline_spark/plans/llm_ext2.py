@@ -561,3 +561,60 @@ def pack_sequences_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "seq_id")
     )
+
+
+@register(
+    "training_shard_assignment",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':shuffle:42') AS key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, key,
+             CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) % 8 AS INT)
+               AS shard
+      FROM k
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] assembly — global training-order shuffle into N shards: the
+    "shuffle the corpus once, write shards, stream them in order" step
+    every pretraining run does between assembly and the data loader.
+
+    Deterministic seeded permutation with NO global sort: the shuffle key
+    is md5(doc_id || seed); the shard is a hash bucket of the key (so
+    shard membership needs no coordination — map-only), and the order
+    WITHIN a shard is a window partitioned by shard, which parallelizes
+    one-reducer-per-shard. Contrast with ntile()/row_number() over a
+    global ORDER BY — the naive spec — which funnels the corpus through a
+    single reducer. At 100 TB: repartition(shard) + sortWithinPartitions
+    (key) + partitioned write — identical dataflow, shards = write tasks.
+
+    Seed fixed at 42 so the oracle replays the permutation; 8 shards so
+    every shard is non-trivially populated at sf0.001.
+    """
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle:42"))).alias(
+            "__key"
+        ),
+    ).withColumn(
+        "shard",
+        ((F.expr("locate(substr(__key, 1, 1), '0123456789abcdef')") - 1) % 8).cast(
+            "int"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("__key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
