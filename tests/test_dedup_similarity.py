@@ -232,3 +232,76 @@ def test_excise_span_duplicates_cuts_loser_side_only(spark):
     assert out[2].clean_text == " ".join(f"y{i}" for i in range(5))
     assert out[2].n_removed_tokens == 44
     assert out[3].clean_text == " ".join(d3) and out[3].n_removed_tokens == 0
+
+
+def _ref_spans(docs: dict, w: int) -> set:
+    """Pure-Python reference for exact_span_matches: brute-force every
+    alignment, merge consecutive matching positions into maximal spans."""
+    import itertools
+
+    out = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(sorted(docs.items()), 2):
+        A, B = ta.split(" "), tb.split(" ")
+        matches = [
+            (i, j)
+            for i in range(len(A) - w + 1)
+            for j in range(len(B) - w + 1)
+            if A[i : i + w] == B[j : j + w]
+        ]
+        bydiff: dict = {}
+        for i, j in matches:
+            bydiff.setdefault(i - j, []).append(i)
+        for d, iis in bydiff.items():
+            iis = sorted(iis)
+            start = prev = iis[0]
+            for i in iis[1:]:
+                if i == prev + 1:
+                    prev = i
+                    continue
+                out.add((ia, ib, start, start - d, prev - start + w))
+                start = prev = i
+            out.add((ia, ib, start, start - d, prev - start + w))
+    return out
+
+
+def test_exact_span_matches_random_vs_reference(spark):
+    """30 random docs over a small alphabet (forcing chance collisions)
+    plus planted duplicate segments: the DataFrame plan must agree with a
+    brute-force Python reference on the full span set, and the excision
+    must remove exactly the reference's losing-side positions."""
+    import random
+
+    from my_favorite_etl_pipeline_spark.operators.dedup import (
+        excise_span_duplicates,
+        exact_span_matches,
+    )
+
+    rng = random.Random(7)
+    W = 5
+    docs: dict[int, str] = {}
+    for i in range(30):
+        n = rng.randint(0, 40)
+        docs[i] = " ".join(f"t{rng.randint(0, 7)}" for _ in range(n))
+    # plant shared segments (some longer than W, at different offsets)
+    seg = " ".join(f"s{k}" for k in range(9))
+    docs[3] = f"{docs[3]} {seg}".strip()
+    docs[11] = f"{seg} {docs[11]}".strip()
+    docs[17] = f"x0 x1 {seg}"
+    ref = _ref_spans(docs, W)
+
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+        for r in exact_span_matches(sdf, min_tokens=W).collect()
+    }
+    assert got == ref
+
+    removed_ref: dict[int, set] = {}
+    for _, db, _, bs, st in ref:
+        removed_ref.setdefault(db, set()).update(range(bs, bs + st))
+    out = {r.doc_id: r for r in excise_span_duplicates(sdf, min_tokens=W).collect()}
+    for did, text in docs.items():
+        toks = text.split(" ")
+        keep = [t for p, t in enumerate(toks) if p not in removed_ref.get(did, set())]
+        assert out[did].clean_text == " ".join(keep), did
+        assert out[did].n_removed_tokens == len(removed_ref.get(did, set())), did
