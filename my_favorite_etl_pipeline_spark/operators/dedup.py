@@ -222,6 +222,12 @@ def simhash_bits(text_col: Column | str, bits: int = 64) -> Column:
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(acc, bitvec(h), lambda x, y: x + y),
     )
+    return _chunks_from_sums(sums, bits)
+
+
+def _chunks_from_sums(sums: Column, bits: int) -> Column:
+    """Per-bit sums → sign bits → ``bits/16`` 16-bit chunk values (first
+    bit of each chunk most significant, matching the ``acc*2 + bit`` fold)."""
     n_chunks = bits // 16
     # let-bind the per-bit sums: the chunk extraction references them 4×
     return let(
@@ -237,20 +243,70 @@ def simhash_bits(text_col: Column | str, bits: int = 64) -> Column:
     )
 
 
+def simhash_bits_portable(text_col: Column | str, bits: int = 64) -> Column:
+    """SimHash signature from ENGINE-PORTABLE token hashes.
+
+    Same vector-accumulator dataflow as :func:`simhash_bits`, but each
+    token's 64 hash bits come from md5 (two 8-hex-char halves parsed as
+    32-bit ints: bits 0-31 from chars 9-16, bits 32-63 from chars 1-8)
+    instead of Spark-specific xxhash64 — md5 is bit-identical in every
+    engine, so the whole signature is DuckDB-reproducible and the SimHash
+    family gets a value-hash oracle (xxhash64 kept as the fast production
+    default; the hash choice only changes which random hyperplanes the
+    sketch uses, not its quality).
+    """
+    from ..functions.text import tokens
+
+    assert bits == 64, "portable variant is fixed at 64 bits (md5 halves)"
+    tok_hashes = F.transform(
+        tokens(text_col),
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("lo"),
+        ),
+    )
+
+    def bitvec(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(
+                    (
+                        (h["lo"] if b < 32 else h["hi"]).bitwiseAND(
+                            F.lit(1 << (b % 32)).cast("long")
+                        )
+                    )
+                    != 0,
+                    1,
+                ).otherwise(-1)
+                for b in range(64)
+            ]
+        )
+
+    sums = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda x, y: x + y),
+    )
+    return _chunks_from_sums(sums, bits)
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bits_fn=simhash_bits,
 ) -> DataFrame:
     """X2 (SimHash flavor) — chunk-blocked near-dup pairs.
 
     Pigeonhole: hamming ≤ 3 over 64 bits ⇒ at least one of the 4 16-bit
     chunks is equal → block on (chunk index, chunk value), verify hamming
     on candidates. Same bounded-candidates shape as MinHash LSH.
+    ``bits_fn`` selects the signature hash (xxhash64 default;
+    :func:`simhash_bits_portable` for the oracle-reproducible md5 variant).
     """
     sigs = ensure_min_partitions(df).select(
-        F.col(id_col), simhash_bits(F.col(text_col)).alias("sig")
+        F.col(id_col), bits_fn(F.col(text_col)).alias("sig")
     )
     blocked = sigs.select(
         id_col, "sig", F.posexplode("sig").alias("chunk_idx", "chunk_val")

@@ -200,6 +200,116 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
 
 
+# Portable SimHash signature pipeline in SQL: md5 halves parsed to 32-bit
+# ints via hex-digit arithmetic, per-bit ±1 sums, sign bits folded into
+# 16-bit chunks (first bit of a chunk most significant — matches the
+# ``acc*2 + bit`` fold in operators.dedup._chunks_from_sums).
+_DUCK_SIMHASH = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tm AS (SELECT doc_id, md5(UNNEST(t)) AS m FROM toks),
+    th AS (
+      SELECT doc_id,
+        CAST(LIST_SUM(LIST_TRANSFORM(range(8), i ->
+          CAST(strpos('0123456789abcdef', substr(m, i + 1, 1)) - 1 AS BIGINT)
+            * (CAST(1 AS BIGINT) << (4 * (7 - i))))) AS BIGINT) AS hi,
+        CAST(LIST_SUM(LIST_TRANSFORM(range(8), i ->
+          CAST(strpos('0123456789abcdef', substr(m, i + 9, 1)) - 1 AS BIGINT)
+            * (CAST(1 AS BIGINT) << (4 * (7 - i))))) AS BIGINT) AS lo
+      FROM tm
+    ),
+    bitsum AS (
+      SELECT doc_id, bb.b,
+             SUM(CASE WHEN (CASE WHEN bb.b < 32 THEN lo >> bb.b
+                            ELSE hi >> (bb.b - 32) END) % 2 = 1
+                 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT UNNEST(range(64)) AS b) bb
+      GROUP BY doc_id, bb.b
+    ),
+    sig AS (
+      SELECT doc_id, CAST(b // 16 AS INT) AS chunk_idx,
+             CAST(SUM((CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                      * (CAST(1 AS BIGINT) << (15 - CAST(b % 16 AS INT)))) AS INT)
+               AS chunk_val
+      FROM bitsum GROUP BY doc_id, chunk_idx
+    )
+"""
+
+
+@register(
+    "simhash_signatures_portable",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH}
+    SELECT doc_id,
+           CAST(MAX(CASE WHEN chunk_idx = 0 THEN chunk_val END) AS INT) AS chunk0,
+           CAST(MAX(CASE WHEN chunk_idx = 1 THEN chunk_val END) AS INT) AS chunk1,
+           CAST(MAX(CASE WHEN chunk_idx = 2 THEN chunk_val END) AS INT) AS chunk2,
+           CAST(MAX(CASE WHEN chunk_idx = 3 THEN chunk_val END) AS INT) AS chunk3
+    FROM sig GROUP BY doc_id
+    """,
+)
+def q_simhash_signatures_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (SimHash, r5) — the same signature dataflow on ENGINE-PORTABLE
+    md5-derived token bits, which is what earns the SimHash family a
+    value-hash oracle (the xxhash64 variant above stays the fast
+    production default and keeps its rows-only status for a fundamental
+    reason: no other engine reproduces Spark's xxhash64)."""
+    from ..operators.dedup import simhash_bits_portable
+
+    docs = load(spark, sf_dir, "documents")
+    sig = simhash_bits_portable(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sig[0].alias("chunk0"),
+        sig[1].alias("chunk1"),
+        sig[2].alias("chunk2"),
+        sig[3].alias("chunk3"),
+    )
+
+
+@register(
+    "simhash_near_dups_portable",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+           AND a.doc_id < b.doc_id
+    ),
+    sp AS (
+      SELECT doc_id,
+             MAX(CASE WHEN chunk_idx = 0 THEN chunk_val END) AS c0,
+             MAX(CASE WHEN chunk_idx = 1 THEN chunk_val END) AS c1,
+             MAX(CASE WHEN chunk_idx = 2 THEN chunk_val END) AS c2,
+             MAX(CASE WHEN chunk_idx = 3 THEN chunk_val END) AS c3
+      FROM sig GROUP BY doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT c.id_a, c.id_b,
+             CAST(bit_count(xor(pa.c0, pb.c0)) + bit_count(xor(pa.c1, pb.c1))
+                + bit_count(xor(pa.c2, pb.c2)) + bit_count(xor(pa.c3, pb.c3))
+               AS INT) AS hamming
+      FROM cand c
+      JOIN sp pa ON c.id_a = pa.doc_id
+      JOIN sp pb ON c.id_b = pb.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
+def q_simhash_near_dups_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (SimHash, r5) — chunk-blocked hamming ≤ 3 pairs over the
+    portable md5-bit signatures: the oracle replays blocking, pigeonhole
+    candidate generation, and the XOR-popcount verify in SQL, giving the
+    SimHash FAMILY end-to-end value verification (candidate recall is
+    separately floor-tested against brute force for the xxhash variant in
+    tests/test_dedup_similarity.py)."""
+    from ..operators.dedup import simhash_bits_portable, simhash_near_dups
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=3, bits_fn=simhash_bits_portable
+    )
+
+
 @register(
     "text_quality_scores",
     oracle="""
