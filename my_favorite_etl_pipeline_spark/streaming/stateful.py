@@ -116,6 +116,24 @@ class _UserStatsProcessor:
         pass
 
 
+def build_tws_processor_class() -> type:
+    """Subclass :class:`StatefulProcessor` with ``_UserStatsProcessor``'s
+    methods. The namespace copy must EXCLUDE the ``__dict__``/``__weakref__``
+    getset descriptors: copying them onto the new class breaks
+    ``vars(instance)`` (TypeError: descriptor does not apply) and with it
+    default pickling on Python <3.11 — PySpark pickles the processor to ship
+    it to the Python worker. Factored out of the protobuf-gated runner so the
+    class shape is testable without protobuf installed."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    ns = {
+        k: v
+        for k, v in _UserStatsProcessor.__dict__.items()
+        if k not in ("__dict__", "__weakref__")
+    }
+    return type("UserStatsTWS", (StatefulProcessor,), ns)
+
+
 def user_stats_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-user accumulator on the ``transformWithStateInPandas`` API.
 
@@ -140,9 +158,7 @@ def user_stats_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(pyspark's transform_with_state driver worker imports "
             "google.protobuf); not installed in this environment"
         ) from exc
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-    proc = type("UserStatsTWS", (StatefulProcessor,), dict(_UserStatsProcessor.__dict__))()
+    proc = build_tws_processor_class()()
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     spark.conf.set(

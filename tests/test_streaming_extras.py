@@ -123,6 +123,30 @@ def test_stateful_user_stats_tws_matches_legacy_api(spark, sf_dir):
     assert legacy.exceptAll(tws).count() == 0
 
 
+def test_tws_processor_class_is_picklable_shape():
+    """The dynamically built TWS subclass must not copy __dict__/__weakref__
+    descriptors from the template class: that breaks vars(instance) and
+    default pickling on Python <3.11 (PySpark pickles the processor to ship
+    it to the worker). Runs without protobuf — only the class shape matters.
+    """
+    import pickle
+
+    from my_favorite_etl_pipeline_spark.streaming.stateful import (
+        build_tws_processor_class,
+    )
+
+    cls = build_tws_processor_class()
+    inst = cls()
+    assert vars(inst) == {}  # raises TypeError if descriptors were copied
+    assert "__dict__" not in {
+        k for k in cls.__dict__ if k in ("__dict__", "__weakref__")
+    }
+    # the class itself is module-local so pickle-by-reference can't apply;
+    # what must survive is instance state access via __dict__
+    inst.seen = 3
+    assert pickle.loads(pickle.dumps(inst.__dict__)) == {"seen": 3}
+
+
 def test_stream_dedup_drops_injected_duplicates(spark, tmp_path):
     """dropDuplicatesWithinWatermark with real duplicate keys in the stream."""
     in_dir = str(tmp_path / "dup_in")
