@@ -338,11 +338,39 @@ def simhash_near_dups(
     )
 
 
+def _span_tokens(
+    docs: DataFrame, min_tokens: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, __t token array) for docs long enough to hold one gram."""
+    return docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    ).filter(F.size("__t") >= min_tokens)
+
+
+def _span_gram_hashes(toks: DataFrame, min_tokens: int, id_col: str) -> DataFrame:
+    """(id, pos, gh) — xxhash64 of the ``min_tokens``-gram at each start
+    position. The gram STRING is built only transiently inside the lambda
+    and never materialized as a column, so downstream shuffles move an
+    8-byte key instead of a ~min_tokens-word string (~10× narrower)."""
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - min_tokens),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice("__t", i + 1, min_tokens), " ")
+                ),
+            )
+        ).alias("pos", "gh"),
+    )
+
+
 def exact_span_matches(
     docs: DataFrame,
     min_tokens: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """X1/X2 — maximal exact token spans shared across documents.
 
@@ -351,52 +379,69 @@ def exact_span_matches(
     duplicate spans of >= 50 BPE tokens corpus-wide), re-expressed as
     relational dataflow instead of a suffix array:
 
-    1. every document emits its ``min_tokens``-gram at each start position
-       (map-only; one row per token, like the winnowing fingerprinter);
-    2. grams equi-join across documents (``id_a < id_b``) — exact match,
-       no hashing, so recall is 100% by construction;
+    1. every document emits the 64-bit xxhash64 of its ``min_tokens``-gram
+       at each start position (map-only; one row per token — the gram
+       string itself is never materialized, so the join below shuffles
+       8-byte keys, not 20-token strings);
+    2. gram hashes equi-join across documents (``id_a < id_b``), then every
+       candidate pair is VERIFIED against the original token arrays
+       (``slice(ta, pa, k) == slice(tb, pb, k)`` after an equi-join back to
+       the docs) — hash collisions are filtered out, so the result is
+       byte-exact gram equality and recall is 100% by construction;
     3. consecutive matching positions merge into MAXIMAL spans with the
        gaps-and-islands trick: within a (pair, ``pos_a - pos_b``) group,
        ``pos_a - row_number()`` is constant exactly along a consecutive
        run, so grouping on it yields one row per maximal span — two
        disjoint shared spans with the same alignment stay separate.
 
-    Scale posture: the gram join is the only wide exchange and shuffles
-    |tokens| rows — at 100 TB you would join on a 64-bit rolling hash of
-    the gram (then verify) to cut shuffle width; the gram string is kept
-    here so the DuckDB oracle replays the join byte-for-byte. The islands
-    window partitions by (doc pair, alignment), whose groups are bounded
-    by document length — never a corpus-scale sort. Suffix-array
-    construction is inherently sequential; this shape trades its
-    O(n log n) for two shuffles that AQE can split arbitrarily wide.
+    ``max_gram_df`` guards the pairwise OUTPUT against viral boilerplate: a
+    gram shared by k documents emits k(k-1)/2 pair rows, so licence headers
+    / navigation chrome make this reporting shape quadratic per hot gram.
+    With a cap, grams whose (hash-bucket) document frequency exceeds it are
+    dropped before the self-join — the cap is computed on the hash, so an
+    (astronomically rare) collision can only make the cap bind EARLIER,
+    never miss it. Corpus-wide EXCISION never needs the pair set at all:
+    :func:`span_removal_positions` is the O(df)-per-gram path — use it, not
+    a huge ``max_gram_df``, when the goal is removal rather than reporting.
+
+    The islands window partitions by (doc pair, alignment), whose groups
+    are bounded by document length — never a corpus-scale sort.
+    Suffix-array construction is inherently sequential; this shape trades
+    its O(n log n) for equi-joins that AQE can split arbitrarily wide.
 
     Returns (doc_a, doc_b, a_start, b_start, span_tokens); starts are
     0-based token offsets, span_tokens >= min_tokens.
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
-    ).filter(F.size("__t") >= min_tokens)
-    grams = toks.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__t") - min_tokens),
-                lambda i: F.array_join(F.slice("__t", i + 1, min_tokens), " "),
-            )
-        ).alias("pos", "gram"),
-    )
+    toks = _span_tokens(docs, min_tokens, id_col, text_col)
+    grams = _span_gram_hashes(toks, min_tokens, id_col)
+    if max_gram_df is not None:
+        dfw = Window.partitionBy("gh")
+        grams = grams.withColumn("__df", F.count(F.lit(1)).over(dfw)).filter(
+            F.col("__df") <= max_gram_df
+        ).drop("__df")
     a, b = grams.alias("ga"), grams.alias("gb")
-    matches = a.join(
+    cand = a.join(
         b,
-        (F.col("ga.gram") == F.col("gb.gram"))
+        (F.col("ga.gh") == F.col("gb.gh"))
         & (F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}")),
     ).select(
         F.col(f"ga.{id_col}").alias("doc_a"),
         F.col(f"gb.{id_col}").alias("doc_b"),
         F.col("ga.pos").alias("pa"),
         F.col("gb.pos").alias("pb"),
+    )
+    ta = toks.select(F.col(id_col).alias("doc_a"), F.col("__t").alias("__ta"))
+    tb = toks.select(F.col(id_col).alias("doc_b"), F.col("__t").alias("__tb"))
+    matches = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.slice(F.col("__ta"), F.col("pa") + 1, min_tokens)
+            == F.slice(F.col("__tb"), F.col("pb") + 1, min_tokens)
+        )
+        .select("doc_a", "doc_b", "pa", "pb")
     )
     run = Window.partitionBy("doc_a", "doc_b", "diff").orderBy("pa")
     return (
@@ -412,41 +457,117 @@ def exact_span_matches(
     )
 
 
-def excise_span_duplicates(
+def span_removal_positions(
     docs: DataFrame,
     min_tokens: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
+    """X1/X2 — the (doc, pos) token-removal set for corpus-wide span
+    excision, WITHOUT materializing doc pairs: per distinct gram the
+    minimum doc id is the keeper, and every other occurrence contributes
+    its ``min_tokens`` covered positions to the removal set.
+
+    Output per gram is O(df) — one row per non-keeper occurrence — where
+    the pairwise formulation (:func:`exact_span_matches` → explode spans)
+    emits O(df²) rows for a gram shared by df documents. The two removal
+    sets are IDENTICAL (pinned by ``test_span_canonical_equals_pairwise``):
+    a position p in doc D is excised by the pairwise rule iff some matched
+    span vs a lower-id doc covers p, i.e. iff some gram start q in
+    [p-k+1, p] of D also occurs in a doc < D; and min(doc holding that
+    gram) < D is exactly the same condition. Intra-doc repeats excise
+    nothing in either formulation (pairs require doc_a < doc_b; the keeper
+    keeps every one of its occurrences).
+
+    One exchange: the window groups by (gh, gram) — the 64-bit hash spreads
+    the partitioning, the gram string disambiguates collisions exactly, and
+    each gram occurrence is shuffled once (the unavoidable width of any
+    exact grouping; contrast the pairwise variant, which avoids shipping
+    gram strings entirely because candidate pairs can be re-verified
+    against the docs). The position explode is map-side and bounded by
+    k = ``min_tokens`` per occurrence.
+
+    Returns distinct (``id_col``, pos) rows.
+    """
+    from pyspark.sql import Window
+
+    toks = _span_tokens(docs, min_tokens, id_col, text_col)
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - min_tokens),
+                lambda i: F.array_join(F.slice("__t", i + 1, min_tokens), " "),
+            )
+        ).alias("pos", "gram"),
+    ).withColumn("gh", F.xxhash64("gram"))
+    keepw = Window.partitionBy("gh", "gram")
+    return (
+        grams.withColumn("__keep", F.min(id_col).over(keepw))
+        .filter(F.col(id_col) > F.col("__keep"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + min_tokens - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def excise_span_duplicates(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "canonical",
+) -> DataFrame:
     """X1/X2 — cut duplicated spans out of the corpus (Lee et al. 2021,
-    the excision step that follows :func:`exact_span_matches`).
+    the excision step of exact-substring dedup).
 
-    Policy: for every matched span the LOWER-id document is canonical and
-    keeps its copy; the higher-id side has the aligned token range
+    Policy: for every duplicated gram the LOWER-id document is canonical
+    and keeps its copy; every other occurrence has the covered token range
     removed. A document can lose several (possibly overlapping) spans to
-    different partners — positions are deduplicated before removal.
+    different keepers — positions are deduplicated before removal.
 
-    Dataflow: span matches → explode losing-side position ranges (bounded
-    by document length, map-only) → distinct (doc, pos) removal set →
-    anti-join against the per-token explode of the corpus → re-assemble
-    surviving tokens in position order. Every join is an equi-join on
-    (doc, pos); the re-assembly aggregate is per-document, so no stage
-    sees more than one document's tokens in a single group.
+    ``method="canonical"`` (default) builds the removal set via
+    :func:`span_removal_positions` — O(df) rows per duplicated gram, the
+    shape that survives viral boilerplate (a licence header in 10⁶ docs).
+    ``method="pairwise"`` derives the identical set from
+    :func:`exact_span_matches` spans (O(df²) per hot gram) — kept for the
+    reporting composition and as the equivalence-test twin.
+
+    Dataflow after the removal set: distinct (doc, pos) → left join
+    against the per-token explode of the corpus → re-assemble surviving
+    tokens in position order. Every join is an equi-join on (doc, pos);
+    the re-assembly aggregate is per-document, so no stage sees more than
+    one document's tokens in a single group.
 
     Returns (doc_id, clean_text, n_removed_tokens) for EVERY input
     document (untouched docs come through with 0 removed).
     """
-    spans = exact_span_matches(docs, min_tokens=min_tokens, id_col=id_col, text_col=text_col)
-    removed = (
-        spans.select(
-            F.col("doc_b").alias(id_col),
-            F.explode(
-                F.sequence(F.col("b_start"), F.col("b_start") + F.col("span_tokens") - 1)
-            ).alias("pos"),
+    if method == "canonical":
+        removed = span_removal_positions(
+            docs, min_tokens=min_tokens, id_col=id_col, text_col=text_col
+        ).withColumn("__cut", F.lit(True))
+    elif method == "pairwise":
+        spans = exact_span_matches(
+            docs, min_tokens=min_tokens, id_col=id_col, text_col=text_col
         )
-        .distinct()
-        .withColumn("__cut", F.lit(True))
-    )
+        removed = (
+            spans.select(
+                F.col("doc_b").alias(id_col),
+                F.explode(
+                    F.sequence(
+                        F.col("b_start"), F.col("b_start") + F.col("span_tokens") - 1
+                    )
+                ).alias("pos"),
+            )
+            .distinct()
+            .withColumn("__cut", F.lit(True))
+        )
+    else:
+        raise ValueError(f"unknown excision method: {method!r}")
     tokens = docs.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
     )

@@ -391,7 +391,11 @@ def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns the aligned spans themselves, merged to maximal length via
     gaps-and-islands, ready for span excision. 20 tokens here because the
     fixture's docs have a 56-token median (Lee et al. use 50 BPE tokens;
-    the width is a parameter of :func:`exact_span_matches`).
+    the width is a parameter of :func:`exact_span_matches`). Since r6 the
+    self-join key is xxhash64(gram) with a verify against the token arrays
+    (8-byte shuffle key, zero gram strings shuffled) — the oracle's
+    gram-string join replays the identical RESULT because collisions are
+    filtered exactly.
     """
     from ..operators.dedup import exact_span_matches
 
@@ -441,13 +445,19 @@ def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1/X2 — the excision step of Lee et al. 2021 substring dedup: the
-    lower-id side of every matched span keeps its copy, the higher-id side
-    has the aligned token range cut out (overlapping losses deduplicated
-    by position), and every document comes back with its surviving text
-    reassembled in order plus the removed-token count. Composes
-    :func:`exact_span_matches` end-to-end — span DETECTION is checked by
-    exact_span_dedup_20tok, this checks the REMOVAL semantics."""
+    """X1/X2 — the excision step of Lee et al. 2021 substring dedup: for
+    every duplicated >= 20-token gram the lowest-id document keeps its
+    copy, every other occurrence has the covered range cut out
+    (overlapping losses deduplicated by position), and every document
+    comes back with its surviving text reassembled in order plus the
+    removed-token count. Runs the CANONICAL-representative path
+    (:func:`span_removal_positions`, r6): per gram one groupBy emits the
+    O(df) non-keeper occurrences — never the O(df²) pair set — so viral
+    boilerplate (one gram in 10⁶ docs) cannot blow up the plan. The oracle
+    derives the same removal set pairwise (equivalence proven in
+    span_removal_positions' docstring and pinned by
+    tests/test_dedup_spans.py); span DETECTION is checked by
+    exact_span_dedup_20tok, this checks REMOVAL semantics."""
     from ..operators.dedup import excise_span_duplicates
 
     return excise_span_duplicates(load(spark, sf_dir, "documents"), min_tokens=20)

@@ -1,0 +1,111 @@
+"""Exact-substring span dedup (Lee et al. 2021) — the r6 scale-bound work:
+
+- the CANONICAL removal path (per gram: keeper = min doc_id, O(df) output)
+  must produce the exact same excision as the pairwise span formulation;
+- a boilerplate-heavy corpus (one gram shared by 50 docs) must flow through
+  the canonical path with O(df) rows, while the pairwise pair set is the
+  O(df²) shape it exists to avoid — and ``max_gram_df`` must bound it.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from my_favorite_etl_pipeline_spark.operators.dedup import (
+    exact_span_matches,
+    excise_span_duplicates,
+    span_removal_positions,
+)
+
+W = 5  # gram width for the randomized fixture (short docs → dense overlaps)
+
+
+def _random_docs(seed: int, n_docs: int = 12) -> list[tuple[int, str]]:
+    """Small vocabulary + shared motifs → plenty of cross-doc repeats."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(8)]
+    motifs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(W, 2 * W)))
+        for _ in range(4)
+    ]
+    docs = []
+    for d in range(n_docs):
+        parts = []
+        for _ in range(rng.randint(2, 5)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(motifs))
+            else:
+                parts.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 9))))
+        docs.append((d, " ".join(parts)))
+    return docs
+
+
+def test_span_canonical_equals_pairwise(spark):
+    """The O(df) canonical removal set == the O(df²) pairwise-derived one,
+    end-to-end through excision (clean_text AND n_removed_tokens), on
+    randomized corpora dense with shared motifs."""
+    for seed in (7, 19, 23):
+        sdf = spark.createDataFrame(_random_docs(seed), ["doc_id", "text"])
+        canon = {
+            r.doc_id: (r.clean_text, r.n_removed_tokens)
+            for r in excise_span_duplicates(sdf, min_tokens=W, method="canonical").collect()
+        }
+        pair = {
+            r.doc_id: (r.clean_text, r.n_removed_tokens)
+            for r in excise_span_duplicates(sdf, min_tokens=W, method="pairwise").collect()
+        }
+        assert canon == pair, f"seed {seed}: canonical != pairwise"
+
+
+def _boilerplate_docs(n_docs: int = 50) -> list[tuple[int, str]]:
+    """Every doc starts with the SAME 20-token boilerplate, then unique
+    filler — the licence-header shape that makes pairwise output O(df²)."""
+    boiler = " ".join(f"b{i}" for i in range(20))
+    return [(d, boiler + " " + " ".join(f"u{d}x{j}" for j in range(10))) for d in range(n_docs)]
+
+
+def test_hot_gram_canonical_output_is_linear(spark):
+    """One gram in 50 docs: the canonical removal set is exactly
+    (df-1) x 20 positions — O(df), not O(df²)."""
+    sdf = spark.createDataFrame(_boilerplate_docs(50), ["doc_id", "text"])
+    removed = span_removal_positions(sdf, min_tokens=20)
+    assert removed.count() == 49 * 20
+    # keeper (doc 0) loses nothing; everyone else loses exactly the boilerplate
+    per_doc = {r.doc_id: r.n for r in removed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0 not in per_doc
+    assert all(v == 20 for v in per_doc.values())
+
+
+def test_hot_gram_pairwise_blows_up_and_cap_bounds_it(spark):
+    """The pairwise REPORTING variant on the same corpus emits the full
+    C(50,2) pair set — the blowup the canonical path avoids — and
+    ``max_gram_df`` prunes the hot gram before the self-join."""
+    sdf = spark.createDataFrame(_boilerplate_docs(50), ["doc_id", "text"])
+    assert exact_span_matches(sdf, min_tokens=20).count() == 50 * 49 // 2
+    assert exact_span_matches(sdf, min_tokens=20, max_gram_df=10).count() == 0
+
+
+def test_hot_gram_excision_cuts_boilerplate_everywhere_but_keeper(spark):
+    sdf = spark.createDataFrame(_boilerplate_docs(50), ["doc_id", "text"])
+    out = {r.doc_id: r for r in excise_span_duplicates(sdf, min_tokens=20).collect()}
+    assert len(out) == 50
+    assert out[0].n_removed_tokens == 0 and out[0].clean_text.startswith("b0 b1")
+    for d in range(1, 50):
+        assert out[d].n_removed_tokens == 20
+        assert out[d].clean_text == " ".join(f"u{d}x{j}" for j in range(10))
+
+
+def test_max_gram_df_keeps_cold_grams(spark):
+    """The cap drops only grams above it: two docs sharing a private span
+    still match under a cap that the hot gram exceeds."""
+    docs = _boilerplate_docs(50)
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs.append((100, shared + " p100a p100b"))
+    docs.append((101, shared + " q101a q101b"))
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = exact_span_matches(sdf, min_tokens=20, max_gram_df=10).collect()
+    assert {(r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens) for r in rows} == {
+        (100, 101, 0, 0, 20)
+    }

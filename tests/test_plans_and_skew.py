@@ -237,10 +237,12 @@ def test_multiconsumer_frames_are_cached(spark, sf_dir):
 
 
 def test_exact_span_join_is_equi_not_cartesian(spark, sf_dir):
-    """The span-dedup gram join must plan as a HASH join keyed on the gram
-    with the id inequality as a residual condition — never a cartesian
-    product or broadcast-nested-loop (the O(n²) shapes that would make the
-    operator a lie at scale)."""
+    """The span-dedup self-join must plan as a HASH join keyed on the
+    64-bit gram hash with the id inequality as a residual condition —
+    never a cartesian product or broadcast-nested-loop (the O(n²) shapes
+    that would make the operator a lie at scale) — and no gram STRING
+    column may appear anywhere in the plan (the r6 shuffle-width fix:
+    8-byte keys, strings only re-verified against the doc token arrays)."""
     from my_favorite_etl_pipeline_spark.operators.dedup import exact_span_matches
     from my_favorite_etl_pipeline_spark.sources.tables import load
 
@@ -249,4 +251,5 @@ def test_exact_span_join_is_equi_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     join_lines = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
-    assert any("gram" in l for l in join_lines), join_lines
+    assert any("gh" in l for l in join_lines), join_lines
+    assert "gram#" not in plan  # the string never becomes a real column
