@@ -1,0 +1,63 @@
+"""Persist lifecycle — tracked materialization points and a caller scope.
+
+Several operators ``persist()`` a multi-consumer intermediate frame (tfidf's
+tf/unit postings, the prefix-filter shingle tables): those are intentional
+materialization points, but a long-lived session composing many plans would
+accumulate CacheManager entries forever if nobody unpersisted them. The
+query functions CANNOT unpersist (they return lazy plans whose caches are
+consumed by a later action), so the contract is engine-level:
+
+- operators call :func:`tracked_persist` instead of ``DataFrame.persist`` —
+  identical behavior, plus registration with the innermost active scope;
+- runners (the correctness harness, the pipeline runner, tests) wrap
+  *build plan → run action* in ``with materialized_scope():`` — on exit,
+  every persist created inside the scope is released, newest first.
+
+Outside any scope, ``tracked_persist`` degrades to a plain ``persist`` and
+the caller owns cleanup (the documented pre-r6 contract), so one-shot
+scripts and the benchmark keep cache reuse across repeated runs.
+
+``unpersist(blocking=False)`` is deliberate: release is a metadata
+operation; executors drop blocks asynchronously.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_SCOPES: list[list[DataFrame]] = []
+
+
+def tracked_persist(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """``df.persist(level)``, registered with the innermost active scope."""
+    df.persist(level)
+    if _SCOPES:
+        _SCOPES[-1].append(df)
+    return df
+
+
+@contextmanager
+def materialized_scope() -> Iterator[list[DataFrame]]:
+    """Release every :func:`tracked_persist` made inside the block on exit.
+
+    Scopes nest: an inner scope releases only its own persists. Exceptions
+    propagate after cleanup. The yielded list is the live registry — tests
+    may inspect it; callers normally ignore it.
+    """
+    scope: list[DataFrame] = []
+    _SCOPES.append(scope)
+    try:
+        yield scope
+    finally:
+        _SCOPES.pop()
+        for df in reversed(scope):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session torn down mid-scope: nothing left to release

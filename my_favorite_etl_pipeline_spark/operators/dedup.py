@@ -17,10 +17,10 @@ deterministic across runs and partitionings.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..functions.exprs import let
 from .scaling import ensure_min_partitions
 from ..functions.text import shingles
@@ -124,9 +124,7 @@ def prefix_filter_pairs(
     # tok feeds the frequency agg AND the ranked re-agg; pref self-joins.
     # Without persistence the shingle/explode chain runs four times —
     # persist the two fan-out points (spill-safe) so it runs once.
-    tok = sh.select(id_col, F.explode("sh").alias("t")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    tok = tracked_persist(sh.select(id_col, F.explode("sh").alias("t")))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
     ranked = (
         tok.join(freq, "t")
@@ -139,7 +137,8 @@ def prefix_filter_pairs(
         F.col(id_col),
         n.alias("n"),
         F.explode(F.slice(F.transform("ord", lambda s: s["t"]), F.lit(1), plen)).alias("t"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pref = tracked_persist(pref)
     a, b = pref.alias("a"), pref.alias("b")
     return (
         a.join(
@@ -168,10 +167,10 @@ def jaccard_verify(
     """
     # the self-join below would otherwise compute the shingle projection
     # twice — persist the single map-only pass instead
-    sh = (
-        ensure_min_partitions(df)
-        .select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = tracked_persist(
+        ensure_min_partitions(df).select(
+            F.col(id_col), shingles(F.col(text_col)).alias("sh")
+        )
     )
     a = sh.alias("sa")
     b = sh.alias("sb")

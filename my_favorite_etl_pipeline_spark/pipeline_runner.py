@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .caching import materialized_scope
 from .functions.normalize import (
     coerce_timestamps,
     flatten_struct,
@@ -106,6 +107,26 @@ def run_incremental_batch(
     caller owns persistence (Delta MERGE in production) and the merge is
     pinned via localCheckpoint only.
     """
+    with materialized_scope():
+        return _run_incremental_batch(
+            spark, source, mart, staging_path, window, run_id, key,
+            ts_cols, update_cols, dq, mart_path,
+        )
+
+
+def _run_incremental_batch(
+    spark: SparkSession,
+    source: DataFrame,
+    mart: DataFrame,
+    staging_path: str,
+    window: tuple[str, str],
+    run_id: str,
+    key: str,
+    ts_cols: list[str] | None,
+    update_cols: list[str] | None,
+    dq: DQSuite | None,
+    mart_path: str | None,
+) -> tuple[DataFrame, BatchReport]:
     report = BatchReport(run_id=run_id)
     start, end = window
     ts = ts_cols or ["createdat", "updatedat"]

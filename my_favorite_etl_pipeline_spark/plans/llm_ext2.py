@@ -11,12 +11,12 @@ sort or a driver-side pass.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..operators.graph import connected_components
+from ..caching import tracked_persist
 from ..registry import register
 from ..sources.tables import load
 
@@ -222,8 +222,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9)
-    sh = docs.select("doc_id", TX.shingles(F.col("text")).alias("sh")).persist(
-        StorageLevel.MEMORY_AND_DISK  # self-joined below: shingle once, not twice
+    sh = tracked_persist(  # self-joined below: shingle once, not twice
+        docs.select("doc_id", TX.shingles(F.col("text")).alias("sh"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(

@@ -13,11 +13,11 @@ computing the same definition independently.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..caching import tracked_persist
 from ..registry import register
 from ..sources.tables import load
 
@@ -550,10 +550,8 @@ def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf feeds THREE downstream aggregates (dl, df_, wts) plus the df-skew
     # probe below; persist it once (spills to disk under pressure) instead
     # of re-tokenizing the corpus per consumer.
-    tf = (
-        toks.groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    tf = tracked_persist(
+        toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
     dl = tf.groupBy("doc_id").agg(F.sum("c").alias("len"))
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("dfc"))
@@ -575,11 +573,10 @@ def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unit feeds TWO consumers (the exact query side and the truncated
     # candidate side); persisting it stops the dl/df_/nrm join chain from
     # running twice — same multi-consumer rationale as tf above.
-    unit = (
+    unit = tracked_persist(
         wts.join(nrm, "doc_id")
         .filter(F.col("nv") > 0)
         .select("doc_id", "w", (F.col("wt") / F.col("nv")).alias("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Impact-ordered posting truncation: per term, keep the 256 highest-
     # weight postings on the candidate side (rank on the ROUNDED weight +

@@ -19,12 +19,12 @@ Three operators, each with an exact DuckDB oracle:
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..operators.graph import connected_components
+from ..caching import tracked_persist
 from ..registry import register
 from ..sources.tables import load
 
@@ -156,8 +156,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9)
-    sh = docs.select("doc_id", TX.shingles(F.col("text")).alias("sh")).persist(
-        StorageLevel.MEMORY_AND_DISK  # self-joined below: shingle once, not twice
+    sh = tracked_persist(  # self-joined below: shingle once, not twice
+        docs.select("doc_id", TX.shingles(F.col("text")).alias("sh"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(

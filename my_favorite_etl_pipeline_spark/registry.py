@@ -20,11 +20,14 @@ compares both sides (row count + schema + order-insensitive value hash), so:
 
 Runtime contract notes:
 
-- CACHE OWNERSHIP: some queries ``persist()`` multi-consumer intermediate
-  frames (tfidf's tf/unit projections, dedup's shingle table). The persists
-  are intentional materialization points, and the CALLER owns cleanup —
-  long-lived sessions running many distinct plans should
-  ``spark.catalog.clearCache()`` between queries (tools/check.py does).
+- CACHE OWNERSHIP: some queries persist multi-consumer intermediate frames
+  (tfidf's tf/unit projections, dedup's shingle table) via
+  ``caching.tracked_persist``. The persists are intentional materialization
+  points with an engine-level lifecycle: wrap *build plan → run action* in
+  ``with caching.materialized_scope():`` and every persist created inside
+  is released on exit (tools/check.py and the pipeline runner do; see
+  tests/test_cache_lifecycle.py). Outside a scope the caller owns cleanup,
+  preserving cross-run cache reuse for bench-style repeated execution.
 - LAZINESS: building a plan is normally free, but adaptive plans may run a
   tiny scalar probe job during CONSTRUCTION (tfidf_topk_similar_docs runs a
   max(df) aggregate to decide whether phase-1 salting is worth a shuffle).

@@ -20,6 +20,8 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
+from my_favorite_etl_pipeline_spark.caching import materialized_scope
+
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
@@ -69,13 +71,13 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-            # queries may persist() multi-consumer frames and the registry
-            # contract says the CALLER owns cleanup — drop them so a
-            # 100+-query sweep doesn't accumulate CacheManager entries
-            spark.catalog.clearCache()
+            # queries tracked_persist() multi-consumer frames; the scope
+            # releases them after the collect so a 100+-query sweep doesn't
+            # accumulate CacheManager entries (engine contract, r6)
+            with materialized_scope():
+                sdf = fn(spark, SF_DIR)
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
