@@ -338,9 +338,24 @@ def kmeans_iterate(
     rounds; SemDeDup uses k-means centroids exactly this way), so the
     total stays O(n·k·iters) with an O(k) broadcast. Empty clusters keep
     their previous centroid (standard Lloyd fallback) via left join.
+
+    Converged rounds are skipped: after each round a digest of the O(k·d)
+    centroid table (two scalar aggregates — the :func:`graph._edge_digest`
+    probe pattern) is compared to the previous round's; identical digests
+    mean every later round is the identity, so the loop stops early. The
+    probe is safe for hash-checked oracles that unroll a FIXED round count
+    in SQL — skipped rounds are no-ops by construction. Each round's
+    centroid table is tracked_persist'ed (k rows) so the digest probe and
+    the next round share one computation; construction therefore launches
+    small jobs (see the registry LAZINESS note).
     """
-    cent = build_hash_centroids(corpus, k=k, id_col=id_col, vec_col=vec_col)
+    from ..caching import tracked_persist
+
+    cent = tracked_persist(
+        build_hash_centroids(corpus, k=k, id_col=id_col, vec_col=vec_col)
+    )
     side = corpus.select(F.col(id_col), _dbl(F.col(vec_col)).alias("__v"))
+    digest = _centroid_digest(cent)
     for _ in range(n_iter):
         c = F.broadcast(
             cent.select(
@@ -380,12 +395,29 @@ def kmeans_iterate(
                 F.col("cid"), F.transform(F.col("pairs"), lambda p: p.mean_val).alias("centroid")
             )
         )
-        cent = (
+        cent = tracked_persist(
             cent.select("cid", F.col("centroid").alias("__prev"))
             .join(refreshed, "cid", "left")
             .select("cid", F.coalesce(F.col("centroid"), F.col("__prev")).alias("centroid"))
         )
+        new_digest = _centroid_digest(cent)
+        if new_digest == digest:
+            break  # fixpoint: every further round is the identity
+        digest = new_digest
     return cent
+
+
+def _centroid_digest(cent: DataFrame) -> tuple[int, int]:
+    """(row count, sum of row hashes) over the centroid table — the cheap
+    fixpoint probe (same shape as graph._edge_digest). Centroid doubles come
+    from exact fixed-point means, so equal digests mean equal tables."""
+    row = cent.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(F.col("cid"), F.col("centroid").cast("string"))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return row.n, row.h
 
 
 def ivf_topk_kmeans(

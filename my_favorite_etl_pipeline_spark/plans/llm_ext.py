@@ -541,9 +541,45 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, query, k=20, n_probe=3)
 
 
-@register(
-    "embedding_topk_ivf_kmeans",
-    oracle="""
+
+def _lloyd_rounds_sql(n_rounds: int) -> str:
+    """Unroll ``n_rounds`` deterministic Lloyd iterations as DuckDB CTEs.
+
+    Round i assigns every vector to its nearest c{i-1} centroid (4-decimal
+    rounded cosine, cid tie-break — exactly kmeans_iterate's max_by struct),
+    recomputes fixed-point means, and COALESCEs empty clusters to the
+    previous centroid. Generated, not hand-written, so the SQL round count
+    always matches the query's n_iter (the engine may stop EARLIER on a
+    converged digest — skipped rounds are identities, so the results agree).
+    """
+    out = []
+    for i in range(1, n_rounds + 1):
+        prev = f"c{i - 1}"
+        out.append(f"""
+    a{i} AS (
+      SELECT vec_id, cid, v FROM (
+        SELECT en.vec_id, c.cid, en.v,
+               ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> en.v[i] * c.centroid[i]))
+                 / (en.n * SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))),
+               4) AS cc
+        FROM en CROSS JOIN {prev} c
+      ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) = 1
+    ),
+    pd{i} AS (
+      SELECT a{i}.cid, d.dim,
+             CAST(SUM(CAST(FLOOR(a{i}.v[d.dim + 1] * 10000000) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 10000000.0) AS mean_val
+      FROM a{i} CROSS JOIN dims d GROUP BY 1, 2
+    ),
+    r{i} AS (SELECT cid, LIST(mean_val ORDER BY dim) AS centroid FROM pd{i} GROUP BY cid),
+    c{i} AS (SELECT {prev}.cid, COALESCE(r{i}.centroid, {prev}.centroid) AS centroid
+           FROM {prev} LEFT JOIN r{i} ON {prev}.cid = r{i}.cid)""")
+    return ",".join(out)
+
+
+_IVF_KMEANS_ITERS = 2
+
+_IVF_KMEANS_ORACLE = f"""
     WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     en AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS n FROM e),
@@ -557,31 +593,14 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e CROSS JOIN dims d GROUP BY 1, 2
     ),
     c0 AS (SELECT cid, LIST(mean_val ORDER BY dim) AS centroid FROM pd0 GROUP BY cid),
-    a1 AS (
-      SELECT vec_id, cid, v FROM (
-        SELECT en.vec_id, c.cid, en.v,
-               ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> en.v[i] * c.centroid[i]))
-                 / (en.n * SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))),
-               4) AS cc
-        FROM en CROSS JOIN c0 c
-      ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) = 1
-    ),
-    pd1 AS (
-      SELECT a1.cid, d.dim,
-             CAST(SUM(CAST(FLOOR(a1.v[d.dim + 1] * 10000000) AS BIGINT)) AS DOUBLE)
-               / (COUNT(*) * 10000000.0) AS mean_val
-      FROM a1 CROSS JOIN dims d GROUP BY 1, 2
-    ),
-    r1 AS (SELECT cid, LIST(mean_val ORDER BY dim) AS centroid FROM pd1 GROUP BY cid),
-    c1 AS (SELECT c0.cid, COALESCE(r1.centroid, c0.centroid) AS centroid
-           FROM c0 LEFT JOIN r1 ON c0.cid = r1.cid),
+    {_lloyd_rounds_sql(_IVF_KMEANS_ITERS)},
     af AS (
       SELECT vec_id, cid, v, n FROM (
         SELECT en.vec_id, c.cid, en.v, en.n,
                ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> en.v[i] * c.centroid[i]))
                  / (en.n * SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))),
                4) AS cc
-        FROM en CROSS JOIN c1 c
+        FROM en CROSS JOIN c{_IVF_KMEANS_ITERS} c
       ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) = 1
     ),
     probed AS (
@@ -590,7 +609,7 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * q.qv[i]))
                  / (SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))
                     * q.qn) AS cs
-        FROM c1 c CROSS JOIN q
+        FROM c{_IVF_KMEANS_ITERS} c CROSS JOIN q
       ) ORDER BY cs DESC, cid LIMIT 3
     )
     SELECT vec_id, cos_sim FROM (
@@ -599,7 +618,12 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (af.n * q.qn), 4) AS cos_sim
       FROM af JOIN probed p ON af.cid = p.cid CROSS JOIN q
     ) ORDER BY cos_sim DESC, vec_id LIMIT 20
-    """,
+    """
+
+
+@register(
+    "embedding_topk_ivf_kmeans",
+    oracle=_IVF_KMEANS_ORACLE,
 )
 def q_embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path, self-contained — IVF top-20 over FIXED-k k-means
@@ -612,12 +636,18 @@ def q_embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-checked since r5: every step is deterministic (hash-bucket init,
     order-free fixed-point means, 4-decimal-rounded assignment cosines with
-    cid tie-break), so the oracle unrolls the single Lloyd round in SQL —
-    init means → assign (QUALIFY row_number) → refreshed means with
-    empty-cluster COALESCE → final assign → probe top-3 cells → top-20."""
+    cid tie-break), so the oracle unrolls the Lloyd rounds in SQL
+    (generated by _lloyd_rounds_sql, count pinned to _IVF_KMEANS_ITERS) —
+    init means → per round: assign (QUALIFY row_number) → refreshed means
+    with empty-cluster COALESCE → final assign → probe top-3 cells →
+    top-20. r6 runs 2 rounds with a digest-converged early stop
+    (kmeans_iterate); a converged round is the identity, so a fixed-count
+    SQL unroll and an early-stopping engine agree bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
-    return SIM.ivf_topk_kmeans(emb, query, k=20, n_clusters=16, n_probe=3, n_iter=1)
+    return SIM.ivf_topk_kmeans(
+        emb, query, k=20, n_clusters=16, n_probe=3, n_iter=_IVF_KMEANS_ITERS
+    )
 
 
 @register(

@@ -95,8 +95,33 @@ def test_ivf_kmeans_topk_recall_floor_vs_bruteforce(spark, sf_dir, qs):
     brute = [r.vec_id for r in qs["embedding_topk_bruteforce"](spark, sf_dir).collect()]
     ivf = [r.vec_id for r in qs["embedding_topk_ivf_kmeans"](spark, sf_dir).collect()]
     assert brute and len(ivf) <= len(brute)
-    # self-contained IVF (no label column): k-means cells + 3-probe
+    # self-contained IVF (no label column): k-means cells + 3-probe.
+    # Measured r6 (2 Lloyd rounds): 0.35 at sf0.001 AND sf0.01 (0.40 with 1
+    # round, 0.50-0.55 at n_probe=4) — the synthetic embeddings are
+    # near-uniform, so Lloyd tightening reshapes cells without improving
+    # 3-probe recall; the floor stays at the measured value rather than a
+    # hoped-for one.
     assert len(set(brute) & set(ivf)) / len(brute) >= 0.35
+
+
+def test_kmeans_iterate_digest_early_stop(spark):
+    """On a corpus whose hash-bucket init is already the Lloyd fixpoint
+    (vec_id % k aligned with 4 well-separated points), n_iter=5 must stop
+    after ONE round: the round-1 digest equals the init digest. Observable
+    via the persist scope — init + 1 round = 2 tracked frames, not 6."""
+    from my_favorite_etl_pipeline_spark.caching import materialized_scope
+    from my_favorite_etl_pipeline_spark.operators.similarity import kmeans_iterate
+
+    pts = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0], 3: [1.0, 1.0, 1.0]}
+    rows = [(i, pts[i % 4]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with materialized_scope() as scope:
+        cent = kmeans_iterate(corpus, k=4, n_iter=5)
+        got = {r.cid: r.centroid for r in cent.collect()}
+        assert len(scope) == 2, f"expected init+1 round, got {len(scope)} persists"
+    assert len(got) == 4
+    for cid, c in got.items():
+        assert all(abs(a - b) < 1e-6 for a, b in zip(c, pts[cid]))
 
 
 def test_lsh_cosine_pairs_subset_and_recall_floor(spark, sf_dir, qs):
