@@ -76,35 +76,46 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dataset-assembly, SCD2, and streaming. Names not yet registered are skipped,
 # so the list may lead the code; everything else follows in registration order.
 CURATED_FIRST: tuple[str, ...] = (
-    # reference-parity pipeline (SURVEY §2.1-§2.8)
+    # reference-parity pipeline (SURVEY §2.1-§2.8; sorted_extract rotated
+    # out r6 after five green rounds — O1 stays pytest-covered)
     "incremental_extract",
     "transform_chain",
     "nested_transform_chain",
     "merge_upsert",
     "dq_gate",
     "reconciliation",
-    "sorted_extract",
-    # core relational shapes
+    # struct-extraction twins (typed-struct / Variant, new r5) — never
+    # driver-checked before r6
+    "typed_struct_props_chain",
+    "variant_props_chain",
+    # core relational shapes (anti_join_customers rotated out r6 after five
+    # green rounds; the join surface keeps range + as-of in-window)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "top_orders_per_customer",
     "rollup_order_status",
     "pivot_status_by_segment",
-    "anti_join_customers",
     "range_join_ship_latency",
     "asof_last_click_before_purchase",
+    # events analytics (funnel/retention/gap-fill — never driver-checked
+    # before r6; sessionize/z-order continue from their r5 rotation)
+    "funnel_view_to_purchase",
+    "retention_cohorts",
+    "gapfill_locf_hourly",
     # X1 exact dedup (plain-groups rotated out mid-r5 after four green
     # rounds — fingerprint/keep-first variants stay locally checked;
     # keep-BEST exercises the richer cluster → canonical-selection
     # composition; normalized-text is the casefold/whitespace rung)
     "dedup_keep_best",
     "dedup_normalized_text",
-    # X2 near-dup — every slot hash-verified; the deterministic LSH scale
-    # path earned an oracle mid-r5 (axis-aligned sign bands replayed in
-    # SQL) and rotates in never-driver-checked
+    # X2 near-dup — every slot hash-verified; r6 adds the portable-hash
+    # SimHash twins (md5-derived bits, the only SimHash arm DuckDB can
+    # replay value-exactly) — never driver-checked before
     "minhash_near_dups",
     "ssjoin_prefix_filter",
+    "simhash_signatures_portable",
+    "simhash_near_dups_portable",
     "embedding_cosine_near_dups",
     "embedding_cosine_near_dups_lsh",
     "semdedup_cluster_pairs",
@@ -114,32 +125,28 @@ CURATED_FIRST: tuple[str, ...] = (
     "embedding_topk_bruteforce",
     "embedding_topk_ivf_kmeans",
     "tfidf_topk_similar_docs",
-    # X4+ curation filters
+    # X4+ curation filters (gopher_quality_flags rotated out r6 after four
+    # green rounds; the family keeps the decontamination join + the
+    # repetition filter in-window)
     "contamination_13gram",
-    "gopher_quality_flags",
     "repetition_filter",
-    # X4 text analysis / chunking / prep (quality-scores and
-    # term-frequencies rotated out mid-r5 after four green rounds each;
-    # the exact-substring span dedup — new this round, Lee et al. 2021 —
-    # takes a slot with a fresh oracle)
-    "lang_id_heuristic",
+    # X4 text analysis / chunking / prep (lang-id, BPE-ish counts, PII
+    # scrub, and quality-median rotated out r6 after 4-5 green rounds each;
+    # span dedup keeps BOTH arms in-window: detection + the r6
+    # canonical-path excision, never driver-checked before)
     "exact_span_dedup_20tok",
-    "bpe_ish_token_counts",
+    "dedup_excise_spans_20tok",
     "chunk_documents_50tok",
-    "scrub_pii_documents",
     "training_data_prep",
     # X5 multimodal (image decode + audio decode; frame-sample checked locally)
     "multimodal_features",
     "multimodal_audio_features",
-    # dataset assembly (stratified_sample_per_lang checked locally — the
-    # quota variant covers the same deterministic-hash sampling family AND
-    # the salted two-phase top-K pattern, with a cap that binds; the
-    # int8-quantize / incremental-dedup / corpus-mix / packing slots
-    # rotated out in r5 after two green rounds, making room for
-    # never-driver-checked entries per the r4 verdict)
-    "dataset_split_hash",
+    # dataset assembly (dataset_split_hash rotated out r6 after four green
+    # rounds; the shard-shuffle assignment — new r5, never driver-checked —
+    # covers the same deterministic-hash family plus the no-global-sort
+    # shard layout)
+    "training_shard_assignment",
     "quota_sample_per_source",
-    "quality_filter_above_median",
     "dedup_cluster_components",
     # graph CC large/small-star variant (O(log² n) rounds for long chains)
     "dedup_cluster_components_star",
@@ -148,10 +155,11 @@ CURATED_FIRST: tuple[str, ...] = (
     "zorder_events_morton",
     # SCD2
     "scd2_status_history",
-    # X6 streaming
+    # X6 streaming (stream_dedup_within_watermark rotated out r6 after
+    # three green rounds; the family keeps tumbling, stateful, the
+    # stream-stream join, and the session window in-window)
     "stream_tumbling_hourly",
     "stream_stateful_user_stats",
-    "stream_dedup_within_watermark",
     "stream_stream_attribution_join",
     "session_window_30m",
 )

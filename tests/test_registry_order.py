@@ -18,34 +18,41 @@ FAMILY_SENTINELS = {
     "pipeline-parity": ["incremental_extract", "transform_chain", "merge_upsert", "dq_gate", "reconciliation"],
     "relational": ["q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue"],
     "window/rollup/pivot": ["top_orders_per_customer", "rollup_order_status", "pivot_status_by_segment"],
-    "join-surface": ["anti_join_customers", "range_join_ship_latency", "asof_last_click_before_purchase"],
-    # dedup_exact_groups / text_quality_scores rotated past the cap mid-r5
-    # after four green rounds each; their families stay represented below
+    # anti_join_customers rotated out r6 (five green rounds); the anti-join
+    # shape stays covered by merge_upsert's anti arm
+    "join-surface": ["range_join_ship_latency", "asof_last_click_before_purchase"],
     "X1-exact-dedup": ["dedup_keep_best", "dedup_normalized_text"],
     "X2-near-dup": ["minhash_near_dups", "ssjoin_prefix_filter", "embedding_cosine_near_dups"],
     "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs"],
-    "X4-text": ["lang_id_heuristic", "chunk_documents_50tok", "training_data_prep"],
-    "X4-curation": ["contamination_13gram", "gopher_quality_flags", "repetition_filter"],
+    # lang_id / bpe counts / pii scrub rotated out r6 (4-5 green rounds)
+    "X4-text": ["chunk_documents_50tok", "training_data_prep", "exact_span_dedup_20tok"],
+    "X4-curation": ["contamination_13gram", "repetition_filter"],
     "X5-multimodal": ["multimodal_features", "multimodal_audio_features"],
-    # r5 rotation: pack_sequences_1024 / corpus_mix_temperature moved past
-    # the cap after two green driver rounds, making room for
-    # never-driver-checked entries (semdedup, normalized-text dedup, star
-    # CC, sessionize, z-order) — the window must ROTATE to catch fixture
-    # drift, not freeze (r4 verdict item 2)
-    "assembly": ["dataset_split_hash", "quota_sample_per_source", "dedup_cluster_components"],
+    "assembly": ["training_shard_assignment", "quota_sample_per_source", "dedup_cluster_components"],
+    # r5 entries still accruing driver rounds — hold until 2+ green
     "r5-rotated-in": [
         "semdedup_cluster_pairs",
-        "dedup_normalized_text",
         "dedup_cluster_components_star",
         "sessionize_events_gap30m",
         "zorder_events_morton",
-        # mid-r5 second wave: earned oracles (were rows-only), never
-        # driver-checked before
         "embedding_cosine_near_dups_lsh",
         "embedding_topk_ivf_kmeans",
-        # brand-new mid-r5 (Lee et al. exact-substring span dedup),
-        # driver-checked from day one
-        "exact_span_dedup_20tok",
+    ],
+    # r6 rotation: nine never-driver-checked entries take the slots of
+    # multi-round-green ones (sorted_extract, anti_join, lang_id, bpe
+    # counts, pii scrub, dataset_split_hash, quality_median, gopher flags,
+    # stream dedup) — the window must ROTATE to catch fixture drift, not
+    # freeze (r4 verdict item 2)
+    "r6-rotated-in": [
+        "typed_struct_props_chain",
+        "variant_props_chain",
+        "funnel_view_to_purchase",
+        "retention_cohorts",
+        "gapfill_locf_hourly",
+        "simhash_signatures_portable",
+        "simhash_near_dups_portable",
+        "training_shard_assignment",
+        "dedup_excise_spans_20tok",
     ],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stateful_user_stats", "session_window_30m"],
 }
