@@ -19,6 +19,14 @@ per-run totals are kept alongside so round-over-round noise stays visible.
 Each query executes through a ``noop`` sink so the full plan runs on the
 executors without driver-side materialization (collect would bottleneck on
 the driver and measure the wrong thing).
+
+FULL TIER (r6): the JSON line additionally carries ``full_value`` /
+``full_queries`` — medians over the 10 most expensive registered queries
+(the heavy tail the headline set under-samples), so a regression in e.g.
+the O(n²) Jaccard baseline or the multimodal decoders moves BENCH_r{N},
+not just the correctness sweep's wall clock. ``--skip-full`` (or
+``SPARK_GRAFT_BENCH_FULL=0``) disables it for quick local loops;
+``SPARK_GRAFT_BENCH_FULL_RUNS`` controls its run count (default 3).
 """
 
 from __future__ import annotations
@@ -62,6 +70,28 @@ HEADLINE = [
     "exact_span_dedup_20tok",
 ]
 
+# FULL tier (r6): the 10 most expensive registered queries by a measured
+# single-pass sf0.1 sweep (2026-08-14, noop sink, one warm session), so
+# regressions on the heavy tail are caught by BENCH, not only by the
+# round's correctness-sweep wall clock. minhash_near_dups doubles as a
+# headline entry; that overlap is deliberate (the list is "top 10 by
+# cost", not "top 10 not already benched"). ngram_jaccard_pairs is the
+# deliberate O(n²) ground-truth baseline and dominates (~68 s after the
+# r6 stream-side fan-out fix; 841 s before it). The tier runs WITHOUT a
+# separate warm pass — the median of 3 absorbs the one cold run.
+FULL = [
+    "ngram_jaccard_pairs",
+    "multimodal_features",
+    "dedup_keep_best",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "stream_stream_attribution_join",
+    "minhash_near_dups",
+    "semdedup_cluster_pairs",
+    "dedup_excise_spans_20tok",
+    "simhash_near_dups_portable",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,6 +102,12 @@ def main() -> None:
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
     runs = max(1, runs)
+    # full tier: on by default (the driver's BENCH_r{N}.json must carry both
+    # tiers); --skip-full or SPARK_GRAFT_BENCH_FULL=0 for quick local loops
+    full_on = "--skip-full" not in sys.argv and os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL", "1"
+    ) != "0"
+    full_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_FULL_RUNS", "3")))
 
     from my_favorite_etl_pipeline_spark.session import get_spark
 
@@ -80,37 +116,44 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    per_run: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    def time_query(name: str, n: int, warm: bool) -> list[float]:
         fn = qs[name]
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm: JVM/JIT + file listing
+        if warm:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # JVM/JIT + listing
         samples = []
-        for _ in range(runs):
+        for _ in range(n):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
-        per_run[name] = samples
+        return samples
 
+    per_run = {name: time_query(name, runs, warm=True) for name in HEADLINE}
     medians = {name: round(statistics.median(s), 3) for name, s in per_run.items()}
     per_run_totals = [
         round(sum(per_run[name][i] for name in HEADLINE), 3) for i in range(runs)
     ]
-    total = round(sum(medians.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": medians,
-                "sf": sf,
-                "runs": runs,
-                "per_run_totals": per_run_totals,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_wall_sec",
+        "value": round(sum(medians.values()), 3),
+        "unit": "sec",
+        "queries": medians,
+        "sf": sf,
+        "runs": runs,
+        "per_run_totals": per_run_totals,
+    }
+    if full_on:
+        # no warm pass: the median of full_runs absorbs the cold run, and
+        # the tier is expensive enough that a 4th execution isn't free
+        full_samples = {name: time_query(name, full_runs, warm=False) for name in FULL}
+        full_medians = {
+            name: round(statistics.median(s), 3) for name, s in full_samples.items()
+        }
+        out["full_value"] = round(sum(full_medians.values()), 3)
+        out["full_queries"] = full_medians
+        out["full_runs"] = full_runs
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

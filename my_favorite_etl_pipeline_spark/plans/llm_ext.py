@@ -156,9 +156,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deliberately the *unscalable* baseline (O(n²) pairs) kept at fixture
     size as the ground truth for the LSH path; ``documents`` stops scaling
     at sf0.1 so the harness cost is bounded. Production path = MinHash LSH.
+
+    Even a deliberate O(n²) baseline must use every core: the inequality
+    join plans as BroadcastNestedLoopJoin, which parallelizes over the
+    STREAM side's partitions — and a single-row-group parquet scan gives it
+    ONE task (measured r6: 841 s single-task vs ~40 s at 32, same plan).
+    ensure_min_partitions fixes the stream side's fan-out only; the
+    broadcast side is collected either way.
     """
+    from ..operators.scaling import ensure_min_partitions
+
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sh = ensure_min_partitions(
+        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    )
     a, b = sh.alias("a"), sh.alias("b")
     jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
         F.array_union(F.col("a.sh"), F.col("b.sh"))
@@ -627,7 +638,8 @@ _IVF_KMEANS_ORACLE = f"""
 )
 def q_embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path, self-contained — IVF top-20 over FIXED-k k-means
-    centroids (hash-bucket init + one Lloyd round): no pre-existing cell
+    centroids (hash-bucket init + 2 digest-early-stopped Lloyd rounds): no
+    pre-existing cell
     column needed, closing the r4 verdict's gap that ``build_ivf_centroids``
     only worked when a ``label`` already partitioned the corpus. Centroid
     table is O(n_clusters) broadcast; assignment is one max_by aggregate.
