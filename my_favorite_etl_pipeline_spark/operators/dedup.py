@@ -340,10 +340,20 @@ def simhash_near_dups(
 def _span_tokens(
     docs: DataFrame, min_tokens: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, __t token array) for docs long enough to hold one gram."""
-    return docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
-    ).filter(F.size("__t") >= min_tokens)
+    """(id, __t token array) for docs long enough to hold one gram.
+
+    Fanned out to core count (the per-position hashing below is CPU-bound
+    and a single-row-group scan would serialize it on one task) and
+    tracked-persisted: the pairwise path consumes it THREE times (gram
+    hashes + both verify sides), and without a materialization point each
+    branch re-splits the corpus."""
+    return tracked_persist(
+        ensure_min_partitions(
+            docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t")).filter(
+                F.size("__t") >= min_tokens
+            )
+        )
+    )
 
 
 def _span_gram_hashes(toks: DataFrame, min_tokens: int, id_col: str) -> DataFrame:
