@@ -19,6 +19,7 @@ import pandas as pd  # module-scope: pandas_udf resolves string type hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from .scaling import ensure_min_partitions
 
 
@@ -349,8 +350,6 @@ def kmeans_iterate(
     the next round share one computation; construction therefore launches
     small jobs (see the registry LAZINESS note).
     """
-    from ..caching import tracked_persist
-
     cent = tracked_persist(
         build_hash_centroids(corpus, k=k, id_col=id_col, vec_col=vec_col)
     )
@@ -551,7 +550,21 @@ def semdedup_pairs(
             F.col("__best.__n").alias("__n"),
         )
     )
-    a, b = assign.alias("sa"), assign.alias("sb")
+    # Pair join, skew-aware: the natural key (cluster) has only k distinct
+    # values, so a plain equi-join runs k tasks no matter how many cores
+    # exist and each task does |cluster|²/2 dot products. Salting spreads
+    # it: side b carries bucket hash(id) % B, side a replicates each row
+    # across all B target buckets — every (x < y) pair meets exactly once
+    # (x lands in y's bucket), the join key becomes (cluster, bucket) with
+    # k·B groups, and per-group work drops to |cluster|²/B. The persist
+    # above keeps the B-fold replication from recomputing the assignment
+    # aggregate per branch.
+    assign = tracked_persist(assign)
+    B = 8
+    a = assign.withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(B - 1)))).alias("sa")
+    b = assign.withColumn("__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")).alias(
+        "sb"
+    )
     cos = F.round(
         dot(F.col("sa.__v"), F.col("sb.__v")) / (F.col("sa.__n") * F.col("sb.__n")), 4
     )
@@ -559,6 +572,7 @@ def semdedup_pairs(
         a.join(
             b,
             (F.col("sa.cluster") == F.col("sb.cluster"))
+            & (F.col("sa.__b") == F.col("sb.__b"))
             & (F.col(f"sa.{id_col}") < F.col(f"sb.{id_col}")),
         )
         .select(
