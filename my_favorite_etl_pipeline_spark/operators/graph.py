@@ -43,9 +43,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The fixpoint runs over EDGE-INCIDENT nodes only: an isolated vertex
+    # is a singleton component by definition and needs no iteration. In a
+    # near-dup graph that subgraph is a few percent of the corpus, so every
+    # round's join, checkpoint, and convergence aggregate shrink by the
+    # same factor; the isolated vertices join back once, after convergence
+    # (anti-join + self-label union — one extra shuffle total).
     nodes = sym.select(F.col("u").alias("node")).distinct()
-    if vertices is not None:
-        nodes = nodes.union(vertices.select(F.col(vertices.columns[0]).alias("node"))).distinct()
 
     labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint(eager=True)
     for _ in range(max_iter):
@@ -74,7 +78,15 @@ def connected_components(
         ).collect()[0][0]
         labels = new_labels.drop("chg")
         if changed == 0:
-            return labels.select("node", "comp")
+            out = labels.select("node", "comp")
+            if vertices is not None:
+                singles = (
+                    vertices.select(F.col(vertices.columns[0]).alias("node"))
+                    .join(out.select("node"), "node", "left_anti")
+                    .select("node", F.col("node").alias("comp"))
+                )
+                out = out.union(singles)
+            return out
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 
