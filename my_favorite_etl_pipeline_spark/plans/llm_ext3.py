@@ -772,3 +772,100 @@ def q_negative_pairs_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(neg0)
         .alias("neg_doc_id"),
     ).orderBy("doc_id", "neg_rank")
+
+
+@register(
+    "bm25_topk_docs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY 1),
+    st AS (SELECT AVG(len) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+    dfc AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS dfc FROM tf GROUP BY 1),
+    post AS (
+      SELECT tf.doc_id, tf.w,
+             LN(1 + (st.n - dfc.dfc + 0.5) / (dfc.dfc + 0.5))
+               * tf.c * 2.2
+               / (tf.c + 1.2 * (0.25 + 0.75 * dl.len / st.avgdl)) AS wt
+      FROM tf JOIN dl USING (doc_id) JOIN dfc USING (w) CROSS JOIN st
+    ),
+    q AS (SELECT DISTINCT doc_id AS query_id, w FROM toks
+          WHERE doc_id % 100 = 0),
+    sc AS (
+      SELECT q.query_id, p.doc_id, ROUND(SUM(p.wt), 4) AS score
+      FROM q JOIN post p ON q.w = p.w AND p.doc_id <> q.query_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS rn
+          FROM sc)
+    WHERE rn <= 5 ORDER BY query_id, doc_id
+    """,
+)
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (sparse, new r6) — Okapi BM25 retrieval: for each query doc (a
+    stable 1% of the corpus, ``doc_id % 100 = 0``, its distinct tokens as
+    the query) the top-5 highest-scoring other docs. BM25 is THE standard
+    lexical scorer for corpus curation and retrieval — decontamination
+    against a benchmark phrased as search, quality-ranking a crawl against
+    seed queries, or RAG candidate generation — and is a different scorer
+    family from ``tfidf_topk_similar_docs``' cosine (per-term saturation
+    ``tf·(k1+1)/(tf+k1·norm)`` with k1=1.2, b=0.75 length normalization,
+    Lucene-smoothed idf ``ln(1+(N-df+0.5)/(df+0.5))``).
+
+    Plan at 100 TB: identical bones to the tfidf search — every step is an
+    equi-shuffle on term or doc id (tf/dl/df aggregates with map-side
+    combine; the one wide join is query-terms ⋈ postings on the term), the
+    corpus-level stats (N, avgdl) are a 1-row broadcast, and the per-query
+    top-5 is a window over ≤ |candidates per query|. For Zipf-heavy
+    vocabularies compose the same impact truncation + skew salting the
+    tfidf query demonstrates (``llm_ext3.py``): BM25's per-term weight is
+    monotone in tf, so a top-256-by-weight posting cut bounds the join
+    exactly the same way. Scores ROUND to 4 decimals on both engines; ties
+    break on doc_id, so the cut is deterministic.
+    """
+    from pyspark.sql import Window
+
+    K1, B = 1.2, 0.75
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tf = tracked_persist(tf)  # feeds dl, dfc, and the posting projection
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("len"))
+    st = dl.agg(
+        F.avg("len").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    dfc = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("dfc"))
+    wt = (
+        F.log(F.lit(1.0) + (F.col("n") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5))
+        * F.col("c")
+        * (K1 + 1)
+        / (F.col("c") + K1 * ((1 - B) + B * F.col("len") / F.col("avgdl")))
+    )
+    post = (
+        tf.join(dl, "doc_id")
+        .join(dfc, "w")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "w", wt.alias("wt"))
+    )
+    q = (
+        toks.filter(F.col("doc_id") % 100 == 0)
+        .select(F.col("doc_id").alias("query_id"), "w")
+        .distinct()
+    )
+    sc = (
+        q.join(post, (q.w == post.w) & (F.col("query_id") != post.doc_id))
+        .groupBy("query_id", F.col("doc_id"))
+        .agg(F.round(F.sum("wt"), 4).alias("score"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        sc.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "doc_id", "score")
+        .orderBy("query_id", "doc_id")
+    )

@@ -253,3 +253,66 @@ def test_exact_span_join_is_equi_not_cartesian(spark, sf_dir):
     join_lines = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
     assert any("gh" in l for l in join_lines), join_lines
     assert "gram#" not in plan  # the string never becomes a real column
+
+
+def test_bm25_saturation_and_self_exclusion(spark, sf_dir):
+    """BM25 semantics on the registry query: no query retrieves itself,
+    scores are positive, and per-query results are capped at 5 with the
+    deterministic (score desc, doc_id) cut."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["bm25_topk_docs"](spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r.doc_id != r.query_id
+        assert r.score > 0
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) <= 5 for v in per_q.values())
+
+
+def test_bm25_tf_saturates_sublinearly(spark):
+    """The k1 saturation: a term's BM25 contribution grows SUBLINEARLY in
+    tf (the property that distinguishes BM25 from raw tf·idf, whose
+    contribution is exactly linear). Two docs of equal length differ only
+    in repeating the query term 1x vs 8x; the 8x doc must score well under
+    half of the 8x a linear scorer would give (measured ratio ≈ 2.15, the
+    f(∞)/f(1) = 1+k1·norm asymptote being ≈ 2.57 here)."""
+    from my_favorite_etl_pipeline_spark.plans.llm_ext3 import q_bm25_topk_docs  # noqa: F401  (shape shared)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # replicate the scorer inline on a controlled corpus: query doc 0
+    # holds the term once; docs 1 and 2 hold it 1x and 8x with identical
+    # filler so dl differs only by the repeats
+    corpus = spark.createDataFrame(
+        [
+            (0, "zzz"),
+            (100, "zzz pad1 pad2 pad3 pad4 pad5 pad6 pad7"),
+            (200, "zzz zzz zzz zzz zzz zzz zzz zzz"),
+        ],
+        ["doc_id", "text"],
+    )
+    # reuse the registered query fn against a temp dir is overkill — call
+    # the module-level pieces by rebuilding the same expressions
+    from my_favorite_etl_pipeline_spark.functions import text as TX
+
+    K1, B = 1.2, 0.75
+    toks = corpus.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("len"))
+    st = dl.agg(F.avg("len").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n"))
+    dfc = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("dfc"))
+    wt = (
+        F.log(F.lit(1.0) + (F.col("n") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5))
+        * F.col("c") * (K1 + 1)
+        / (F.col("c") + K1 * ((1 - B) + B * F.col("len") / F.col("avgdl")))
+    )
+    post = tf.join(dl, "doc_id").join(dfc, "w").crossJoin(F.broadcast(st)).select(
+        "doc_id", "w", wt.alias("wt")
+    )
+    scores = {
+        r.doc_id: r.wt for r in post.filter(F.col("w") == "zzz").collect()
+    }
+    assert scores[200] < 0.5 * (8 * scores[100])  # well under linear-in-tf
+    assert scores[200] > scores[100]  # more tf still scores higher
