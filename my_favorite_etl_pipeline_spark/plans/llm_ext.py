@@ -904,3 +904,73 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.length("frame_payload").cast("int").alias("frame_bytes")
     )
+
+
+@register(
+    "multimodal_resize_8x8",
+    oracle="""
+    WITH g AS (SELECT UNNEST(range(8)) AS i),
+    d AS (SELECT doc_id AS media_id, 1 + doc_id % 16 AS w,
+                 1 + (doc_id // 16) % 16 AS h
+          FROM documents),
+    px AS (
+      SELECT media_id,
+             SUM((media_id * 31
+                  + LEAST(h - 1, y.i * h // 8) * w
+                  + LEAST(w - 1, x.i * w // 8)) % 256) AS pixel_sum
+      FROM d CROSS JOIN g x CROSS JOIN g y
+      GROUP BY media_id
+    )
+    SELECT CAST(d.media_id AS BIGINT) AS media_id,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(68 + 8 * 9 AS BIGINT) AS byte_len,
+           CAST(px.pixel_sum AS BIGINT) AS pixel_sum
+    FROM d JOIN px USING (media_id)
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (new r6) — REAL image resize, verified arithmetically: every
+    single-frame fixture PNG is decoded, nearest-neighbor resampled to
+    8×8, re-encoded (resize_media), then DECODED AGAIN in a second
+    mapInPandas pass that reports dimensions, encoded byte length, and the
+    pixel sum. The oracle recomputes the pixel sum in pure SQL from the
+    fixture's pixel function ((id·31 + sy·w + sx) mod 256 over the
+    nearest-neighbor source grid) and the byte length from the
+    stored-block PNG size formula — so a resample off-by-one, a wrong
+    rounding in the source-index math, or an encoder regression all break
+    the value hash. Both passes are Arrow-batched map-only operators; at
+    100 TB this is the decode→transform→re-encode template for thumbnail /
+    tile generation with zero shuffles.
+    """
+    import pandas as pd
+
+    from ..operators.multimodal import decode_png_gray, resize_media
+
+    docs = load(spark, sf_dir, "documents")
+    media = documents_as_media(docs, max_frames=1)
+    resized = resize_media(media, target_w=8, target_h=8)
+
+    def verify(batches):
+        for pdf in batches:
+            ids, ws, hs, lens, sums = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                w, h, px = decode_png_gray(raw)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                lens.append(len(raw))
+                sums.append(int(sum(px)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "byte_len": lens,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return resized.mapInPandas(
+        verify, "media_id long, width int, height int, byte_len long, pixel_sum long"
+    )
