@@ -125,11 +125,13 @@ CURATED_FIRST: tuple[str, ...] = (
     "embedding_topk_bruteforce",
     "embedding_topk_ivf_kmeans",
     "tfidf_topk_similar_docs",
-    # X4+ curation filters (gopher_quality_flags rotated out r6 after four
-    # green rounds; the family keeps the decontamination join + the
-    # repetition filter in-window)
+    # X3 lexical retrieval — BM25, brand-new r6, driver-checked from day
+    # one (the exact_span precedent)
+    "bm25_topk_docs",
+    # X4+ curation filters (gopher_quality_flags and repetition_filter
+    # rotated out r6 after four green rounds; the family keeps the
+    # decontamination join in-window)
     "contamination_13gram",
-    "repetition_filter",
     # X4 text analysis / chunking / prep (lang-id, BPE-ish counts, PII
     # scrub, and quality-median rotated out r6 after 4-5 green rounds each;
     # span dedup keeps BOTH arms in-window: detection + the r6
@@ -138,15 +140,17 @@ CURATED_FIRST: tuple[str, ...] = (
     "dedup_excise_spans_20tok",
     "chunk_documents_50tok",
     "training_data_prep",
-    # X5 multimodal (image decode + audio decode; frame-sample checked locally)
+    # X5 multimodal (image decode + audio decode; frame-sample checked
+    # locally; the resize roundtrip — brand-new r6 — driver-checked from
+    # day one)
     "multimodal_features",
     "multimodal_audio_features",
+    "multimodal_resize_8x8",
     # dataset assembly (dataset_split_hash rotated out r6 after four green
-    # rounds; the shard-shuffle assignment — new r5, never driver-checked —
-    # covers the same deterministic-hash family plus the no-global-sort
-    # shard layout)
+    # rounds and quota_sample after three; the shard-shuffle assignment —
+    # new r5, never driver-checked — covers the same deterministic-hash
+    # family plus the no-global-sort shard layout)
     "training_shard_assignment",
-    "quota_sample_per_source",
     "dedup_cluster_components",
     # graph CC large/small-star variant (O(log² n) rounds for long chains)
     "dedup_cluster_components_star",

@@ -26,9 +26,9 @@ FAMILY_SENTINELS = {
     "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs"],
     # lang_id / bpe counts / pii scrub rotated out r6 (4-5 green rounds)
     "X4-text": ["chunk_documents_50tok", "training_data_prep", "exact_span_dedup_20tok"],
-    "X4-curation": ["contamination_13gram", "repetition_filter"],
+    "X4-curation": ["contamination_13gram"],
     "X5-multimodal": ["multimodal_features", "multimodal_audio_features"],
-    "assembly": ["training_shard_assignment", "quota_sample_per_source", "dedup_cluster_components"],
+    "assembly": ["training_shard_assignment", "dedup_cluster_components"],
     # r5 entries still accruing driver rounds — hold until 2+ green
     "r5-rotated-in": [
         "semdedup_cluster_pairs",
@@ -53,6 +53,9 @@ FAMILY_SENTINELS = {
         "simhash_near_dups_portable",
         "training_shard_assignment",
         "dedup_excise_spans_20tok",
+        # brand-new mid-r6, driver-checked from day one
+        "bm25_topk_docs",
+        "multimodal_resize_8x8",
     ],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stateful_user_stats", "session_window_30m"],
 }
