@@ -869,3 +869,71 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "score")
         .orderBy("query_id", "doc_id")
     )
+
+
+@register(
+    "bigram_logprob_scores",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+           FROM (SELECT doc_id, t, UNNEST(range(len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS cu FROM bg GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((c + 1) / (cu + v))), 4) AS avg_neg_logprob
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (new r6) — bigram-LM perplexity proxy: average -ln of the
+    Laplace-smoothed corpus bigram probability p(w2|w1) = (c(w1,w2)+1) /
+    (c(w1)+V) per document (docs of ≥ 2 tokens). The next rung above
+    ``unigram_logprob_scores`` on the CCNet ladder — a unigram model can't
+    see scrambled word ORDER, a bigram model scores it as noise, which is
+    exactly what separates generated/spun text from prose before a real LM
+    is spent on it.
+
+    Plan at 100 TB: bigram explode (map-only) → one hash agg for the
+    bigram table, one for the w1 marginals → two equi-joins back on
+    (w1,w2)/(w1) — both model tables are vocabulary-scale, ≪ corpus, so
+    AQE broadcasts them — → per-doc agg. V rides as a 1-row broadcast.
+    Same bones as the unigram scorer with one extra join; nothing wider
+    than the token explode ever shuffles.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ta = docs.select("doc_id", TX.tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bg = ta.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.get("t", i).alias("w1"), F.get("t", i + 1).alias("w2")
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("cu"))
+    v = (
+        docs.select(F.explode(TX.tokens("text")).alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("v"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log((F.col("c") + 1) / (F.col("cu") + F.col("v")))), 4
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
