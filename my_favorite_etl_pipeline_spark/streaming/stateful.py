@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .windows import read_events_stream
+from .windows import read_events_stream, stream_shuffle_scope
 
 USER_STATS_SCHEMA = T.StructType(
     [
@@ -255,12 +255,13 @@ def _run_to_memory(df: DataFrame, prefix: str) -> DataFrame:
 
     assert df.isStreaming, "_run_to_memory is for bounded availableNow harness runs"
     name = f"{prefix}_{int(time.time() * 1000) % 10_000_000}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return df.sparkSession.table(name)

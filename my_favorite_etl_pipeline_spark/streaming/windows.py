@@ -16,11 +16,38 @@ continuously-running idempotent merge.
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import _nanos_timestamp_cols, normalize_event_time
+
+
+@contextmanager
+def stream_shuffle_scope(spark: SparkSession, n: int = 4):
+    """Scope ``spark.sql.shuffle.partitions`` down for a BOUNDED streaming
+    run. A streaming aggregation creates one state-store instance per
+    shuffle partition and re-commits every one of them each micro-batch;
+    the fixture streams carry a few thousand rows, so the session's batch
+    default (core count) spends more time opening/committing empty stores
+    than aggregating. The conf is captured at ``start()`` by the query and
+    restored right after ``awaitTermination`` — the same scoped-conf
+    pattern as the RocksDB provider scope in ``user_stats_stateful_tws``
+    (a conf around a WHOLE self-contained run, never mutated mid-query).
+    On a real cluster the state-store partition count is a capacity knob:
+    size it to keyspace/executor count, not to this harness value.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,14 +102,15 @@ def watermarked_hourly_counts(
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     sink_name = f"watermark_sink_{int(time.time() * 1000) % 10_000_000}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 
@@ -101,14 +129,15 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = f"tumbling_sink_{int(time.time() * 1000) % 10_000_000}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 
@@ -140,12 +169,13 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink_name = f"session_sink_{int(time.time() * 1000) % 10_000_000}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_scope(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
