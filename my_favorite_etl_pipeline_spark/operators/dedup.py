@@ -581,6 +581,16 @@ def excise_span_duplicates(
         )
     else:
         raise ValueError(f"unknown excision method: {method!r}")
+    return _reassemble_without(docs, removed, id_col=id_col, text_col=text_col)
+
+
+def _reassemble_without(
+    docs: DataFrame, removed: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Cut a distinct (id, pos, __cut) removal set out of every document and
+    re-join the surviving tokens in position order. Equi-join on (id, pos);
+    the aggregate is per-document, so no group exceeds one doc's tokens.
+    Every input doc comes back (untouched docs with 0 removed)."""
     tokens = docs.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
     )
@@ -604,3 +614,59 @@ def excise_span_duplicates(
             .alias("n_removed_tokens"),
         )
     )
+
+
+def excise_against_reference(
+    docs: DataFrame,
+    ref: DataFrame,
+    min_tokens: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X4+ — decontamination by EXCISION: every ``min_tokens``-gram of
+    ``docs`` that appears ANYWHERE in the reference corpus ``ref`` (the
+    benchmark / eval suite) has its covered token range cut out, and the
+    cleaned documents are reassembled. The surgical alternative to
+    drop-the-whole-document decontamination (``contamination_13gram``):
+    Lee et al. 2021 and the Llama recipes prefer excision because a long
+    crawl page quoting one benchmark question is still mostly good tokens.
+
+    Scale shape: the reference side reduces to its DISTINCT gram set —
+    eval-suite-sized, orders of magnitude below the corpus — so the semi
+    join broadcasts under AQE and the training side never reshuffles; the
+    position explode is bounded by k per hit. Output is one row per input
+    doc (untouched docs pass through with 0 removed).
+    """
+    grams = _span_tokens(docs, min_tokens, id_col, text_col).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - min_tokens),
+                lambda i: F.array_join(F.slice("__t", i + 1, min_tokens), " "),
+            )
+        ).alias("pos", "g"),
+    )
+    ref_grams = (
+        _span_tokens(ref, min_tokens, id_col, text_col)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - min_tokens),
+                    lambda i: F.array_join(F.slice("__t", i + 1, min_tokens), " "),
+                )
+            ).alias("g")
+        )
+        .distinct()
+    )
+    removed = (
+        grams.join(ref_grams, "g", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + min_tokens - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("__cut", F.lit(True))
+    )
+    return _reassemble_without(docs, removed, id_col=id_col, text_col=text_col)

@@ -937,3 +937,61 @@ def q_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "decontaminate_excise_13gram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bgr AS (
+      SELECT DISTINCT array_to_string(t[pos + 1:pos + 13], ' ') AS g
+      FROM (SELECT t, UNNEST(range(len(t) - 12)) AS pos
+            FROM toks WHERE len(t) >= 13 AND {_BENCH_PRED_SQL})
+    ),
+    tg AS (
+      SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 13], ' ') AS g
+      FROM (SELECT doc_id, t, UNNEST(range(len(t) - 12)) AS pos
+            FROM toks WHERE len(t) >= 13 AND NOT ({_BENCH_PRED_SQL}))
+    ),
+    removed AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, UNNEST(generate_series(pos, pos + 12)) AS p
+        FROM tg WHERE g IN (SELECT g FROM bgr))
+    ),
+    tp AS (SELECT doc_id, UNNEST(range(len(t))) AS pos, t
+           FROM toks WHERE NOT ({_BENCH_PRED_SQL})),
+    j AS (
+      SELECT tp.doc_id, tp.pos, tp.t[tp.pos + 1] AS tok,
+             rm.p IS NOT NULL AS cut
+      FROM tp LEFT JOIN removed rm
+        ON tp.doc_id = rm.doc_id AND tp.pos = rm.p
+    )
+    SELECT doc_id,
+           COALESCE(ARRAY_TO_STRING(LIST(tok ORDER BY pos)
+                                    FILTER (WHERE NOT cut), ' '), '')
+             AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE cut) AS BIGINT) AS n_removed_tokens
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_decontaminate_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (new r6) — decontamination by EXCISION: cut every 13-token span
+    that overlaps the benchmark stand-in (the same md5-designated ~1/16 of
+    the corpus ``contamination_13gram`` flags) out of the training docs and
+    reassemble them. The surgical alternative to dropping whole documents:
+    a long crawl page quoting one benchmark question keeps its other
+    tokens. Returns every NON-benchmark doc with its cleaned text and
+    removed-token count.
+
+    Scale shape: the reference side reduces to its distinct gram set
+    (eval-suite-sized, ≪ corpus) so the semi join broadcasts under AQE and
+    the training side never reshuffles; removal-set explode is bounded by
+    13 per hit; reassembly is the per-doc aggregate shared with
+    :func:`excise_span_duplicates`.
+    """
+    from ..operators.dedup import excise_against_reference
+
+    docs = load(spark, sf_dir, "documents")
+    return excise_against_reference(
+        docs.filter(~_bench_pred()), docs.filter(_bench_pred()), min_tokens=13
+    )
