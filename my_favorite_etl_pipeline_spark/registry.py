@@ -133,13 +133,14 @@ CURATED_FIRST: tuple[str, ...] = (
     # decontamination join in-window)
     "contamination_13gram",
     # X4 text analysis / chunking / prep (lang-id, BPE-ish counts, PII
-    # scrub, and quality-median rotated out r6 after 4-5 green rounds each;
-    # span dedup keeps BOTH arms in-window: detection + the r6
-    # canonical-path excision, never driver-checked before)
+    # scrub, quality-median, and training_data_prep rotated out r6 after
+    # 4-5 green rounds each; span dedup keeps BOTH arms in-window —
+    # detection + the r6 canonical-path excision — plus the brand-new
+    # cross-corpus decontamination excision, driver-checked from day one)
     "exact_span_dedup_20tok",
     "dedup_excise_spans_20tok",
+    "decontaminate_excise_13gram",
     "chunk_documents_50tok",
-    "training_data_prep",
     # X5 multimodal (image decode + audio decode; frame-sample checked
     # locally; the resize roundtrip — brand-new r6 — driver-checked from
     # day one)

@@ -25,7 +25,7 @@ FAMILY_SENTINELS = {
     "X2-near-dup": ["minhash_near_dups", "ssjoin_prefix_filter", "embedding_cosine_near_dups"],
     "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs"],
     # lang_id / bpe counts / pii scrub rotated out r6 (4-5 green rounds)
-    "X4-text": ["chunk_documents_50tok", "training_data_prep", "exact_span_dedup_20tok"],
+    "X4-text": ["chunk_documents_50tok", "exact_span_dedup_20tok"],
     "X4-curation": ["contamination_13gram"],
     "X5-multimodal": ["multimodal_features", "multimodal_audio_features"],
     "assembly": ["training_shard_assignment", "dedup_cluster_components"],
@@ -56,6 +56,7 @@ FAMILY_SENTINELS = {
         # brand-new mid-r6, driver-checked from day one
         "bm25_topk_docs",
         "multimodal_resize_8x8",
+        "decontaminate_excise_13gram",
     ],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stateful_user_stats", "session_window_30m"],
 }
