@@ -129,6 +129,21 @@ def main() -> None:
             samples.append(round(time.perf_counter() - t0, 3))
         return samples
 
+    # Fixed-work box-speed probe: sum over a 200M-row range — pure JVM
+    # compute, no IO, no Python, identical work every round. r6 measured
+    # the SAME code swinging 19.2 s ↔ 29.9 s headline within two hours of
+    # host contention; this calibration row lets a reader normalize a
+    # round's bench against the box's throughput at measurement time
+    # instead of guessing.
+    def calibrate() -> float:
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr("sum(id)").collect()
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 3)
+
+    calibration = calibrate()
     per_run = {name: time_query(name, runs, warm=True) for name in HEADLINE}
     medians = {name: round(statistics.median(s), 3) for name, s in per_run.items()}
     per_run_totals = [
@@ -142,6 +157,7 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "per_run_totals": per_run_totals,
+        "calibration_sec": calibration,
     }
     if full_on:
         # no warm pass: the median of full_runs absorbs the cold run, and
