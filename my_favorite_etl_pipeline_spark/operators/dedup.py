@@ -636,6 +636,14 @@ def excise_against_reference(
     join broadcasts under AQE and the training side never reshuffles; the
     position explode is bounded by k per hit. Output is one row per input
     doc (untouched docs pass through with 0 removed).
+
+    SINGLE-PASS semantics (same as Lee et al.'s excision): every gram of
+    the ORIGINAL text that matches the reference is removed, but splicing
+    the text around a cut can in principle assemble a NEW matching gram
+    from the survivors. One pass is the standard trade (the artifact needs
+    ~k tokens of the reference split across both edges of a cut); run the
+    operator to a fixpoint if a hard zero-overlap guarantee is required —
+    each pass only shrinks documents, so it terminates.
     """
     grams = _span_tokens(docs, min_tokens, id_col, text_col).select(
         F.col(id_col),

@@ -109,3 +109,31 @@ def test_max_gram_df_keeps_cold_grams(spark):
     assert {(r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens) for r in rows} == {
         (100, 101, 0, 0, 20)
     }
+
+
+def test_excise_against_reference_removes_original_overlaps(spark):
+    """Cross-corpus excision (decontamination): every ORIGINAL training
+    gram matching the reference is cut — single-pass semantics — and
+    non-overlapping docs pass through byte-identical."""
+    from my_favorite_etl_pipeline_spark.operators.dedup import (
+        excise_against_reference,
+    )
+
+    bench = " ".join(f"q{i}" for i in range(5))  # a 5-token benchmark line
+    train = [
+        (1, "alpha " + bench + " omega"),          # quotes the benchmark
+        (2, "clean doc with no overlap at all"),   # untouched
+        (3, bench + " " + bench),                  # quotes it twice
+    ]
+    ref = [(100, "intro " + bench + " outro")]
+    tr = spark.createDataFrame(train, ["doc_id", "text"])
+    rf = spark.createDataFrame(ref, ["doc_id", "text"])
+    out = {r.doc_id: r for r in excise_against_reference(tr, rf, min_tokens=5).collect()}
+    assert out[2].clean_text == "clean doc with no overlap at all"
+    assert out[2].n_removed_tokens == 0
+    assert out[1].clean_text == "alpha omega" and out[1].n_removed_tokens == 5
+    # doc 3: every position's 5-gram overlaps the benchmark text → all cut
+    assert out[3].clean_text == "" and out[3].n_removed_tokens == 10
+    # no ORIGINAL benchmark gram survives in any cleaned text
+    for r in out.values():
+        assert bench not in r.clean_text
