@@ -852,13 +852,17 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(st))
         .select("doc_id", "w", wt.alias("wt"))
     )
+    # alias both sides: q and post share lineage, and an unaliased
+    # q.w == post.w resolves through Spark's self-join disambiguation with
+    # a "trivially true predicate" warning — explicit aliases make the
+    # equi-key unambiguous
     q = (
         toks.filter(F.col("doc_id") % 100 == 0)
-        .select(F.col("doc_id").alias("query_id"), "w")
+        .select(F.col("doc_id").alias("query_id"), F.col("w").alias("qw"))
         .distinct()
     )
     sc = (
-        q.join(post, (q.w == post.w) & (F.col("query_id") != post.doc_id))
+        q.join(post, (F.col("qw") == post.w) & (F.col("query_id") != post.doc_id))
         .groupBy("query_id", F.col("doc_id"))
         .agg(F.round(F.sum("wt"), 4).alias("score"))
     )
