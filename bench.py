@@ -27,6 +27,13 @@ the O(n²) Jaccard baseline or the multimodal decoders moves BENCH_r{N},
 not just the correctness sweep's wall clock. ``--skip-full`` (or
 ``SPARK_GRAFT_BENCH_FULL=0``) disables it for quick local loops;
 ``SPARK_GRAFT_BENCH_FULL_RUNS`` controls its run count (default 3).
+
+NORMALIZATION (r7): ``calibration_sec`` (fixed 200M-row JVM probe) divides
+into ``box_factor`` = calibration/0.25 (0.25 s = calm-box reference,
+BASELINE.md), and ``value_normalized`` / ``full_value_normalized`` carry
+value ÷ box_factor — the cross-round comparable numbers. Host contention
+inflates probe and queries by ≈ the same factor (r6: same code measured
+18.3-33.1 s raw), so compare the NORMALIZED fields across rounds.
 """
 
 from __future__ import annotations
@@ -149,6 +156,15 @@ def main() -> None:
     per_run_totals = [
         round(sum(per_run[name][i] for name in HEADLINE), 3) for i in range(runs)
     ]
+    # Self-normalization (r7, prescribed by VERDICT r6): divide by the
+    # box-speed factor calibration/0.25 (0.25 s = the calm-box reference
+    # for the fixed 200M-row probe, BASELINE.md calibration table). A
+    # contended host inflates both the probe and the queries by roughly
+    # the same factor, so value_normalized is comparable ACROSS rounds
+    # without a same-box control experiment — r6's 30.9 s driver reading
+    # would have self-adjudicated to ~25 s instead of costing a full
+    # contention investigation.
+    box_factor = (calibration / 0.25) if calibration > 0 else 1.0
     out = {
         "metric": "headline_wall_sec",
         "value": round(sum(medians.values()), 3),
@@ -158,6 +174,8 @@ def main() -> None:
         "runs": runs,
         "per_run_totals": per_run_totals,
         "calibration_sec": calibration,
+        "box_factor": round(box_factor, 3),
+        "value_normalized": round(sum(medians.values()) / box_factor, 3),
     }
     if full_on:
         # no warm pass: the median of full_runs absorbs the cold run, and
@@ -169,6 +187,9 @@ def main() -> None:
         out["full_value"] = round(sum(full_medians.values()), 3)
         out["full_queries"] = full_medians
         out["full_runs"] = full_runs
+        out["full_value_normalized"] = round(
+            sum(full_medians.values()) / box_factor, 3
+        )
     print(json.dumps(out))
 
 

@@ -23,22 +23,40 @@ operation; executors drop blocks asynchronously.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_SCOPES: list[list[DataFrame]] = []
+# Thread-LOCAL scope stack (r7, ADVICE r6): a tracked_persist made on
+# another thread (a streaming foreachBatch worker, a parallel harness
+# thread) while the main thread has a scope open must NOT be captured by —
+# and torn down with — that unrelated scope. Each thread sees only its own
+# stack; a persist on a scope-less thread degrades to a plain persist, the
+# documented outside-any-scope contract.
+_TLS = threading.local()
+
+
+def _scopes() -> list[list[DataFrame]]:
+    try:
+        return _TLS.scopes
+    except AttributeError:
+        _TLS.scopes = []
+        return _TLS.scopes
 
 
 def tracked_persist(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
-    """``df.persist(level)``, registered with the innermost active scope."""
+    """``df.persist(level)``, registered with this thread's innermost
+    active scope (no scope on this thread → plain persist, caller owns
+    cleanup)."""
     df.persist(level)
-    if _SCOPES:
-        _SCOPES[-1].append(df)
+    stack = _scopes()
+    if stack:
+        stack[-1].append(df)
     return df
 
 
@@ -46,16 +64,19 @@ def tracked_persist(
 def materialized_scope() -> Iterator[list[DataFrame]]:
     """Release every :func:`tracked_persist` made inside the block on exit.
 
-    Scopes nest: an inner scope releases only its own persists. Exceptions
-    propagate after cleanup. The yielded list is the live registry — tests
-    may inspect it; callers normally ignore it.
+    Scopes nest: an inner scope releases only its own persists. Scopes are
+    per-thread — work persisted on OTHER threads while this scope is open
+    is not captured (see ``_TLS``). Exceptions propagate after cleanup.
+    The yielded list is the live registry — tests may inspect it; callers
+    normally ignore it.
     """
+    stack = _scopes()
     scope: list[DataFrame] = []
-    _SCOPES.append(scope)
+    stack.append(scope)
     try:
         yield scope
     finally:
-        _SCOPES.pop()
+        stack.pop()
         for df in reversed(scope):
             try:
                 df.unpersist()

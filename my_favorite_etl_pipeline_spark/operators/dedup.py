@@ -413,7 +413,12 @@ def exact_span_matches(
     With a cap, grams whose (hash-bucket) document frequency exceeds it are
     dropped before the self-join — the cap is computed on the hash, so an
     (astronomically rare) collision can only make the cap bind EARLIER,
-    never miss it. Corpus-wide EXCISION never needs the pair set at all:
+    never miss it. Note the cap drops capped grams GLOBALLY, not per pair:
+    a maximal span between one below-cap doc pair gets split (or shortened)
+    wherever an interior gram happens to be viral corpus-wide — the cap
+    trades span completeness for bounded output on ALL pairs, not just
+    hot-gram pairs (ADVICE r6). Corpus-wide EXCISION never needs the pair
+    set at all:
     :func:`span_removal_positions` is the O(df)-per-gram path — use it, not
     a huge ``max_gram_df``, when the goal is removal rather than reporting.
 

@@ -32,7 +32,14 @@ def connected_components(
 
     ``edges`` is undirected input (each pair listed once is enough);
     ``vertices`` optionally supplies isolated nodes (they become singleton
-    components). Raises if the fixpoint is not reached within ``max_iter``.
+    components). ``vertices`` MUST be unique ids (a primary-key column):
+    since r6 the isolated-vertex path is a plain anti-join projection, so a
+    duplicated input id would emit one singleton row per duplicate — the
+    dedup that used to hide that was dropped deliberately, because a
+    ``distinct()`` on the (corpus-sized) isolated subset is a full extra
+    exchange at 100 TB for inputs that are already key columns everywhere
+    in this repo (ADVICE r6). Raises if the fixpoint is not reached within
+    ``max_iter``.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # materialize once — every iteration joins against it, and recomputing
@@ -118,7 +125,9 @@ def connected_components_star(
     Each round is two groupBy-join passes (one per star op), all
     equi-shuffles on node ids; ``localCheckpoint`` truncates lineage per
     round. Convergence is detected by an (edge-count, hash-sum) digest —
-    two scalar aggregates, not a set-difference join.
+    two scalar aggregates, not a set-difference join. ``vertices`` MUST be
+    unique ids — same contract (and same rationale) as
+    :func:`connected_components`.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")

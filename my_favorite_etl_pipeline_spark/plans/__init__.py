@@ -47,3 +47,4 @@ _import_or_warn("llm_ext2")
 _import_or_warn("llm_ext3")
 _import_or_warn("llm_ext4")
 _import_or_warn("streaming_queries")
+_import_or_warn("docstore_queries")

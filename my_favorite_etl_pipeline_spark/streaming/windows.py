@@ -37,6 +37,13 @@ def stream_shuffle_scope(spark: SparkSession, n: int = 4):
     (a conf around a WHOLE self-contained run, never mutated mid-query).
     On a real cluster the state-store partition count is a capacity knob:
     size it to keyspace/executor count, not to this harness value.
+
+    NON-CONCURRENCY ASSUMPTION (ADVICE r6): the conf is session-global for
+    the duration of the scope, so any UNRELATED query started concurrently
+    on the same session inherits the scoped-down partition count. Fine for
+    the sequential harness/runner this repo drives; a server-style caller
+    multiplexing one session should give streaming runs their own
+    ``spark.newSession()`` (per-session conf view) instead.
     """
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key, None)

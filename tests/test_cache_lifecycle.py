@@ -83,3 +83,29 @@ def test_run_incremental_batch_leaves_no_cache(spark, tmp_path):
     )
     assert report.merged_total == 8
     assert _cache_empty(spark)
+
+
+def test_scope_is_thread_local(spark):
+    """ADVICE r6: a tracked_persist on ANOTHER thread while this thread
+    has a scope open must not be captured by (or unpersisted with) the
+    unrelated scope — the worker's frame stays persisted after the main
+    scope exits, the documented scope-less contract."""
+    import threading
+
+    from my_favorite_etl_pipeline_spark.caching import (
+        materialized_scope,
+        tracked_persist,
+    )
+
+    worker_df = []
+
+    def worker():
+        worker_df.append(tracked_persist(spark.range(5).toDF("n")))
+
+    with materialized_scope() as scope:
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        assert scope == []  # foreign-thread persist not captured
+    assert worker_df[0].storageLevel.useMemory  # survived the scope exit
+    worker_df[0].unpersist()

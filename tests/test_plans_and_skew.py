@@ -316,3 +316,53 @@ def test_bm25_tf_saturates_sublinearly(spark):
     }
     assert scores[200] < 0.5 * (8 * scores[100])  # well under linear-in-tf
     assert scores[200] > scores[100]  # more tf still scores higher
+
+
+def test_impact_truncate_bounds_postings_per_term(spark):
+    """The retrieval candidate cut (r7, shared by tfidf + bm25): after
+    impact_truncate(k), NO term carries more than k postings — the
+    invariant that bounds the query⋈postings join at |q|·Σ min(k, df) and
+    closes the r6 verdict's BM25 hot-term finding. A synthetic hot term
+    with df=500 must come out at exactly k rows, and the survivors must be
+    the k HIGHEST-weight postings."""
+    from my_favorite_etl_pipeline_spark.operators.retrieval import impact_truncate
+
+    post = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("hot").alias("w"),
+        (F.col("id") * 0.001).alias("wt"),
+    ).union(
+        spark.range(3).select(
+            F.col("id").alias("doc_id"), F.lit("cold").alias("w"),
+            F.lit(1.0).alias("wt"),
+        )
+    )
+    cut = impact_truncate(post, "wt", k=16)
+    per_term = {r.w: r.n for r in cut.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    assert per_term == {"hot": 16, "cold": 3}
+    # survivors are the top-16 by weight: ids 484..499 for the hot term
+    hot_ids = {r.doc_id for r in cut.filter(F.col("w") == "hot").collect()}
+    assert hot_ids == set(range(484, 500))
+
+
+def test_impact_truncate_salted_path_is_exact(spark):
+    """When df_max exceeds k × salt_buckets the two-phase salted top-k
+    kicks in; it must return the IDENTICAL set as the plain window (every
+    global top-k row is in its salt bucket's top-k — exactness, not an
+    approximation). Tie-heavy weights exercise the rounded-weight +
+    doc_id deterministic break."""
+    from my_favorite_etl_pipeline_spark.operators.retrieval import impact_truncate
+
+    post = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t").alias("w"),
+        # many exact ties at the cut boundary
+        (F.floor(F.col("id") / 10) * 0.01).alias("wt"),
+    )
+    plain = impact_truncate(post, "wt", k=8, df_max=0.0)
+    salted = impact_truncate(post, "wt", k=8, df_max=200.0, salt_buckets=4)
+    assert sorted((r.doc_id, r.w) for r in plain.collect()) == sorted(
+        (r.doc_id, r.w) for r in salted.collect()
+    )
+    # and the salted plan really does carry the two-phase window
+    assert "xxhash64" in salted._jdf.queryExecution().executedPlan().toString()
