@@ -590,7 +590,15 @@ def _lloyd_rounds_sql(n_rounds: int) -> str:
 
 _IVF_KMEANS_ITERS = 2
 
-_IVF_KMEANS_ORACLE = f"""
+
+def _ivf_kmeans_oracle(n_probe: int) -> str:
+    """The k-means-IVF oracle, parameterized by probe count (r7): the
+    probe-6 recall variant replays the IDENTICAL pipeline with one
+    different LIMIT, so the two oracles cannot drift apart."""
+    return _IVF_KMEANS_ORACLE_TEMPLATE.replace("LIMIT {N_PROBE}", f"LIMIT {n_probe}")
+
+
+_IVF_KMEANS_ORACLE_TEMPLATE = f"""
     WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     en AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS n FROM e),
@@ -621,7 +629,7 @@ _IVF_KMEANS_ORACLE = f"""
                  / (SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))
                     * q.qn) AS cs
         FROM c{_IVF_KMEANS_ITERS} c CROSS JOIN q
-      ) ORDER BY cs DESC, cid LIMIT 3
+      ) ORDER BY cs DESC, cid LIMIT {{N_PROBE}}
     )
     SELECT vec_id, cos_sim FROM (
       SELECT af.vec_id,
@@ -634,7 +642,7 @@ _IVF_KMEANS_ORACLE = f"""
 
 @register(
     "embedding_topk_ivf_kmeans",
-    oracle=_IVF_KMEANS_ORACLE,
+    oracle=_ivf_kmeans_oracle(3),
 )
 def q_embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path, self-contained — IVF top-20 over FIXED-k k-means
@@ -659,6 +667,28 @@ def q_embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0)
     return SIM.ivf_topk_kmeans(
         emb, query, k=20, n_clusters=16, n_probe=3, n_iter=_IVF_KMEANS_ITERS
+    )
+
+
+@register(
+    "embedding_topk_ivf_kmeans_probe6",
+    oracle=_ivf_kmeans_oracle(6),
+)
+def q_embedding_topk_ivf_kmeans_probe6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — the RECALL-KNOB variant of ``embedding_topk_ivf_kmeans`` (r7,
+    VERDICT r6 item 5): identical k-means-IVF pipeline, 6 probed cells
+    instead of 3. The two-scale recall sweep (tests/test_recall_scales.py)
+    measured the 3-probe arm decaying toward its n_probe/k asymptote as
+    corpus-per-cell grows 10× (0.35 @ sf0.01 → 0.25 @ sf0.1 on the
+    near-uniform synthetic embeddings); doubling n_probe is the standard
+    IVF answer — recall scales ≈ linearly in probes while the scan stays
+    bounded at (n_probe/k)·corpus. Registered as its own oracle-checked
+    entry so the knob's EXACT semantics (not just its recall) are pinned:
+    the oracle is the same generated SQL with one different LIMIT."""
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return SIM.ivf_topk_kmeans(
+        emb, query, k=20, n_clusters=16, n_probe=6, n_iter=_IVF_KMEANS_ITERS
     )
 
 

@@ -76,97 +76,95 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dataset-assembly, SCD2, and streaming. Names not yet registered are skipped,
 # so the list may lead the code; everything else follows in registration order.
 CURATED_FIRST: tuple[str, ...] = (
-    # reference-parity pipeline (SURVEY §2.1-§2.8; sorted_extract rotated
-    # out r6 after five green rounds — O1 stays pytest-covered)
+    # R7 ROTATION (VERDICT r6 item 2): 19 slots whose entries had 5-6
+    # green driver exposures rotate out (transform_chain, q1/q5,
+    # top_orders, rollup, pivot, range/as-of joins, ssjoin,
+    # embedding_cosine_near_dups, embedding_topk_bruteforce, chunking,
+    # audio decode, SCD2, contamination join, plain CC, stateful stream,
+    # session window — all stay judge-verified via the local 135-query
+    # harness); 19 never-driver-checked entries rotate in, burning the
+    # r6 backlog of 31 down to 13.
+    #
+    # reference-parity pipeline anchors (SURVEY §2.1-§2.8): the four task
+    # semantics of the reference DAG stay pinned; the transform chains
+    # hand their slots to the typed-struct/Variant twins (2nd exposure)
     "incremental_extract",
-    "transform_chain",
-    "nested_transform_chain",
     "merge_upsert",
     "dq_gate",
     "reconciliation",
-    # struct-extraction twins (typed-struct / Variant, new r5) — never
-    # driver-checked before r6
     "typed_struct_props_chain",
     "variant_props_chain",
-    # core relational shapes (anti_join_customers rotated out r6 after five
-    # green rounds; the join surface keeps range + as-of in-window)
-    "q1_pricing_summary",
+    # core relational surface — q3 stays as the top-k/broadcast anchor;
+    # rotated IN (never driver-checked): the remaining TPC-H-style
+    # shapes, the window/SQL-API/unpivot surfaces, profiling, fuzzy join,
+    # decimal/try_/surrogate-key surfaces, and the Zipf-skew aggregation
     "q3_shipping_priority",
-    "q5_region_revenue",
-    "top_orders_per_customer",
-    "rollup_order_status",
-    "pivot_status_by_segment",
-    "range_join_ship_latency",
-    "asof_last_click_before_purchase",
-    # events analytics (funnel/retention/gap-fill — never driver-checked
-    # before r6; sessionize/z-order continue from their r5 rotation)
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "q20_bulk_suppliers",
+    "q21_waiting_suppliers",
+    "window_function_surface",
+    "sql_api_surface",
+    "unpivot_lineitem_measures",
+    "fuzzy_join_part_names",
+    "profile_orders_columns",
+    "skew_zipf_top_users",
+    "decimal_surface",
+    "try_function_surface",
+    "surrogate_keys",
+    # events analytics (3rd exposure each)
     "funnel_view_to_purchase",
     "retention_cohorts",
     "gapfill_locf_hourly",
-    # X1 exact dedup (plain-groups rotated out mid-r5 after four green
-    # rounds — fingerprint/keep-first variants stay locally checked;
-    # keep-BEST exercises the richer cluster → canonical-selection
-    # composition; normalized-text is the casefold/whitespace rung)
+    # X1 exact dedup — keep-best (4th) + normalized (3rd); rotated IN:
+    # the fingerprint-groups variant, never driver-checked
     "dedup_keep_best",
     "dedup_normalized_text",
-    # X2 near-dup — every slot hash-verified; r6 adds the portable-hash
-    # SimHash twins (md5-derived bits, the only SimHash arm DuckDB can
-    # replay value-exactly) — never driver-checked before
+    "dedup_fingerprint_groups",
+    # X2 near-dup — minhash anchors the family; portable SimHash twins
+    # (2nd), embedding LSH (3rd), SemDeDup (3rd)
     "minhash_near_dups",
-    "ssjoin_prefix_filter",
     "simhash_signatures_portable",
     "simhash_near_dups_portable",
-    "embedding_cosine_near_dups",
     "embedding_cosine_near_dups_lsh",
     "semdedup_cluster_pairs",
-    # X3 similarity search (dense + sparse; the self-contained k-means IVF
-    # scale path earned an oracle mid-r5 — Lloyd round unrolled in SQL —
-    # and rotates in never-driver-checked)
-    "embedding_topk_bruteforce",
+    # X3 similarity search — tfidf + bm25 MUST stay in-window (both
+    # changed this round: shared posting pipeline + BM25 truncation);
+    # k-means IVF continues (3rd) plus its brand-new probe-6 recall-knob
+    # twin (r7, driver-checked from day one); rotated IN: the pandas_udf
+    # dense arm
     "embedding_topk_ivf_kmeans",
+    "embedding_topk_ivf_kmeans_probe6",
+    "embedding_topk_pandas_udf",
     "tfidf_topk_similar_docs",
-    # X3 lexical retrieval — BM25, brand-new r6, driver-checked from day
-    # one (the exact_span precedent)
     "bm25_topk_docs",
-    # X4+ curation filters (gopher_quality_flags and repetition_filter
-    # rotated out r6 after four green rounds; the family keeps the
-    # decontamination join in-window)
-    "contamination_13gram",
-    # X4 text analysis / chunking / prep (lang-id, BPE-ish counts, PII
-    # scrub, quality-median, and training_data_prep rotated out r6 after
-    # 4-5 green rounds each; span dedup keeps BOTH arms in-window —
-    # detection + the r6 canonical-path excision — plus the brand-new
-    # cross-corpus decontamination excision, driver-checked from day one)
+    # X4 text analysis / curation — span-dedup both arms (3rd/2nd) +
+    # decontamination excision (2nd); rotated IN: winnowing fingerprints
+    # and both LM-scorer rungs, never driver-checked
     "exact_span_dedup_20tok",
     "dedup_excise_spans_20tok",
     "decontaminate_excise_13gram",
-    "chunk_documents_50tok",
-    # X5 multimodal (image decode + audio decode; frame-sample checked
-    # locally; the resize roundtrip — brand-new r6 — driver-checked from
-    # day one)
-    "multimodal_features",
-    "multimodal_audio_features",
+    "winnowing_fingerprints",
+    "unigram_logprob_scores",
+    "bigram_logprob_scores",
+    # X5 multimodal — the resize roundtrip (2nd, pixel-sum oracle) holds
+    # the family slot; image decode rotates out at 5 green exposures to
+    # make room for the probe-6 IVF twin above
     "multimodal_resize_8x8",
-    # dataset assembly (dataset_split_hash rotated out r6 after four green
-    # rounds and quota_sample after three; the shard-shuffle assignment —
-    # new r5, never driver-checked — covers the same deterministic-hash
-    # family plus the no-global-sort shard layout)
+    # S1b — the docstore DSv2 source's first driver-checkable query
+    # (brand-new r7, driver-checked from day one — the exact_span/bm25
+    # precedent)
+    "docstore_lang_source_stats",
+    # dataset assembly + clustering — shard shuffle (2nd), star-variant
+    # CC (3rd; same oracle as the plain CC it stands in for)
     "training_shard_assignment",
-    "dedup_cluster_components",
-    # graph CC large/small-star variant (O(log² n) rounds for long chains)
     "dedup_cluster_components_star",
-    # batch sessionization + Z-order layout (events table)
+    # batch sessionization + Z-order layout (3rd each)
     "sessionize_events_gap30m",
     "zorder_events_morton",
-    # SCD2
-    "scd2_status_history",
-    # X6 streaming (stream_dedup_within_watermark rotated out r6 after
-    # three green rounds; the family keeps tumbling, stateful, the
-    # stream-stream join, and the session window in-window)
+    # X6 streaming — tumbling + the stream-stream join anchor the family
     "stream_tumbling_hourly",
-    "stream_stateful_user_stats",
     "stream_stream_attribution_join",
-    "session_window_30m",
 )
 
 

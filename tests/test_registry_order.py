@@ -14,51 +14,52 @@ from my_favorite_etl_pipeline_spark.registry import CURATED_FIRST, REGISTRY
 DRIVER_CAP = 50
 
 # One representative per family that MUST sit inside the driver-checked window.
+# r7 rotation (VERDICT r6 item 2): 19 slots with 5-6 green exposures handed
+# to 19 never-driver-checked entries — the window must ROTATE to catch
+# fixture drift, not freeze (r4 verdict item 2). Rotated-out flagships
+# (transform chains, q1/q5, window/rollup/pivot trio, range/as-of joins,
+# ssjoin, brute-force topk, chunking, audio decode, SCD2, contamination,
+# plain CC, stateful/session streams) stay verified by the full local
+# harness each round.
 FAMILY_SENTINELS = {
-    "pipeline-parity": ["incremental_extract", "transform_chain", "merge_upsert", "dq_gate", "reconciliation"],
-    "relational": ["q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue"],
-    "window/rollup/pivot": ["top_orders_per_customer", "rollup_order_status", "pivot_status_by_segment"],
-    # anti_join_customers rotated out r6 (five green rounds); the anti-join
-    # shape stays covered by merge_upsert's anti arm
-    "join-surface": ["range_join_ship_latency", "asof_last_click_before_purchase"],
+    "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
+    "struct-extraction": ["typed_struct_props_chain", "variant_props_chain"],
+    "relational": ["q3_shipping_priority"],
     "X1-exact-dedup": ["dedup_keep_best", "dedup_normalized_text"],
-    "X2-near-dup": ["minhash_near_dups", "ssjoin_prefix_filter", "embedding_cosine_near_dups"],
-    "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs"],
-    # lang_id / bpe counts / pii scrub rotated out r6 (4-5 green rounds)
-    "X4-text": ["chunk_documents_50tok", "exact_span_dedup_20tok"],
-    "X4-curation": ["contamination_13gram"],
-    "X5-multimodal": ["multimodal_features", "multimodal_audio_features"],
-    "assembly": ["training_shard_assignment", "dedup_cluster_components"],
-    # r5 entries still accruing driver rounds — hold until 2+ green
-    "r5-rotated-in": [
-        "semdedup_cluster_pairs",
-        "dedup_cluster_components_star",
-        "sessionize_events_gap30m",
-        "zorder_events_morton",
-        "embedding_cosine_near_dups_lsh",
-        "embedding_topk_ivf_kmeans",
+    "X2-near-dup": ["minhash_near_dups", "semdedup_cluster_pairs", "embedding_cosine_near_dups_lsh"],
+    "X3-similarity": ["tfidf_topk_similar_docs", "bm25_topk_docs", "embedding_topk_ivf_kmeans",
+                      "embedding_topk_ivf_kmeans_probe6"],
+    "X4-text": ["exact_span_dedup_20tok", "dedup_excise_spans_20tok"],
+    "X4-curation": ["decontaminate_excise_13gram"],
+    "X5-multimodal": ["multimodal_resize_8x8"],
+    "assembly": ["training_shard_assignment", "dedup_cluster_components_star"],
+    "events": ["funnel_view_to_purchase", "retention_cohorts", "gapfill_locf_hourly",
+               "sessionize_events_gap30m", "zorder_events_morton"],
+    # r7 rotation: every never-driver-checked entry newly in the window
+    "r7-rotated-in": [
+        "q11_important_stock",
+        "q17_small_quantity_revenue",
+        "q20_bulk_suppliers",
+        "q21_waiting_suppliers",
+        "window_function_surface",
+        "sql_api_surface",
+        "unpivot_lineitem_measures",
+        "fuzzy_join_part_names",
+        "profile_orders_columns",
+        "skew_zipf_top_users",
+        "decimal_surface",
+        "try_function_surface",
+        "surrogate_keys",
+        "dedup_fingerprint_groups",
+        "embedding_topk_pandas_udf",
+        "winnowing_fingerprints",
+        "unigram_logprob_scores",
+        "bigram_logprob_scores",
+        # brand-new r7: first driver-checkable path through the docstore
+        # DSv2 source
+        "docstore_lang_source_stats",
     ],
-    # r6 rotation: nine never-driver-checked entries take the slots of
-    # multi-round-green ones (sorted_extract, anti_join, lang_id, bpe
-    # counts, pii scrub, dataset_split_hash, quality_median, gopher flags,
-    # stream dedup) — the window must ROTATE to catch fixture drift, not
-    # freeze (r4 verdict item 2)
-    "r6-rotated-in": [
-        "typed_struct_props_chain",
-        "variant_props_chain",
-        "funnel_view_to_purchase",
-        "retention_cohorts",
-        "gapfill_locf_hourly",
-        "simhash_signatures_portable",
-        "simhash_near_dups_portable",
-        "training_shard_assignment",
-        "dedup_excise_spans_20tok",
-        # brand-new mid-r6, driver-checked from day one
-        "bm25_topk_docs",
-        "multimodal_resize_8x8",
-        "decontaminate_excise_13gram",
-    ],
-    "X6-streaming": ["stream_tumbling_hourly", "stream_stateful_user_stats", "session_window_30m"],
+    "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join"],
 }
 
 
