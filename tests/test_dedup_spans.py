@@ -137,3 +137,65 @@ def test_excise_against_reference_removes_original_overlaps(spark):
     # no ORIGINAL benchmark gram survives in any cleaned text
     for r in out.values():
         assert bench not in r.clean_text
+
+
+def test_boilerplate_injection_at_sf01_stays_linear(spark):
+    """r7 (VERDICT r6 item 7) — the blowup guard at REAL corpus scale: the
+    unit fixture above proves the O(df) bound on 50 synthetic rows; this
+    injects one 20-token boilerplate gram into 5% of the sf0.1 documents
+    table (the licence-header scenario at the scale the bench runs) and
+    asserts the canonical removal set grows by EXACTLY (df-1)·20 rows over
+    the natural baseline — join-output stays O(df), no quadratic residue —
+    and that excision reaches its fixpoint in one pass (re-excising the
+    cleaned corpus removes nothing new from the injected docs)."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    baseline = span_removal_positions(docs, min_tokens=20).count()
+
+    boiler = " ".join(f"zqboil{i}" for i in range(20))  # tokens absent from the corpus
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0, F.concat(F.lit(boiler + " "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    df_hot = injected.filter(F.col("doc_id") % 20 == 0).count()
+    assert df_hot >= 100  # the fixture really is boilerplate-heavy
+
+    removed = span_removal_positions(injected, min_tokens=20)
+    # Injected docs' texts shift by 20 positions, so their natural removals
+    # persist (shifted); the growth is the boilerplate itself in every
+    # non-keeper injected doc — (df-1)·20 positions — plus a small O(df)
+    # straddle residue: the corpus contains duplicate documents, and two
+    # injected duplicates share their boundary-straddling grams (boiler
+    # suffix + common text prefix), covering ≤ 19 extra positions per such
+    # doc (measured: 243 rows at sf0.1). A quadratic residue would be
+    # ~(df²/2)·20 ≈ 620k rows — the bound below separates the two regimes
+    # by 3 orders of magnitude.
+    extra = removed.count() - baseline - (df_hot - 1) * 20
+    assert 0 <= extra < df_hot * 20, f"extra={extra}"
+    head = removed.filter((F.col("doc_id") % 20 == 0) & (F.col("pos") < 20))
+    keeper = injected.filter(F.col("doc_id") % 20 == 0).agg(F.min("doc_id")).head()[0]
+    assert head.count() == (df_hot - 1) * 20
+    assert head.filter(F.col("doc_id") == keeper).count() == 0
+
+    # excision fixpoint: one pass removes the boilerplate from every
+    # non-keeper; a second pass finds nothing new in the injected docs
+    # (their cleaned texts no longer share the gram)
+    cleaned = excise_span_duplicates(injected, min_tokens=20)
+    again = span_removal_positions(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")), min_tokens=20
+    )
+    hot_again = again.filter((F.col("doc_id") % 20 == 0) & (F.col("pos") < 20))
+    hot_before = removed.filter((F.col("doc_id") % 20 == 0) & (F.col("pos") < 20))
+    assert hot_again.count() < hot_before.count()
+    cleaned_keeper = cleaned.filter(F.col("doc_id") == keeper).head()
+    assert cleaned_keeper.clean_text.startswith(boiler)  # keeper keeps it
