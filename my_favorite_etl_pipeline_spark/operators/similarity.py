@@ -499,6 +499,7 @@ def semdedup_pairs(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_top: int = 1,
 ) -> DataFrame:
     """X2 (embedding, scale path) — SemDeDup-style semantic dedup
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -520,7 +521,17 @@ def semdedup_pairs(
     borderline pairs straddle boundaries): pick k for the target cluster
     size (n/k vectors each), not for recall — production SemDeDup accepts
     this by design. :func:`kmeans_iterate` centroids recover a few points
-    of recall at the same k if needed.
+    of recall at the same k if needed, and ``assign_top=2`` (r7) applies
+    the standard boundary-recall fix: each vector joins its TOP-2 nearest
+    clusters, so a borderline pair is found whenever the two vectors share
+    EITHER of their two cells. Cost model: assignment output doubles to
+    2n rows and the within-cluster join quadruples to ≈ 4n²/k — the same
+    Σ|cluster|² shape, still nothing quadratic in n — and pairs caught in
+    both shared cells dedup through one (id_a, id_b) aggregate. For
+    ``assign_top > 1`` the per-vector top-m runs as ONE collect_list(k
+    structs)+sort_array+slice aggregate over the (cos, cid) scores only
+    (map-side combinable, k-bounded — no per-vector window, and the
+    64-dim vector itself is never replicated across the k scored rows).
     """
     side = ensure_min_partitions(corpus).select(
         F.col(id_col), _dbl(F.col(vec_col)).alias("__v"), norm(F.col(vec_col)).alias("__n")
@@ -533,23 +544,57 @@ def semdedup_pairs(
     cos_c = F.round(
         dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")), 4
     )
-    assign = (
-        side.crossJoin(F.broadcast(cent))
-        .withColumn("__cos_c", cos_c)
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.struct(F.col("__cid"), F.col("__v"), F.col("__n")),
-                F.struct(F.col("__cos_c").alias("c"), (-F.col("__cid")).alias("nc")),
-            ).alias("__best")
+    if assign_top == 1:
+        assign = (
+            side.crossJoin(F.broadcast(cent))
+            .withColumn("__cos_c", cos_c)
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("__cid"), F.col("__v"), F.col("__n")),
+                    F.struct(F.col("__cos_c").alias("c"), (-F.col("__cid")).alias("nc")),
+                ).alias("__best")
+            )
+            .select(
+                F.col(id_col),
+                F.col("__best.__cid").alias("cluster"),
+                F.col("__best.__v").alias("__v"),
+                F.col("__best.__n").alias("__n"),
+            )
         )
-        .select(
+    else:
+        # top-m assignment: one collect_list(k (cos, -cid, cid) structs) +
+        # sort_array + slice aggregate — k-bounded per vector, map-side
+        # combinable; descending struct order = cos DESC, cid ASC, the
+        # same tie-break the m=1 max_by applies. The vector/norm ride the
+        # group as any-row values (identical on every scored row).
+        scored = side.crossJoin(F.broadcast(cent)).select(
             F.col(id_col),
-            F.col("__best.__cid").alias("cluster"),
-            F.col("__best.__v").alias("__v"),
-            F.col("__best.__n").alias("__n"),
+            F.col("__v"),
+            F.col("__n"),
+            F.struct(
+                cos_c.alias("c"), (-F.col("__cid")).alias("nc"), F.col("__cid").alias("cid")
+            ).alias("__s"),
         )
-    )
+        assign = (
+            scored.groupBy(id_col)
+            .agg(
+                F.slice(
+                    F.reverse(F.sort_array(F.collect_list("__s"))), 1, assign_top
+                ).alias("__tops"),
+                F.first("__v").alias("__v"),
+                F.first("__n").alias("__n"),
+            )
+            .select(
+                F.col(id_col),
+                F.explode("__tops").alias("__t"),
+                F.col("__v"),
+                F.col("__n"),
+            )
+            .select(
+                F.col(id_col), F.col("__t.cid").alias("cluster"), F.col("__v"), F.col("__n")
+            )
+        )
     # Pair join, skew-aware: the natural key (cluster) has only k distinct
     # values, so a plain equi-join runs k tasks no matter how many cores
     # exist and each task does |cluster|²/2 dot products. Salting spreads
@@ -568,7 +613,7 @@ def semdedup_pairs(
     cos = F.round(
         dot(F.col("sa.__v"), F.col("sb.__v")) / (F.col("sa.__n") * F.col("sb.__n")), 4
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("sa.cluster") == F.col("sb.cluster"))
@@ -582,5 +627,12 @@ def semdedup_pairs(
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .orderBy("cluster", "id_a", "id_b")
     )
+    if assign_top > 1:
+        # a pair sharing BOTH of its cells is found twice — collapse to
+        # one row per pair (cos is identical on both; cluster = the
+        # smallest shared cell, deterministic)
+        pairs = pairs.groupBy("id_a", "id_b").agg(
+            F.min("cluster").alias("cluster"), F.min("cos_sim").alias("cos_sim")
+        ).select("cluster", "id_a", "id_b", "cos_sim")
+    return pairs.orderBy("cluster", "id_a", "id_b")

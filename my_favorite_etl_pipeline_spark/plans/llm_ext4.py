@@ -300,9 +300,13 @@ def q_dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "semdedup_cluster_pairs",
-    oracle="""
+def _semdedup_oracle(assign_top: int) -> str:
+    """SemDeDup oracle, parameterized by the per-vector assignment count
+    (r7): top-1 is classic SemDeDup; top-2 is the boundary-recall variant.
+    The pair aggregate (GROUP BY pair, MIN over identical values) is an
+    identity at top-1 and the duplicate-cell collapse at top-2, so ONE
+    template serves both and cannot drift."""
+    return f"""
     WITH n AS (
       SELECT vec_id,
              LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -331,17 +335,25 @@ def q_dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY cos_c DESC, cid) AS rn
             FROM scored)
-      WHERE rn = 1
+      WHERE rn <= {assign_top}
+    ),
+    p AS (
+      SELECT MIN(a.cluster) AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             MIN(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
+                   / (a.nrm * b.nrm), 4)) AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
     )
-    SELECT a.cluster AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
-                 / (a.nrm * b.nrm), 4) AS cos_sim
-    FROM assign a JOIN assign b
-      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-    WHERE ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
-                / (a.nrm * b.nrm), 4) >= 0.4
+    SELECT cluster, id_a, id_b, cos_sim FROM p
+    WHERE cos_sim >= 0.4
     ORDER BY cluster, id_a, id_b
-    """,
+    """
+
+
+@register(
+    "semdedup_cluster_pairs",
+    oracle=_semdedup_oracle(1),
 )
 def q_semdedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2+ — SemDeDup (Abbas et al. 2023): semantic near-dup pairs found
@@ -358,6 +370,29 @@ def q_semdedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return semdedup_pairs(emb, threshold=0.4, k=8)
+
+
+@register(
+    "semdedup_cluster_pairs_top2",
+    oracle=_semdedup_oracle(2),
+)
+def q_semdedup_cluster_pairs_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ — SemDeDup with TOP-2-centroid assignment (r7): the standard
+    boundary-recall fix — each vector joins its two nearest cells, so a
+    borderline pair straddling one boundary is still found when the two
+    vectors share EITHER cell. Assignment is one collect_list(k)+sort+
+    slice aggregate (k-bounded, map-side combinable, no per-vector
+    window); the within-cell join stays the salted Σ|cluster|² shape at
+    ≈ 4× the top-1 cost; pairs found in both shared cells collapse
+    through one (id_a, id_b) aggregate. Same generated oracle as
+    ``semdedup_cluster_pairs`` with ``rn <= 2`` — the two entries cannot
+    drift. Recall vs the exact all-pairs twin is measured at two scales
+    in tests/test_recall_scales.py.
+    """
+    from ..operators.similarity import semdedup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, threshold=0.4, k=8, assign_top=2)
 
 
 @register(

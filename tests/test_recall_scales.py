@@ -82,12 +82,18 @@ def test_semdedup_recall_floor_across_scales(spark, scale_dir):
     emb = load(spark, scale_dir, "embeddings")
     exact = {(r.id_a, r.id_b) for r in all_pairs_cosine(emb, 0.4).collect()}
     clustered = {(r.id_a, r.id_b) for r in semdedup_pairs(emb, 0.4).collect()}
+    top2 = {(r.id_a, r.id_b) for r in semdedup_pairs(emb, 0.4, assign_top=2).collect()}
     assert exact
-    assert clustered <= exact  # subset property must hold at every scale
+    assert clustered <= top2 <= exact  # top-2 only ADDS boundary pairs
     recall = len(clustered) / len(exact)
+    recall2 = len(top2) / len(exact)
     print(
-        f"\nsemdedup pair recall @ {os.path.basename(scale_dir)}: {recall:.3f}"
-        f" ({len(clustered)}/{len(exact)} pairs)"
+        f"\nsemdedup pair recall @ {os.path.basename(scale_dir)}: "
+        f"top1 {recall:.3f} ({len(clustered)}/{len(exact)}), "
+        f"top2 {recall2:.3f} ({len(top2)}/{len(exact)})"
     )
-    # same structurally-~1/k-calibrated floor as the sf0.001 test (k=8)
+    # same structurally-~1/k-calibrated floor as the sf0.001 test (k=8);
+    # the top-2 boundary-recall fix must clear a meaningfully higher bar
     assert recall >= 0.2, f"{scale_dir}: recall {recall:.3f}"
+    assert recall2 >= recall
+    assert recall2 >= 0.5, f"{scale_dir}: top2 recall {recall2:.3f}"
