@@ -141,17 +141,34 @@ def main() -> None:
     # the SAME code swinging 19.2 s ↔ 29.9 s headline within two hours of
     # host contention; this calibration row lets a reader normalize a
     # round's bench against the box's throughput at measurement time
-    # instead of guessing.
-    def calibrate() -> float:
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spark.range(200_000_000).selectExpr("sum(id)").collect()
-            samples.append(time.perf_counter() - t0)
-        return round(statistics.median(samples), 3)
+    # Two probe roles (r7):
+    # - calibration_sec = median of THREE consecutive probes taken cold,
+    #   before any query — the r6-comparable number (r6 pairs: 0.25-0.26 ↔
+    #   headline 18-19 s) and the box_factor input. It MUST stay the
+    #   cold-3 protocol: repeated probes JIT-warm to ~0.12 s on this box,
+    #   so a median over the whole window is a different (incomparable)
+    #   unit.
+    # - one additional probe before every query's timing block, because
+    #   contention is time-varying on a sub-minute scale (r7 observed
+    #   minhash at 4.1 s mid-headline and 1.4 s in the full tier minutes
+    #   later while the pre-loop probe read a calm 0.275 s).
+    #   probe_median_warm / calibration_max summarize the window: a
+    #   calibration_max ≫ probe_median_warm means contention SPIKED
+    #   mid-bench and per-query medians absorbed what they could.
+    probe_samples: list[float] = []
 
-    calibration = calibrate()
-    per_run = {name: time_query(name, runs, warm=True) for name in HEADLINE}
+    def probe() -> None:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        probe_samples.append(round(time.perf_counter() - t0, 3))
+
+    for _ in range(3):
+        probe()
+    calibration = round(statistics.median(probe_samples), 3)
+    per_run = {}
+    for name in HEADLINE:
+        probe()
+        per_run[name] = time_query(name, runs, warm=True)
     medians = {name: round(statistics.median(s), 3) for name, s in per_run.items()}
     per_run_totals = [
         round(sum(per_run[name][i] for name in HEADLINE), 3) for i in range(runs)
@@ -174,13 +191,20 @@ def main() -> None:
         "runs": runs,
         "per_run_totals": per_run_totals,
         "calibration_sec": calibration,
+        "probe_median_warm": round(statistics.median(probe_samples[3:]), 3)
+        if len(probe_samples) > 3
+        else None,
+        "calibration_max": max(probe_samples),
         "box_factor": round(box_factor, 3),
         "value_normalized": round(sum(medians.values()) / box_factor, 3),
     }
     if full_on:
         # no warm pass: the median of full_runs absorbs the cold run, and
         # the tier is expensive enough that a 4th execution isn't free
-        full_samples = {name: time_query(name, full_runs, warm=False) for name in FULL}
+        full_samples = {}
+        for name in FULL:
+            probe()
+            full_samples[name] = time_query(name, full_runs, warm=False)
         full_medians = {
             name: round(statistics.median(s), 3) for name, s in full_samples.items()
         }
@@ -190,6 +214,8 @@ def main() -> None:
         out["full_value_normalized"] = round(
             sum(full_medians.values()) / box_factor, 3
         )
+        out["probe_median_warm"] = round(statistics.median(probe_samples[3:]), 3)
+        out["calibration_max"] = max(probe_samples)
     print(json.dumps(out))
 
 
