@@ -77,26 +77,30 @@ HEADLINE = [
     "exact_span_dedup_20tok",
 ]
 
-# FULL tier (r6): the 10 most expensive registered queries by a measured
-# single-pass sf0.1 sweep (2026-08-14, noop sink, one warm session), so
-# regressions on the heavy tail are caught by BENCH, not only by the
-# round's correctness-sweep wall clock. minhash_near_dups doubles as a
-# headline entry; that overlap is deliberate (the list is "top 10 by
-# cost", not "top 10 not already benched"). ngram_jaccard_pairs is the
-# deliberate O(n²) ground-truth baseline and dominates (~68 s after the
-# r6 stream-side fan-out fix; 841 s before it). The tier runs WITHOUT a
-# separate warm pass — the median of 3 absorbs the one cold run.
+# FULL tier: the 10 most expensive registered queries by a measured
+# sf0.1 timing pass (refreshed r7, 2026-08-14 — membership tracks cost,
+# re-measure when the registry changes), so regressions on the heavy
+# tail are caught by BENCH, not only by the round's correctness-sweep
+# wall clock. minhash_near_dups doubles as a headline entry; that
+# overlap is deliberate (the list is "top 10 by cost", not "top 10 not
+# already benched"). ngram_jaccard_pairs is the deliberate O(n²)
+# ground-truth baseline and dominates (~23 s on a calm box this round).
+# r7 swaps the two cheapest rows (multimodal_features 0.68 s /
+# frame_sample 0.67 s) for the two new recall variants
+# (semdedup_cluster_pairs_top2 2.6 s, embedding_topk_ivf_kmeans_probe6
+# 1.9 s); audio keeps the multimodal decode path timed. The tier runs
+# WITHOUT a separate warm pass — the median of 3 absorbs the cold run.
 FULL = [
     "ngram_jaccard_pairs",
-    "multimodal_features",
-    "dedup_keep_best",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
+    "simhash_near_dups_portable",
+    "semdedup_cluster_pairs_top2",
+    "embedding_topk_ivf_kmeans_probe6",
     "stream_stream_attribution_join",
-    "minhash_near_dups",
+    "dedup_keep_best",
     "semdedup_cluster_pairs",
     "dedup_excise_spans_20tok",
-    "simhash_near_dups_portable",
+    "multimodal_audio_features",
+    "minhash_near_dups",
 ]
 
 
