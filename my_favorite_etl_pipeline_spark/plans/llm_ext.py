@@ -425,6 +425,56 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frequent_terms_sketch_merge",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term),
+    r AS (SELECT term, n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS rank
+          FROM c)
+    SELECT term, n, rank FROM r WHERE rank <= 50 ORDER BY rank
+    """,
+)
+def q_frequent_terms_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (new r7) — MERGEABLE heavy-hitters: per-source partial
+    ``approx_top_k_accumulate`` sketches combined with
+    ``approx_top_k_combine`` and read out once — the one-pass,
+    shard-parallel way to track frequent items at 100 TB (each shard
+    accumulates independently; the combine step reduces K fixed-size
+    sketch states, never re-shuffling tokens — the same mergeable-sketch
+    contract as ``hll_sketch_merge``). The exact-groupBy twin is
+    ``term_frequencies_top50``.
+
+    Oracle-checkable (not rows-only like the HLL family) because the
+    sketch is EXACT while distinct-item count ≤ maxItemsTracked (10⁴ here
+    vs a 31-term fixture vocabulary; Spark documents exactness below the
+    tracking bound), and the readout is re-ranked DETERMINISTICALLY on
+    (count DESC, term) before the top-50 cut — the sketch's own tie order
+    never reaches the result. The final 50-row sort is sketch-sized, not
+    corpus-sized.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(TX.tokens("text")).alias("w"))
+    parts = toks.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(w, 10000)").alias("sk")
+    )
+    est = parts.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 10000), 10000)").alias(
+            "top"
+        )
+    )
+    flat = est.select(F.explode("top").alias("t")).select(
+        F.col("t.item").alias("term"), F.col("t.count").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        flat.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+        .orderBy("rank")
+    )
+
+
+@register(
     "bpe_ish_token_counts",
     oracle=r"""
     SELECT doc_id,
