@@ -493,6 +493,58 @@ def ivf_topk_kmeans(
     )
 
 
+def nearest_centroid(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-of-k-centroids assignment, the shared primitive under
+    SemDeDup and prototype pruning: ``(id, cluster, proto_sim, __v, __n)``
+    where ``proto_sim`` is the rounded cosine to the OWN cluster centroid
+    (the "prototypicality" D4-style pruning ranks on) and ``__v``/``__n``
+    are the double vector + norm for downstream pair joins.
+
+    One broadcast-crossJoin of the O(k) fixed-point centroid table
+    (:func:`build_hash_centroids`) + ONE ``max_by`` aggregate — the n·k
+    scored rows collapse map-side before the only shuffle; no per-vector
+    window. Deterministic: rounded cosine, lowest-cid tie-break — the
+    same (cos DESC, cid ASC) order the top-m branch of
+    :func:`semdedup_pairs` applies.
+    """
+    side = ensure_min_partitions(corpus).select(
+        F.col(id_col), _dbl(F.col(vec_col)).alias("__v"), norm(F.col(vec_col)).alias("__n")
+    )
+    cent = build_hash_centroids(corpus, k=k, id_col=id_col, vec_col=vec_col).select(
+        F.col("cid").alias("__cid"),
+        F.col("centroid").alias("__cv"),
+        norm(F.col("centroid")).alias("__cn"),
+    )
+    cos_c = F.round(
+        dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")), 4
+    )
+    return (
+        side.crossJoin(F.broadcast(cent))
+        .withColumn("__cos_c", cos_c)
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("__cid"), F.col("__cos_c"), F.col("__v"), F.col("__n")
+                ),
+                F.struct(F.col("__cos_c").alias("c"), (-F.col("__cid")).alias("nc")),
+            ).alias("__best")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__best.__cid").alias("cluster"),
+            F.col("__best.__cos_c").alias("proto_sim"),
+            F.col("__best.__v").alias("__v"),
+            F.col("__best.__n").alias("__n"),
+        )
+    )
+
+
 def semdedup_pairs(
     corpus: DataFrame,
     threshold: float,
@@ -545,22 +597,8 @@ def semdedup_pairs(
         dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")), 4
     )
     if assign_top == 1:
-        assign = (
-            side.crossJoin(F.broadcast(cent))
-            .withColumn("__cos_c", cos_c)
-            .groupBy(id_col)
-            .agg(
-                F.max_by(
-                    F.struct(F.col("__cid"), F.col("__v"), F.col("__n")),
-                    F.struct(F.col("__cos_c").alias("c"), (-F.col("__cid")).alias("nc")),
-                ).alias("__best")
-            )
-            .select(
-                F.col(id_col),
-                F.col("__best.__cid").alias("cluster"),
-                F.col("__best.__v").alias("__v"),
-                F.col("__best.__n").alias("__n"),
-            )
+        assign = nearest_centroid(corpus, k=k, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col), F.col("cluster"), F.col("__v"), F.col("__n")
         )
     else:
         # top-m assignment: one collect_list(k (cos, -cid, cid) structs) +

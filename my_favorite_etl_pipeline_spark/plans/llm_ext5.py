@@ -231,3 +231,180 @@ def q_perplexity_buckets_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# prototype_prune_d4
+
+@register(
+    "prototype_prune_d4",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    en AS (SELECT vec_id, v,
+                  SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm
+           FROM e),
+    dims AS (SELECT UNNEST(range(64)) AS dim),
+    pd AS (SELECT e.vec_id % 8 AS cid, d.dim,
+                  CAST(SUM(CAST(FLOOR(e.v[d.dim + 1] * 10000000) AS BIGINT)) AS DOUBLE)
+                    / (COUNT(*) * 10000000.0) AS mean_val
+           FROM e CROSS JOIN dims d GROUP BY 1, 2),
+    cent AS (SELECT cid, LIST(mean_val ORDER BY dim) AS centroid
+             FROM pd GROUP BY cid),
+    cn AS (SELECT cid, centroid,
+                  SQRT(LIST_SUM(LIST_TRANSFORM(centroid, x -> x * x))) AS cnrm
+           FROM cent),
+    scored AS (
+      SELECT en.vec_id, c.cid,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> en.v[i] * c.centroid[i]))
+               / (en.nrm * c.cnrm), 4) AS cos_c
+      FROM en CROSS JOIN cn c
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster, cos_c AS proto_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_c DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    hist AS (SELECT cluster, proto_sim AS s, COUNT(*) AS c
+             FROM assign GROUP BY 1, 2),
+    cum AS (SELECT cluster, s,
+                   SUM(c) OVER (PARTITION BY cluster ORDER BY s DESC) AS cge
+            FROM hist),
+    nc AS (SELECT cluster, COUNT(*) AS n FROM assign GROUP BY 1),
+    th AS (SELECT cum.cluster, MIN(CASE WHEN cge * 4 <= n THEN s END) AS tc
+           FROM cum JOIN nc USING (cluster) GROUP BY 1)
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, a.proto_sim
+    FROM assign a JOIN th USING (cluster)
+    WHERE th.tc IS NULL OR a.proto_sim < th.tc
+    ORDER BY a.vec_id
+    """,
+)
+def q_prototype_prune_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+/X3 (r7) — SSL-prototypes/D4-style diversity pruning (Sorscher
+    et al. 2022 "Beyond neural scaling laws"; Tirumala et al. 2023 "D4"):
+    cluster the embedding space, rank every vector by similarity to its
+    OWN cluster centroid ("prototypicality"), and DROP the most
+    prototypical ~25% of each cluster — the redundancy-heavy core that
+    contributes least to data diversity. The keep set (what a pretraining
+    run reads) is returned.
+
+    Scale design mirrors ``perplexity_buckets_ccnet``: the per-cluster
+    25th-from-the-top cut comes from a compacted (cluster, rounded-sim)
+    HISTOGRAM with a descending cumulative count — corpus-scale work is
+    the O(n·k) assignment (:func:`nearest_centroid`: one broadcast
+    crossJoin + one max_by aggregate) plus one hash agg; no per-cluster
+    rank window ever sorts the corpus with k-way parallelism. Tie policy
+    is by-threshold (all vectors at the cut score survive together), so
+    the drop fraction is ≤ 25% exactly: floor(n/4) ≥ #dropped on every
+    cluster, enforced in tests/test_model_filters.py.
+    """
+    from ..operators.similarity import nearest_centroid
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = nearest_centroid(emb, k=8).select("vec_id", "cluster", "proto_sim")
+    hist = assign.groupBy("cluster", "proto_sim").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cge",
+        F.sum("c").over(Window.partitionBy("cluster").orderBy(F.desc("proto_sim"))),
+    )
+    nc = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        cum.join(nc, "cluster")
+        .groupBy("cluster")
+        .agg(
+            F.min(
+                F.when(F.col("cge") * 4 <= F.col("n"), F.col("proto_sim"))
+            ).alias("tc")
+        )
+    )
+    return (
+        assign.join(F.broadcast(th), "cluster")
+        .filter(F.col("tc").isNull() | (F.col("proto_sim") < F.col("tc")))
+        .select("vec_id", F.col("cluster").cast("long").alias("cluster"), "proto_sim")
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+
+# Restated from llm_ext2 (same reason as there and in llm_ext4: each oracle
+# must be a self-contained SQL string the driver can run verbatim).
+_DUCK_SHINGLES_5 = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(len(t) - 2),
+                                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+               ELSE [] END) AS s
+      FROM toks
+    )
+"""
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLES_5},
+    sizes AS (SELECT doc_id, LEN(s) AS n FROM sh),
+    ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT u, v FROM inter
+      JOIN sizes sa ON inter.u = sa.doc_id
+      JOIN sizes sb ON inter.v = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.9
+    ),
+    edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+    mixed AS (
+      SELECT node, component,
+             ({_duck_md5_32('CAST(component AS VARCHAR)')}) % 10 AS mix
+      FROM comp
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(component AS BIGINT) AS component,
+           CASE WHEN mix <= 7 THEN 'train'
+                WHEN mix = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM mixed ORDER BY doc_id
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r7) — leakage-safe train/val/test assignment: hash the NEAR-DUP
+    COMPONENT representative, not the document id, so every member of a
+    duplicate cluster lands in the same split. A per-doc random/hash split
+    leaks training text into eval whenever near-duplicates straddle the
+    cut — the exact failure mode decontamination exists to prevent, created
+    by the splitter itself. Composes the registered
+    ``dedup_cluster_components`` clustering (prefix-filtered >= 0.9-Jaccard
+    edges -> min-label components) with md5 split mixing; 80/10/10.
+
+    Plan at 100 TB: everything is the clustering's cost (see
+    dedup_cluster_components / SCALE.md §cluster); the split itself adds
+    one map-only projection. The md5 mix decorrelates the split from the
+    id space (component ids are min-ids, dense in doc_id, so ``comp % 10``
+    would inherit any id-assignment pattern; a hash does not).
+    """
+    comp = REGISTRY["dedup_cluster_components"].fn(spark, sf_dir)
+    mix = _spark_md5_32(F.col("component").cast("string")) % 10
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(mix <= 7, F.lit("train"))
+        .when(mix == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -92,3 +92,53 @@ def test_ppl_buckets_head_is_common_token_doc(spark):
     assert out[0].ppl_bucket == "head"
     assert out[9].ppl_bucket == "tail"
     assert out[0].unigram_nlp < out[9].unigram_nlp
+
+
+def test_prototype_prune_drop_fraction_bounded(spark, sf_dir):
+    from my_favorite_etl_pipeline_spark.operators.similarity import nearest_centroid
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = nearest_centroid(emb, k=8).select("vec_id", "cluster").collect()
+    kept = REGISTRY["prototype_prune_d4"].fn(spark, sf_dir).collect()
+    n_by_cluster, kept_by_cluster = {}, {}
+    for r in assign:
+        n_by_cluster[r.cluster] = n_by_cluster.get(r.cluster, 0) + 1
+    for r in kept:
+        kept_by_cluster[r.cluster] = kept_by_cluster.get(r.cluster, 0) + 1
+    assert sum(n_by_cluster.values()) == emb.count()
+    for c, n in n_by_cluster.items():
+        dropped = n - kept_by_cluster.get(c, 0)
+        assert 0 <= dropped <= n // 4  # by-threshold cut never exceeds floor(n/4)
+        if n >= 8:
+            assert dropped > 0  # and the cut does fire on real clusters
+
+
+def test_prototype_prune_drops_the_most_prototypical(spark, sf_dir):
+    from my_favorite_etl_pipeline_spark.operators.similarity import nearest_centroid
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = nearest_centroid(emb, k=8).select("vec_id", "cluster", "proto_sim")
+    kept = {r.vec_id for r in REGISTRY["prototype_prune_d4"].fn(spark, sf_dir).collect()}
+    by_cluster = {}
+    for r in assign.collect():
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for rs in by_cluster.values():
+        kept_sims = [r.proto_sim for r in rs if r.vec_id in kept]
+        drop_sims = [r.proto_sim for r in rs if r.vec_id not in kept]
+        if kept_sims and drop_sims:
+            # every dropped vector is MORE prototypical than every kept one
+            assert min(drop_sims) > max(kept_sims)
+
+
+def test_leakage_safe_split_components_stay_together(spark, sf_dir):
+    rows = REGISTRY["leakage_safe_split"].fn(spark, sf_dir).collect()
+    split_of_comp = {}
+    for r in rows:
+        assert split_of_comp.setdefault(r.component, r.split) == r.split
+    splits = {r.split for r in rows}
+    assert "train" in splits and len(rows) > 0
+    # ~80/10/10: train must dominate
+    n_train = sum(1 for r in rows if r.split == "train")
+    assert n_train > len(rows) // 2
