@@ -112,14 +112,16 @@ CURATED_FIRST: tuple[str, ...] = (
     "decimal_surface",
     "try_function_surface",
     "surrogate_keys",
-    # events analytics (3rd exposure each)
+    # events analytics — funnel keeps the family slot; retention/gapfill
+    # rotate out at 3 green exposures for the brand-new r7 model-filter
+    # rungs (driver-checked from day one, the exact_span/bm25 precedent)
     "funnel_view_to_purchase",
-    "retention_cohorts",
-    "gapfill_locf_hourly",
-    # X1 exact dedup — keep-best (4th) + normalized (3rd); rotated IN:
-    # the fingerprint-groups variant, never driver-checked
+    "quality_classifier_linear",
+    "perplexity_buckets_ccnet",
+    # X1 exact dedup — keep-best (4th) holds the family slot; normalized
+    # rotates out at 3 green exposures (stays judge-verified locally);
+    # fingerprint-groups continues (2nd)
     "dedup_keep_best",
-    "dedup_normalized_text",
     "dedup_fingerprint_groups",
     # X2 near-dup — minhash anchors the family; portable SimHash twins
     # (2nd), embedding LSH (3rd), SemDeDup (3rd)
@@ -156,12 +158,15 @@ CURATED_FIRST: tuple[str, ...] = (
     # precedent)
     "docstore_lang_source_stats",
     # dataset assembly + clustering — shard shuffle (2nd), star-variant
-    # CC (3rd; same oracle as the plain CC it stands in for)
+    # CC (3rd; same oracle as the plain CC it stands in for), plus the
+    # r7 leakage-safe split (new, composes the CC family) and D4
+    # prototype pruning + PQ-ADC retrieval (new, embedding family);
+    # sessionization/Z-order rotate out at 3 green exposures
     "training_shard_assignment",
     "dedup_cluster_components_star",
-    # batch sessionization + Z-order layout (3rd each)
-    "sessionize_events_gap30m",
-    "zorder_events_morton",
+    "leakage_safe_split",
+    "prototype_prune_d4",
+    "embedding_topk_pq_adc",
     # X6 streaming — tumbling + the stream-stream join anchor the family
     "stream_tumbling_hourly",
     "stream_stream_attribution_join",

@@ -25,7 +25,7 @@ FAMILY_SENTINELS = {
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
     "struct-extraction": ["typed_struct_props_chain", "variant_props_chain"],
     "relational": ["q3_shipping_priority"],
-    "X1-exact-dedup": ["dedup_keep_best", "dedup_normalized_text"],
+    "X1-exact-dedup": ["dedup_keep_best", "dedup_fingerprint_groups"],
     "X2-near-dup": ["minhash_near_dups", "semdedup_cluster_pairs", "embedding_cosine_near_dups_lsh"],
     "X3-similarity": ["tfidf_topk_similar_docs", "bm25_topk_docs", "embedding_topk_ivf_kmeans",
                       "embedding_topk_ivf_kmeans_probe6"],
@@ -33,8 +33,18 @@ FAMILY_SENTINELS = {
     "X4-curation": ["decontaminate_excise_13gram"],
     "X5-multimodal": ["multimodal_resize_8x8"],
     "assembly": ["training_shard_assignment", "dedup_cluster_components_star"],
-    "events": ["funnel_view_to_purchase", "retention_cohorts", "gapfill_locf_hourly",
-               "sessionize_events_gap30m", "zorder_events_morton"],
+    "events": ["funnel_view_to_purchase"],
+    # brand-new r7 operators, driver-checked from day one (the
+    # exact_span/bm25 precedent); the rotated-out 3-green entries
+    # (retention, gapfill, sessionize, zorder, dedup_normalized_text)
+    # stay verified by the full local harness each round
+    "r7-new": [
+        "quality_classifier_linear",
+        "perplexity_buckets_ccnet",
+        "prototype_prune_d4",
+        "leakage_safe_split",
+        "embedding_topk_pq_adc",
+    ],
     # r7 rotation: every never-driver-checked entry newly in the window
     "r7-rotated-in": [
         "q11_important_stock",
