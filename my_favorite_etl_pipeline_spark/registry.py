@@ -128,8 +128,10 @@ CURATED_FIRST: tuple[str, ...] = (
     "minhash_near_dups",
     "simhash_signatures_portable",
     "simhash_near_dups_portable",
-    "embedding_cosine_near_dups_lsh",
     "semdedup_cluster_pairs",
+    # embedding LSH rotates out at 3 green exposures for the r7 funnel
+    # audit (new, composes gopher+classifier+dedup+decontamination)
+    "curation_funnel_report",
     # X3 similarity search — tfidf + bm25 MUST stay in-window (both
     # changed this round: shared posting pipeline + BM25 truncation);
     # k-means IVF continues (3rd) plus its brand-new probe-6 recall-knob

