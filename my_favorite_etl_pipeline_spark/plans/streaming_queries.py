@@ -220,3 +220,43 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "stream_decontaminate_flags",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bgr AS (
+      SELECT DISTINCT array_to_string(t[pos + 1:pos + 13], ' ') AS gram
+      FROM (SELECT t, UNNEST(range(len(t) - 12)) AS pos
+            FROM toks
+            WHERE len(t) >= 13
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+    ),
+    tg AS (
+      SELECT doc_id, array_to_string(t[pos + 1:pos + 13], ' ') AS gram
+      FROM (SELECT doc_id, t, UNNEST(range(len(t) - 12)) AS pos
+            FROM toks
+            WHERE len(t) >= 13
+              AND NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'))
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_grams
+    FROM tg WHERE gram IN (SELECT gram FROM bgr)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 × X4 (r7) — streaming benchmark decontamination: the documents
+    table arrives through the streaming engine (file source), its 13-grams
+    stream-static join a fixed benchmark gram set (stateless join — the
+    static side is eval-suite-sized and broadcasts), and a stateful
+    per-doc count emits how many grams collided. availableNow + complete
+    mode makes the final state equal the batch join, so the DuckDB oracle
+    hash-checks a query that genuinely executed inside Structured
+    Streaming (the ``stream_tumbling_hourly`` precedent). Extends the X6
+    family beyond events analytics onto the LLM-data surface: continuous
+    crawl ingest with inline decontamination flagging.
+    """
+    from ..streaming.windows import stream_contamination_counts
+
+    return stream_contamination_counts(spark, sf_dir)

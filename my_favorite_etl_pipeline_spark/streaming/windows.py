@@ -186,3 +186,68 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink_name)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents parquet (same glob trick as
+    :func:`read_events_stream`; plain types, no timestamp repair needed)."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_contamination_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 × X4 — STREAMING benchmark decontamination: flag documents
+    arriving on a stream whose 13-grams collide with a static benchmark
+    gram set. The continuous-ingest shape of ``contamination_13gram``: a
+    crawler feeds documents as they land; the eval-suite side is a fixed
+    reference joined STREAM-STATIC (stateless — no watermark, no state
+    store for the join itself), then one stateful per-doc count aggregate.
+
+    At 100 TB-rate ingest the static side is eval-suite-sized (broadcast);
+    per-micro-batch cost is the gram explode + hash join — identical to
+    the batch plan, amortized over arrival. With availableNow + complete
+    mode the final state equals the batch join, which is what the oracle
+    checks (the "oracle via engine" class, like ``stream_tumbling_hourly``).
+    """
+    from ..sources.tables import load
+
+    # benchmark predicate restated from plans.llm_ext3 (importing plans
+    # here would be circular: plans package imports streaming)
+    bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    toks = F.split(F.col("text"), " ")
+    grams13 = F.when(
+        F.size(toks) >= 13,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 13),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 13)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench_grams = (
+        load(spark, sf_dir, "documents")
+        .filter(bench)
+        .select(F.explode(grams13).alias("gram"))
+        .distinct()
+    )
+    stream = read_documents_stream(spark, sf_dir).filter(~bench)
+    flagged = (
+        stream.select("doc_id", F.explode(grams13).alias("gram"))
+        .join(bench_grams, "gram")  # stream-static inner, stateless
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_flagged_grams"))
+    )
+    sink_name = f"decon_sink_{int(time.time() * 1000) % 10_000_000}"
+    with stream_shuffle_scope(spark):
+        q = (
+            flagged.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink_name).orderBy("doc_id")

@@ -283,3 +283,41 @@ def test_stream_merge_into_versioned_mart(spark, tmp_path):
     run("ckpt1")
     assert {r.event_id: r.value for r in vm.read(spark).collect()} == final
     assert vm.history() == before
+
+
+def test_stream_decontaminate_matches_batch_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+    from my_favorite_etl_pipeline_spark.streaming.windows import (
+        stream_contamination_counts,
+    )
+
+    streamed = {
+        (r.doc_id, r.n_flagged_grams)
+        for r in stream_contamination_counts(spark, sf_dir).collect()
+    }
+    # batch twin: same gram expressions, plain DataFrame join
+    docs = load(spark, sf_dir, "documents")
+    bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    toks = F.split(F.col("text"), " ")
+    grams13 = F.when(
+        F.size(toks) >= 13,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 13),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 13)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgr = docs.filter(bench).select(F.explode(grams13).alias("gram")).distinct()
+    batch = {
+        (r.doc_id, r.n)
+        for r in (
+            docs.filter(~bench)
+            .select("doc_id", F.explode(grams13).alias("gram"))
+            .join(bgr, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )
+    }
+    assert streamed == batch and len(streamed) > 0
