@@ -260,3 +260,43 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import stream_contamination_counts
 
     return stream_contamination_counts(spark, sf_dir)
+
+
+@register(
+    "stream_ingest_dedup_ssjoin",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(t) >= 3
+                    THEN list_transform(range(len(t) - 2),
+                           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                    ELSE [] END) AS s
+           FROM toks),
+    a AS (SELECT doc_id, s, LEN(s) AS na FROM sh WHERE doc_id % 2 = 1),
+    b AS (SELECT doc_id AS ref_id, s AS sb, LEN(s) AS nb
+          FROM sh WHERE doc_id % 2 = 0),
+    ea AS (SELECT doc_id, na, UNNEST(s) AS g FROM a),
+    eb AS (SELECT ref_id, nb, UNNEST(sb) AS g FROM b),
+    i AS (SELECT doc_id, ref_id, na, nb, COUNT(*) AS c
+          FROM ea JOIN eb USING (g) GROUP BY 1, 2, 3, 4)
+    SELECT doc_id, ref_id,
+           ROUND(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+    FROM i WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.9
+    ORDER BY doc_id, ref_id
+    """,
+)
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 × X2 (r7) — streaming ingest dedup: the odd-doc_id half of the
+    corpus arrives through the streaming engine and is screened for
+    >= 0.9-Jaccard near-duplicates against the even half's STATIC shingle
+    inverted index (stream-static stateless join + one stateful pair
+    aggregate — exact candidates, no LSH probability, so the all-pairs
+    DuckDB oracle matches by construction; hence the ssjoin name, after
+    its exact batch cousin ssjoin_prefix_filter). The continuous-crawl
+    "skip what the lake already holds" operator; the production
+    refinement indexes only prefix-filter shingles (see docstring of
+    streaming.windows.stream_ingest_dedup_pairs).
+    """
+    from ..streaming.windows import stream_ingest_dedup_pairs
+
+    return stream_ingest_dedup_pairs(spark, sf_dir)

@@ -251,3 +251,60 @@ def stream_contamination_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink_name).orderBy("doc_id")
+
+
+def stream_ingest_dedup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.9
+) -> DataFrame:
+    """X6 × X2 — STREAMING ingest dedup: documents arriving on a stream are
+    checked for >= ``threshold`` Jaccard near-duplicates against a STATIC
+    reference corpus (here: the even-doc_id half stands in for "what the
+    lake already holds"; the odd half arrives as the stream). The
+    "don't re-ingest what we already have" operator of a continuous crawl.
+
+    Shape: the stream side explodes its (distinct) 3-token shingles
+    statelessly and stream-static joins the reference's shingle inverted
+    index — EXACT candidates (any qualifying pair shares a shingle, the
+    ssjoin argument), no LSH probability. ONE stateful aggregate per
+    (stream doc, ref doc) counts shared shingles; Jaccard falls out from
+    the counts riding the keys. At scale the index side is the smaller
+    reference slice and production composes the prefix filter
+    (operators.dedup.prefix_filter_pairs) to index only prefix shingles;
+    the full-index join keeps this query exact and oracle-checkable.
+    """
+    from ..functions.text import shingles
+    from ..sources.tables import load
+
+    sh = shingles(F.col("text"))
+    static_idx = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("ref_id"),
+            F.size(sh).alias("nb"),
+            F.explode(sh).alias("sh"),
+        )
+    )
+    stream = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    s = stream.select(
+        "doc_id", F.size(sh).alias("na"), F.explode(sh).alias("sh")
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    pairs = (
+        s.join(static_idx, "sh")  # stream-static inner, stateless
+        .groupBy("doc_id", "ref_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(jac >= threshold)  # unrounded compare, same expr as oracle
+        .select("doc_id", "ref_id", F.round(jac, 4).alias("jaccard"))
+    )
+    sink_name = f"ingest_dedup_sink_{int(time.time() * 1000) % 10_000_000}"
+    with stream_shuffle_scope(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink_name).orderBy("doc_id", "ref_id")
