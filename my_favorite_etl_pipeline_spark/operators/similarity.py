@@ -810,7 +810,10 @@ def _pq_lloyd_round(
         .agg(F.array_sort(F.collect_list(F.struct("i", "mean_val"))).alias("p"))
         .select("s", "c", F.transform("p", lambda x: x.mean_val).alias("cv1"))
     )
-    return cb.join(cb1, ["s", "c"], "left").select(
+    # both sides are O(m·kc) model tables — broadcast explicitly (the
+    # initial plan would otherwise SMJ two 128-row aggregates; the hint is
+    # safe because the codebook size is a parameter, never corpus-scale)
+    return cb.join(F.broadcast(cb1), ["s", "c"], "left").select(
         "s", "c", F.coalesce(F.col("cv1"), F.col("cv")).alias("cv")
     )
 

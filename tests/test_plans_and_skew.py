@@ -366,3 +366,42 @@ def test_impact_truncate_salted_path_is_exact(spark):
     )
     # and the salted plan really does carry the two-phase window
     assert "xxhash64" in salted._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quality_classifier_is_map_only(spark, sf_dir):
+    # SCALE.md row "model-based quality filter": ONE map-only projection —
+    # hashing, weighting, fold-sum inside codegen; no join/agg shuffle
+    # anywhere (the trailing orderBy is presentation, rangepartitioning).
+    df = entrymod.queries()["quality_classifier_linear"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_pq_adc_scoring_stage_has_no_corpus_shuffle(spark, sf_dir):
+    # SCALE.md row "PQ-ADC retrieval": codebook+ADC table ride as broadcast
+    # nested-array rows; the corpus-side encode+score stage is pure map and
+    # the shortlist is TakeOrdered — the only hashpartitioning exchanges
+    # belong to the O(m·kc) codebook aggregation, never to corpus rows.
+    from my_favorite_etl_pipeline_spark.operators.similarity import pq_adc_topk
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    plan = _physical_plan(pq_adc_topk(emb, q, k=10, shortlist=50, kc=64))
+    assert "TakeOrderedAndProject" in plan  # shortlist + final top-k
+    assert "BroadcastExchange" in plan  # codebook/ADC/query ride broadcasts
+    assert "SortMergeJoin" not in plan  # corpus never shuffle-joins
+
+
+def test_ppl_buckets_histogram_window_not_corpus_window(spark, sf_dir):
+    # SCALE.md row "quantile bucketing": the per-language cumulative window
+    # runs on the compacted (lang, score) histogram, never on corpus rows —
+    # the plan's Window operator must sit above a HashAggregate (histogram),
+    # and the per-doc side reaches the thresholds through a broadcast join.
+    df = entrymod.queries()["perplexity_buckets_ccnet"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("BroadcastExchange") or (
+        "BroadcastHashJoin" in plan
+    )
