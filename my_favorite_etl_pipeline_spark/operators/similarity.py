@@ -451,6 +451,39 @@ def ivf_topk_kmeans(
     :func:`ivf_topk` with partition pruning); recomputing it per query,
     as here, is still one O(n·n_clusters) map + one shuffle.
     """
+    assign, probed = kmeans_assign_and_probe(
+        corpus, query, n_clusters=n_clusters, n_probe=n_probe, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    q = F.broadcast(query.select(_dbl(F.col(vec_col)).alias("__qv"), norm(F.col(vec_col)).alias("__qn")))
+    sim = F.round(dot(F.col("__v"), F.col("__qv")) / (F.col("__n") * F.col("__qn")), 4)
+    return (
+        assign.join(probed, "__cid", "left_semi")
+        .crossJoin(q)
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def kmeans_assign_and_probe(
+    corpus: DataFrame,
+    query: DataFrame,
+    n_clusters: int,
+    n_probe: int,
+    n_iter: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF coarse stage shared by :func:`ivf_topk_kmeans` and
+    :func:`ivf_pq_topk` (factored r7 so the two cannot drift): k-means
+    centroids (hash init + ``n_iter`` digest-early-stopped Lloyd rounds),
+    per-vector nearest-cell assignment via ONE max_by aggregate (rounded
+    cosine, lowest-cid ties), and the query's ``n_probe`` best cells
+    (UNROUNDED centroid cosine, cid ties — the original ivf_topk contract
+    the ivf_kmeans oracle replays). Returns (assign, probed):
+    ``(id, __cid, __v, __n)`` and the broadcastable ``(__cid)`` probe set.
+    """
     side = ensure_min_partitions(corpus).select(
         F.col(id_col), _dbl(F.col(vec_col)).alias("__v"), norm(F.col(vec_col)).alias("__n")
     )
@@ -491,14 +524,7 @@ def ivf_topk_kmeans(
         .limit(n_probe)
         .select("__cid")
     )
-    sim = F.round(dot(F.col("__v"), F.col("__qv")) / (F.col("__n") * F.col("__qn")), 4)
-    return (
-        assign.join(probed, "__cid", "left_semi")
-        .crossJoin(q)
-        .select(F.col(id_col), sim.alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
-        .limit(k)
-    )
+    return assign, probed
 
 
 def nearest_centroid(
@@ -833,6 +859,7 @@ def pq_adc_topk(
     kc: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train: DataFrame | None = None,
 ) -> DataFrame:
     """X3 scale path — PQ-ADC retrieval with exact re-rank: encode every
     vector as ``m`` one-byte codes, score candidates by Asymmetric
@@ -858,7 +885,12 @@ def pq_adc_topk(
     """
     assert m == 8, "fixture vectors are 64-dim; 8 dims per subspace"
     dsub = 8  # 64-dim fixture vectors / m
-    cb = pq_codebook(corpus, m=m, kc=kc, id_col=id_col, vec_col=vec_col)
+    # ``train`` separates codebook training from scan set: IVF-PQ trains on
+    # the full corpus but encodes/scores only probed cells (default: same)
+    cb = pq_codebook(
+        train if train is not None else corpus,
+        m=m, kc=kc, id_col=id_col, vec_col=vec_col,
+    )
     # ONE broadcastable row: cbn[s][c][i] — nested sort_array folds keep
     # subspace and code order deterministic.
     cbn = (
@@ -975,4 +1007,59 @@ def pq_adc_topk(
         .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    shortlist: int = 30,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    n_iter: int = 2,
+    kc: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 — the COMPOSED FAISS-style index: IVF cell probe (scan cut) ×
+    PQ-ADC codes (memory cut) × exact re-rank. The two halves the
+    docstrings of :func:`ivf_topk_kmeans` and :func:`pq_adc_topk` describe
+    as orthogonal, composed the way a production billion-vector index
+    actually runs: probe the ``n_probe`` nearest of ``n_cells`` coarse
+    cells, ADC-score ONLY vectors assigned to probed cells against the
+    query's distance table, shortlist, re-rank with true cosine.
+
+    Scan set ≈ (n_probe/n_cells)·corpus and each scanned vector costs a
+    table lookup instead of a 64-dim dot; memory per vector is m codes.
+    The PQ codebook trains on the FULL corpus (``train=`` arg — the
+    codebook must not depend on which cells a query probes, or codes
+    would be query-dependent). The coarse stage is the SAME Lloyd-refined
+    k-means assignment+probe as ``embedding_topk_ivf_kmeans``
+    (:func:`kmeans_assign_and_probe` — factored so the two cannot drift),
+    with the family's probe-6 recall knob as the default: on this
+    fixture's near-isotropic synthetic embeddings the probe is the recall
+    bottleneck (hash-init cells measured 0.42 mean recall@10; Lloyd+6
+    probes ≈ 0.6+). Deterministic end-to-end, so the DuckDB oracle
+    replays the full composition.
+    """
+    assign, probed = kmeans_assign_and_probe(
+        corpus, query, n_clusters=n_cells, n_probe=n_probe, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    in_cells = assign.join(probed, "__cid", "left_semi").select(id_col)
+    # NO broadcast hint: in_cells is (n_probe/n_cells)·corpus — it SCALES.
+    # At 100 TB the assignment is a stored partition column and this join
+    # becomes partition pruning (the ivf_topk_kmeans note); AQE picks the
+    # strategy at fixture scale.
+    subset = corpus.join(in_cells, id_col, "left_semi")
+    return pq_adc_topk(
+        subset,
+        query,
+        k=k,
+        shortlist=shortlist,
+        kc=kc,
+        id_col=id_col,
+        vec_col=vec_col,
+        train=corpus,
     )

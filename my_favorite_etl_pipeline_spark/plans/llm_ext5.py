@@ -2,8 +2,8 @@
 assembly (SURVEY.md §2.9 X3/X4; no reference citation exists — the
 citation is BASELINE.json's LLM-data mandate).
 
-Six operators a production pretraining pipeline runs between raw curation
-and packing, each with an exact DuckDB oracle:
+Seven operators a production pretraining pipeline runs between raw
+curation and packing, each with an exact DuckDB oracle:
 
 - ``quality_classifier_linear``  — fastText-shaped hashed-feature linear
   scorer (the DCLM / FineWeb-Edu "model-based quality filter" rung).
@@ -25,6 +25,9 @@ and packing, each with an exact DuckDB oracle:
 - ``curation_funnel_report``     — the per-stage survivor audit table
   (raw → Gopher → classifier → dedup → decontamination) every corpus
   release publishes, as ONE aggregate over a per-doc survival level.
+- ``embedding_topk_ivf_pq``      — the COMPOSED index: IVF cell probe ×
+  PQ-ADC × exact re-rank, the way a production billion-vector index
+  actually runs.
 """
 
 from __future__ import annotations
@@ -740,3 +743,141 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("stage_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_topk_ivf_pq (the composed index)
+
+# The coarse stage replays the embedding_topk_ivf_kmeans oracle verbatim
+# (same generated Lloyd rounds — imported so the two cannot drift); the
+# PQ stage replays embedding_topk_pq_adc with p_-prefixed CTEs (the Lloyd
+# generator also emits pd{i}/c{i} names) restricted to probed cells.
+from .llm_ext import _IVF_KMEANS_ITERS, _lloyd_rounds_sql  # noqa: E402
+
+_IVF_PQ_ORACLE = f"""
+    WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    en AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS n FROM e),
+    q AS (SELECT v AS qv, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS qn
+          FROM e WHERE vec_id = 0),
+    dims AS (SELECT UNNEST(range(64)) AS dim),
+    pd0 AS (
+      SELECT vec_id % 16 AS cid, d.dim,
+             CAST(SUM(CAST(FLOOR(v[d.dim + 1] * 10000000) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 10000000.0) AS mean_val
+      FROM e CROSS JOIN dims d GROUP BY 1, 2
+    ),
+    c0 AS (SELECT cid, LIST(mean_val ORDER BY dim) AS centroid FROM pd0 GROUP BY cid),
+    {_lloyd_rounds_sql(_IVF_KMEANS_ITERS)},
+    af AS (
+      SELECT vec_id, cid FROM (
+        SELECT en.vec_id, c.cid,
+               ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> en.v[i] * c.centroid[i]))
+                 / (en.n * SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))),
+               4) AS cc
+        FROM en CROSS JOIN c{_IVF_KMEANS_ITERS} c
+      ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) = 1
+    ),
+    probed AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * q.qv[i]))
+                 / (SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))
+                    * q.qn) AS cs
+        FROM c{_IVF_KMEANS_ITERS} c CROSS JOIN q
+      ) ORDER BY cs DESC, cid LIMIT 6
+    ),
+    sel AS (SELECT af.vec_id FROM af JOIN probed p ON af.cid = p.cid),
+    eu AS (SELECT vec_id,
+                  LIST_TRANSFORM(v, x ->
+                    x / SQRT(LIST_SUM(LIST_TRANSFORM(v, y -> y * y)))) AS u
+           FROM e),
+    p_pd AS (SELECT CAST(eu.vec_id % 64 AS INT) AS c,
+                    CAST(d.dim // 8 AS INT) AS s, d.dim,
+                    CAST(SUM(CAST(FLOOR(eu.u[d.dim + 1] * 10000000) AS BIGINT)) AS DOUBLE)
+                      / (COUNT(*) * 10000000.0) AS mean_val
+             FROM eu CROSS JOIN dims d GROUP BY 1, 2, 3),
+    p_cb0 AS (SELECT s, c, LIST(mean_val ORDER BY dim) AS cv
+              FROM p_pd GROUP BY s, c),
+    p_sub AS (SELECT CAST(UNNEST(range(8)) AS INT) AS s),
+    p_vs AS (SELECT eu.vec_id, p_sub.s,
+                    list_slice(eu.u, p_sub.s * 8 + 1, p_sub.s * 8 + 8) AS vsub
+             FROM eu CROSS JOIN p_sub),
+    p_a0 AS (
+      SELECT p_vs.vec_id, p_vs.s, p_cb0.c,
+             CAST(FLOOR(10000000.0 * LIST_SUM(LIST_TRANSFORM(range(1, 9),
+               i -> (p_vs.vsub[i] - p_cb0.cv[i]) * (p_vs.vsub[i] - p_cb0.cv[i]))))
+             AS BIGINT) AS dfx
+      FROM p_vs JOIN p_cb0 ON p_vs.s = p_cb0.s
+    ),
+    p_asg AS (SELECT vec_id, s, c FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                             ORDER BY dfx, c) AS rn
+                FROM p_a0) WHERE rn = 1),
+    p_pd1 AS (
+      SELECT a.s, a.c, d.i,
+             CAST(SUM(CAST(FLOOR(v.vsub[d.i + 1] * 10000000) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 10000000.0) AS mean_val
+      FROM p_asg a JOIN p_vs v ON a.vec_id = v.vec_id AND a.s = v.s
+      CROSS JOIN (SELECT CAST(UNNEST(range(8)) AS INT) AS i) d
+      GROUP BY 1, 2, 3
+    ),
+    p_cb1n AS (SELECT s, c, LIST(mean_val ORDER BY i) AS cv1 FROM p_pd1 GROUP BY s, c),
+    p_cb AS (SELECT p_cb0.s, p_cb0.c, COALESCE(p_cb1n.cv1, p_cb0.cv) AS cv
+             FROM p_cb0 LEFT JOIN p_cb1n ON p_cb0.s = p_cb1n.s AND p_cb0.c = p_cb1n.c),
+    p_enc0 AS (
+      SELECT p_vs.vec_id, p_vs.s, p_cb.c,
+             CAST(FLOOR(10000000.0 * LIST_SUM(LIST_TRANSFORM(range(1, 9),
+               i -> (p_vs.vsub[i] - p_cb.cv[i]) * (p_vs.vsub[i] - p_cb.cv[i]))))
+             AS BIGINT) AS dfx
+      FROM p_vs JOIN sel USING (vec_id) JOIN p_cb ON p_vs.s = p_cb.s
+    ),
+    p_enc AS (SELECT vec_id, s, c FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                             ORDER BY dfx, c) AS rn
+                FROM p_enc0) WHERE rn = 1),
+    p_qv AS (SELECT s, vsub FROM p_vs WHERE vec_id = 0),
+    p_qtab AS (
+      SELECT p_cb.s, p_cb.c,
+             CAST(FLOOR(10000000.0 * LIST_SUM(LIST_TRANSFORM(range(1, 9),
+               i -> pq.vsub[i] * p_cb.cv[i]))) AS BIGINT) AS pfx
+      FROM p_cb JOIN p_qv pq ON p_cb.s = pq.s
+    ),
+    p_sc AS (SELECT p_enc.vec_id, SUM(pfx) AS adc
+             FROM p_enc JOIN p_qtab ON p_enc.s = p_qtab.s AND p_enc.c = p_qtab.c
+             GROUP BY 1),
+    p_short AS (SELECT vec_id FROM p_sc ORDER BY adc DESC, vec_id LIMIT 30)
+    SELECT vec_id, cos_sim FROM (
+      SELECT e.vec_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> e.v[i] * q.qv[i]))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(e.v, x -> x * x))) * q.qn),
+             4) AS cos_sim
+      FROM e JOIN p_short USING (vec_id) CROSS JOIN q
+    ) ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+@register(
+    "embedding_topk_ivf_pq",
+    oracle=_IVF_PQ_ORACLE,
+)
+def q_embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (r7) — the composed FAISS-style index: 6-of-16-cell IVF probe
+    over the family's Lloyd-refined k-means centroids × PQ-ADC (8×64
+    codes, codebook trained on the FULL corpus so codes are
+    query-independent) × exact-cosine re-rank of a 30-deep shortlist.
+    Scan ≈ 6/16 of the corpus, each scanned vector costs 8 table lookups,
+    memory is 8 codes/vector — multiplicative savings, the reason
+    billion-vector indexes exist. The coarse stage is the SAME
+    assignment+probe as ``embedding_topk_ivf_kmeans`` (factored helper +
+    imported oracle CTEs, so the twins cannot drift); probe-6 is the
+    family's recall knob — hash-init 3-probe cells measured 0.42 mean
+    recall@10 on the near-isotropic fixture, Lloyd + 6 probes ≈ 0.6+.
+    Deterministic end-to-end; recall floor vs brute force pinned in
+    tests/test_model_filters.py.
+    """
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return ivf_pq_topk(emb, query, k=10, shortlist=30)
