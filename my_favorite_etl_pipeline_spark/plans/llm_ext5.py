@@ -881,3 +881,78 @@ def q_embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     return ivf_pq_topk(emb, query, k=10, shortlist=30)
+
+
+# ---------------------------------------------------------------------------
+# documents_dataset_card
+
+@register(
+    "documents_dataset_card",
+    oracle="""
+    WITH base AS (SELECT lang, source,
+                         len(string_split(text, ' ')) AS ntok,
+                         md5(text) AS fp
+                  FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM base),
+    gs AS (
+      SELECT CASE WHEN lang IS NOT NULL THEN 'lang'
+                  WHEN source IS NOT NULL THEN 'source'
+                  ELSE 'total' END AS section,
+             COALESCE(lang, source, 'ALL') AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      FROM base GROUP BY GROUPING SETS ((lang), (source), ())
+    ),
+    dup AS (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS extra
+            FROM (SELECT COUNT(*) AS c FROM base GROUP BY fp))
+    SELECT section, key, n_docs, n_tokens,
+           ROUND(n_docs / tot.nd, 4) AS doc_share
+    FROM gs CROSS JOIN tot
+    UNION ALL
+    SELECT 'dedup', 'exact_dup_docs', dup.extra, CAST(0 AS BIGINT),
+           ROUND(dup.extra / tot.nd, 4)
+    FROM dup CROSS JOIN tot
+    ORDER BY section, key
+    """,
+)
+def q_documents_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r7) — the dataset-card table: total/per-language/per-source
+    document and token counts with shares, plus the exact-duplicate count —
+    the summary block every corpus release (HF dataset card, corpus paper
+    §data) publishes. One GROUPING SETS pass over the corpus (Spark
+    expands the sets with a single Expand node — one shuffle for all three
+    groupings) plus the fingerprint dup aggregate; through the SQL entry
+    point, locking GROUPING SETS onto the documents surface the way
+    ``grouping_sets_revenue`` locks it onto lineitem.
+    """
+    from ..sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH base AS (SELECT lang, source,
+                             size(split(text, ' ')) AS ntok,
+                             md5(text) AS fp
+                      FROM documents),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM base),
+        gs AS (
+          SELECT CASE WHEN lang IS NOT NULL THEN 'lang'
+                      WHEN source IS NOT NULL THEN 'source'
+                      ELSE 'total' END AS section,
+                 COALESCE(lang, source, 'ALL') AS key,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(ntok) AS BIGINT) AS n_tokens
+          FROM base GROUP BY GROUPING SETS ((lang), (source), ())
+        ),
+        dup AS (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS extra
+                FROM (SELECT COUNT(*) AS c FROM base GROUP BY fp))
+        SELECT section, key, n_docs, n_tokens,
+               ROUND(n_docs / tot.nd, 4) AS doc_share
+        FROM gs CROSS JOIN tot
+        UNION ALL
+        SELECT 'dedup', 'exact_dup_docs', dup.extra, CAST(0 AS BIGINT),
+               ROUND(dup.extra / tot.nd, 4)
+        FROM dup CROSS JOIN tot
+        ORDER BY section, key
+        """
+    )
