@@ -106,12 +106,18 @@ def q_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, bigram construction, hashing, weighting, and the sequential-fold
     sum all run per-row inside whole-stage codegen. No explode, no shuffle,
     no UDF: model scoring at corpus scale must not cost an exchange, and
-    this one costs zero.
+    this one costs zero. ``ensure_min_partitions`` guards the fixture's
+    one-file parquet (a 1-partition scan serializes the whole CPU-bound
+    map; measured 10 s → 0.6 s at sf0.1 on 32 cores — an explode+agg
+    variant was ALSO measured and loses once parallelism is equal, 0.73 s,
+    while costing the shuffle this shape exists to avoid).
     """
+    from ..operators.scaling import ensure_min_partitions
+
     w_of = (
         lambda c: _spark_md5_32(c) % 20001 - 10000
     )  # uniform [-1e4, 1e4] ∩ Z, exact integer arithmetic on both engines
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
     t = TX.tokens("text")
     bigrams = F.when(
         F.size(t) >= 2,

@@ -262,43 +262,69 @@ def stream_ingest_dedup_pairs(
     lake already holds"; the odd half arrives as the stream). The
     "don't re-ingest what we already have" operator of a continuous crawl.
 
-    Shape: the stream side explodes its (distinct) 3-token shingles
-    statelessly and stream-static joins the reference's shingle inverted
-    index — EXACT candidates (any qualifying pair shares a shingle, the
-    ssjoin argument), no LSH probability. ONE stateful aggregate per
-    (stream doc, ref doc) counts shared shingles; Jaccard falls out from
-    the counts riding the keys. At scale the index side is the smaller
-    reference slice and production composes the prefix filter
-    (operators.dedup.prefix_filter_pairs) to index only prefix shingles;
-    the full-index join keeps this query exact and oracle-checkable.
+    Scale shape (r7, second iteration): the static side indexes ONLY its
+    PREFIX shingles under the rarest-first global order — the asymmetric
+    PPJoin bound: if J(A,B) >= t then B's first |B| - ceil(t·|B|) + 1
+    rarest shingles must intersect A's full set (else
+    |A∩B| <= ceil(t·|B|) - 1 < t·|B|). The naive full-index join is
+    exact too but blows up on hot shingles (|df_a|·|df_b| candidate rows
+    per shared shingle — measured 15 s at sf0.1 vs ~4 s for this shape);
+    the prefix cut bounds candidates at (1-t)·|B|+1 index rows per ref
+    doc. Candidates then verify EXACTLY via one more stream-static equi-
+    join to the reference's full shingle sets + ``array_intersect`` per
+    row, so recall is 100% by the theorem and the all-pairs oracle still
+    matches. ONE stateful aggregate collapses duplicate candidate rows
+    (a pair can hit several prefix shingles; duplicates are bounded by
+    the prefix length) to one row per (doc, ref) pair.
     """
     from ..functions.text import shingles
     from ..sources.tables import load
 
     sh = shingles(F.col("text"))
-    static_idx = (
+    static = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 2 == 0)
-        .select(
-            F.col("doc_id").alias("ref_id"),
-            F.size(sh).alias("nb"),
-            F.explode(sh).alias("sh"),
-        )
+        .select(F.col("doc_id").alias("ref_id"), sh.alias("s_b"))
+        .select("ref_id", "s_b", F.size("s_b").alias("nb"))
+    )
+    # rarest-first global order comes from the STATIC reference (fully
+    # precomputable offline; deterministic tie-break on the shingle text)
+    ex_b = static.select("ref_id", "nb", F.explode("s_b").alias("sh"))
+    freq = ex_b.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("ref_id").orderBy(F.col("f").asc(), F.col("sh").asc())
+    )
+    prefix_len = F.col("nb") - F.ceil(F.lit(threshold) * F.col("nb")) + 1
+    # NOT persisted: caching the wide shingle-array frame was measured
+    # SLOWER than recompute at this scale (22 s vs 8.6 s — serializing
+    # 50-string arrays into the block store costs more than re-deriving
+    # them from the one-file scan). A production deploy precomputes the
+    # prefix index offline as a TABLE, which is the durable form of the
+    # same idea.
+    prefix_idx = (
+        ex_b.join(freq, "sh")
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") <= prefix_len)
+        .select("sh", "ref_id")
     )
     stream = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
     s = stream.select(
-        "doc_id", F.size(sh).alias("na"), F.explode(sh).alias("sh")
+        "doc_id", sh.alias("s_a"), F.size(sh).alias("na"), F.explode(sh).alias("sh")
     )
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    cand = s.join(prefix_idx, "sh").select("doc_id", "ref_id", "s_a", "na")
+    ver = cand.join(static, "ref_id")  # stream-static equi, stateless
+    c = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
     pairs = (
-        s.join(static_idx, "sh")  # stream-static inner, stateless
-        .groupBy("doc_id", "ref_id", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(jac >= threshold)  # unrounded compare, same expr as oracle
+        ver.filter(jac >= threshold)  # unrounded compare, same expr as oracle
         .select("doc_id", "ref_id", F.round(jac, 4).alias("jaccard"))
+        .groupBy("doc_id", "ref_id")
+        .agg(F.min("jaccard").alias("jaccard"))  # identical on every dup row
     )
     sink_name = f"ingest_dedup_sink_{int(time.time() * 1000) % 10_000_000}"
-    with stream_shuffle_scope(spark):
+    with stream_shuffle_scope(spark, n=16):
         q = (
             pairs.writeStream.format("memory")
             .queryName(sink_name)
