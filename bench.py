@@ -78,29 +78,29 @@ HEADLINE = [
 ]
 
 # FULL tier: the 10 most expensive registered queries by a measured
-# sf0.1 timing pass (refreshed r7, 2026-08-14 — membership tracks cost,
-# re-measure when the registry changes), so regressions on the heavy
-# tail are caught by BENCH, not only by the round's correctness-sweep
-# wall clock. minhash_near_dups doubles as a headline entry; that
-# overlap is deliberate (the list is "top 10 by cost", not "top 10 not
-# already benched"). ngram_jaccard_pairs is the deliberate O(n²)
-# ground-truth baseline and dominates (~23 s on a calm box this round).
-# r7 swaps the two cheapest rows (multimodal_features 0.68 s /
-# frame_sample 0.67 s) for the two new recall variants
-# (semdedup_cluster_pairs_top2 2.6 s, embedding_topk_ivf_kmeans_probe6
-# 1.9 s); audio keeps the multimodal decode path timed. The tier runs
+# sf0.1 timing pass (re-refreshed late r7 after the day's additions —
+# membership tracks cost, re-measure when the registry changes), so
+# regressions on the heavy tail are caught by BENCH, not only by the
+# round's correctness-sweep wall clock. ngram_jaccard_pairs is the
+# deliberate O(n²) ground-truth baseline and dominates (~40 s). The
+# five r7 additions displace dedup_keep_best 2.9 s, semdedup_
+# cluster_pairs 2.2 s, excise_spans 2.5 s, ivf_kmeans_probe6 2.6 s and
+# minhash_near_dups 1.9 s (all still timed by the sweeps); measured
+# medians at swap time: embedding_topk_ivf_pq 10.8 s,
+# stream_ingest_dedup_ssjoin 8.6 s, embedding_topk_pq_adc 7.8 s,
+# curation_funnel_report 6.7 s, leakage_safe_split 4.7 s. The tier runs
 # WITHOUT a separate warm pass — the median of 3 absorbs the cold run.
 FULL = [
     "ngram_jaccard_pairs",
+    "embedding_topk_ivf_pq",
     "simhash_near_dups_portable",
+    "stream_ingest_dedup_ssjoin",
+    "embedding_topk_pq_adc",
+    "curation_funnel_report",
+    "leakage_safe_split",
     "semdedup_cluster_pairs_top2",
-    "embedding_topk_ivf_kmeans_probe6",
     "stream_stream_attribution_join",
-    "dedup_keep_best",
-    "semdedup_cluster_pairs",
-    "dedup_excise_spans_20tok",
     "multimodal_audio_features",
-    "minhash_near_dups",
 ]
 
 
