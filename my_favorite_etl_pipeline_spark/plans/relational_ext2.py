@@ -414,24 +414,40 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_surface",
     oracle="""
     SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_dec,
-           CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS avg_dec,
-           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_dec
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // COUNT(*) AS BIGINT)
+             AS avg_cents,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def decimal_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-decimal aggregation surface — money math without float drift.
 
-    DECIMAL(18,2) sums are exact and engine-portable (unlike double sums,
-    which need ROUND on both sides everywhere else in this registry).
+    Spark aggregates through exact DECIMAL(18,2) (the surface under test:
+    decimal cast, decimal SUM/MAX without double drift), but the EMITTED
+    columns are integer cents (BIGINT) with a fixed-point integer-divide
+    average. Emitting DECIMAL directly failed the r7 driver value hash
+    while passing locally (rows+schema matched, hash did not): DuckDB's
+    AVG(DECIMAL) is double-backed and its double->DECIMAL cast rounds the
+    binary double where Spark HALF_UP-rounds the exact decimal quotient —
+    they disagree at x.xx5 quotients — and decimal *rendering* ("10.00" vs
+    "10") varies by normalizer version. Integer cents with DIV (Spark) //
+    (DuckDB) are bit-identical on any engine (registry header bug class;
+    same fix as continuous_aggregate_rollup).
     """
     orders = load(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(18,2)")
-    return orders.groupBy("o_orderstatus").agg(
-        F.sum(dec).cast("decimal(18,2)").alias("total_dec"),
-        F.avg(dec).cast("decimal(18,2)").alias("avg_dec"),
-        F.max(dec).cast("decimal(18,2)").alias("max_dec"),
+    g = orders.groupBy("o_orderstatus").agg(
+        F.sum(dec).alias("_total_dec"),
+        F.max(dec).alias("_max_dec"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return g.select(
+        "o_orderstatus",
+        (F.col("_total_dec") * 100).cast("bigint").alias("total_cents"),
+        F.expr("CAST(_total_dec * 100 AS BIGINT) DIV _n").alias("avg_cents"),
+        (F.col("_max_dec") * 100).cast("bigint").alias("max_cents"),
     )
 
 
