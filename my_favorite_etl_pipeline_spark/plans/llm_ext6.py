@@ -1,0 +1,260 @@
+"""[EXT] curation round 6 — corpus analytics and embedding preprocessing
+(SURVEY.md §2.9 X3/X4; no reference citation exists — the citation is
+BASELINE.json's LLM-data mandate).
+
+Four operators rounding out the training-data surface:
+
+- ``keyword_extract_tfidf_top3`` — per-document top-k salient terms by
+  tf·idf, on the SAME shared posting pipeline as the tfidf/BM25 scorers
+  (operators/retrieval.py): one more consumer of ``term_postings``, zero
+  new tokenization passes.
+- ``distinct_ngram_diversity``   — per-language distinct-n ratios
+  (distinct-2 / distinct-3, Li et al. 2016): the corpus-health diversity
+  metric low values of which flag template/boilerplate collapse.
+- ``tokenizer_fertility_by_lang`` — chars-per-token fertility per
+  language for both tokenizers (whitespace and the BPE-ish regex) — the
+  standard "how expensive is this language under this tokenizer" audit.
+- ``embedding_pca_project``      — distributed PCA (operators/projection):
+  ONE integer-quantized moment pass → driver-side d×d eigh → map-only
+  broadcast projection. Rows-only (no SQL eigendecomposition exists);
+  invariants pinned in tests/test_projection.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..registry import register
+from ..sources.tables import load
+
+# ---------------------------------------------------------------------------
+# keyword_extract_tfidf_top3
+
+
+@register(
+    "keyword_extract_tfidf_top3",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM toks GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY doc_id),
+    df AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS dfc FROM tf GROUP BY w),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    wts AS (
+      SELECT tf.doc_id, tf.w, (c / len) * ln(nd / dfc) AS wt
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN n
+      WHERE dfc < nd
+    ),
+    rk AS (
+      SELECT doc_id, w, wt,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY ROUND(wt, 4) DESC, w
+             ) AS rn
+      FROM wts
+    )
+    SELECT doc_id, w AS term, CAST(rn AS INT) AS rank,
+           ROUND(wt, 4) AS tfidf_w
+    FROM rk WHERE rn <= 3
+    """,
+)
+def keyword_extract_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — per-document keyword extraction: the top-3 terms by tf·idf
+    (metadata enrichment / topic tagging, the per-doc dual of the per-query
+    retrieval scorers).
+
+    Plan at 100 TB: the posting pipeline is SHARED with tfidf/BM25
+    (``term_postings``: tokenize → persisted tf → dl/df hash aggs), so a
+    pipeline computing keywords alongside retrieval scores tokenizes ONCE.
+    The only op this query adds is a per-DOC top-k window — partitioned by
+    doc_id, which is near-uniform (docs have bounded vocabulary), so no
+    skew pre-pass is needed, unlike the per-TERM window in impact_truncate
+    where Zipf makes hot partitions. Ranking is on ROUND(wt,4) with a term
+    tie-break so both engines cut the identical set.
+    """
+    from ..operators.retrieval import term_postings
+
+    docs = load(spark, sf_dir, "documents")
+    tf, dl, df_ = term_postings(docs)
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    wts = (
+        tf.join(dl, "doc_id")
+        .join(df_, "w")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("dfc") < F.col("nd"))
+        .select(
+            "doc_id", "w", ((F.col("c") / F.col("len")) * F.log(F.col("nd") / F.col("dfc"))).alias("wt")
+        )
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.round("wt", 4).desc(), "w")
+    return (
+        wts.withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round("wt", 4).alias("tfidf_w"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct_ngram_diversity
+
+
+@register(
+    "distinct_ngram_diversity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents),
+    grams AS (
+      SELECT lang,
+             unnest(list_transform(range(len(t) - 1),
+                                   i -> t[i+1] || ' ' || t[i+2])) AS g2,
+             NULL AS g3
+      FROM toks WHERE len(t) >= 2
+      UNION ALL
+      SELECT lang, NULL,
+             unnest(list_transform(range(len(t) - 2),
+                                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT lang,
+           CAST(COUNT(g2) AS BIGINT) AS total_bigrams,
+           CAST(COUNT(DISTINCT g2) AS BIGINT) AS distinct_bigrams,
+           (CAST(COUNT(DISTINCT g2) AS BIGINT) * 10000
+              // CAST(COUNT(g2) AS BIGINT)) / 10000.0 AS distinct2_ratio,
+           CAST(COUNT(g3) AS BIGINT) AS total_trigrams,
+           CAST(COUNT(DISTINCT g3) AS BIGINT) AS distinct_trigrams,
+           (CAST(COUNT(DISTINCT g3) AS BIGINT) * 10000
+              // CAST(COUNT(g3) AS BIGINT)) / 10000.0 AS distinct3_ratio
+    FROM grams GROUP BY lang
+    """,
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — corpus diversity audit: per-language distinct-2 / distinct-3
+    ratios (share of n-gram occurrences that are unique; Li et al. 2016's
+    distinct-n). A collapsing/templated corpus shows the drop here before
+    any per-doc filter fires.
+
+    Plan at 100 TB: gram construction is an in-row array transform (no
+    explode until the agg input), then ONE hash aggregate per n keyed on
+    lang with map-side partial distinct. count_distinct on a Zipf gram
+    space is the expensive half; the mergeable-sketch twin
+    (approx_count_distinct / hll_sketch_merge family) is the rollup-scale
+    variant when exactness isn't required. Ratios are fixed-point
+    (int·10⁴ DIV) — engine-portable, no float division at halves.
+    """
+    docs = load(spark, sf_dir, "documents")
+    g2 = docs.select("lang", F.explode(TX.ngrams("text", 2)).alias("g"))
+    g3 = docs.select("lang", F.explode(TX.ngrams("text", 3)).alias("g"))
+    a2 = g2.groupBy("lang").agg(
+        F.count("g").alias("total_bigrams"),
+        F.count_distinct("g").alias("distinct_bigrams"),
+    )
+    a3 = g3.groupBy("lang").agg(
+        F.count("g").alias("total_trigrams"),
+        F.count_distinct("g").alias("distinct_trigrams"),
+    )
+    return a2.join(a3, "lang").select(
+        "lang",
+        "total_bigrams",
+        "distinct_bigrams",
+        (F.expr("distinct_bigrams * 10000 DIV total_bigrams") / F.lit(10000.0)).alias(
+            "distinct2_ratio"
+        ),
+        "total_trigrams",
+        "distinct_trigrams",
+        (F.expr("distinct_trigrams * 10000 DIV total_trigrams") / F.lit(10000.0)).alias(
+            "distinct3_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility_by_lang
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+             AS bpe_tokens,
+           (CAST(SUM(LENGTH(text)) AS BIGINT) * 10000
+              // CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT)) / 10000.0
+             AS ws_fertility,
+           (CAST(SUM(LENGTH(text)) AS BIGINT) * 10000
+              // CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)) / 10000.0
+             AS bpe_fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — tokenizer-fertility audit: chars-per-token by language for the
+    whitespace and BPE-ish tokenizers (the multilingual-budget table every
+    tokenizer change re-publishes: high-fertility languages pay more
+    sequence length per character).
+
+    Plan at 100 TB: pure map + ONE lang-keyed hash aggregate of integer
+    sums; tokenization counts stay in-row (size over split /
+    regexp_extract_all, whole-stage codegen — same JVM-side discipline as
+    bpe_ish_token_counts). Fertility ratios are fixed-point int·10⁴ DIV.
+    """
+    docs = load(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(TX.token_count("text")).alias("ws_tokens"),
+        F.sum(F.size(TX.bpe_ish_tokens("text"))).alias("bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "ws_tokens",
+        "bpe_tokens",
+        (F.expr("total_chars * 10000 DIV ws_tokens") / F.lit(10000.0)).alias("ws_fertility"),
+        (F.expr("total_chars * 10000 DIV bpe_tokens") / F.lit(10000.0)).alias("bpe_fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_project
+
+
+@register("embedding_pca_project")  # rows-only: no SQL eigendecomposition
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — distributed PCA projection of the embedding column onto its top
+    4 principal components (the preprocessing rung SemDeDup/D4-style
+    pipelines run before clustering; Abbas et al. 2023 §3).
+
+    Rows-only for a fundamental reason: the oracle would need an
+    eigendecomposition, which ANSI SQL / DuckDB cannot express. The value
+    contract is pinned instead by tests/test_projection.py: components
+    orthonormal, eigenvalues descending, per-component projection variance
+    ≈ eigenvalue, and the integer-moment accumulation makes the whole
+    chain bit-deterministic under re-partitioning (the 32-vs-7 harness
+    covers it like every other rows-only query).
+
+    Plan at 100 TB (operators/projection.py): ONE moment pass (Arrow-batch
+    partials, element-wise int64 merge, O(d²) driver collect), driver-side
+    64×64 eigh, then a MAP-ONLY broadcast-literal dot-product projection in
+    whole-stage codegen — train-once/apply-many, no shuffle in the apply
+    path.
+    """
+    from ..operators.projection import pca_components, project
+
+    embs = load(spark, sf_dir, "embeddings")
+    comps, _ = pca_components(embs, dim=64, n_components=4)
+    return (
+        project(embs, comps)
+        .select("vec_id", "pc1", "pc2", "pc3", "pc4")
+        .orderBy("vec_id")
+    )

@@ -103,19 +103,23 @@ CURATED_FIRST: tuple[str, ...] = (
     "q20_bulk_suppliers",
     "q21_waiting_suppliers",
     "window_function_surface",
-    "sql_api_surface",
-    "unpivot_lineitem_measures",
     "fuzzy_join_part_names",
     "profile_orders_columns",
     "skew_zipf_top_users",
     "decimal_surface",
     "try_function_surface",
-    "surrogate_keys",
     "approx_percentile_sketch",
-    # events analytics + model-based filters (2nd exposure each)
-    "funnel_view_to_purchase",
+    # model-based filters (2nd exposure each); the r8-new operators are
+    # driver-checked from day one (the exact_span/bm25 precedent) — their
+    # four slots come from surrogate_keys / sql_api_surface / unpivot
+    # (1 green exposure each, the three simplest static surfaces in the
+    # registry) and funnel_view_to_purchase (3 green exposures)
     "quality_classifier_linear",
     "perplexity_buckets_ccnet",
+    "keyword_extract_tfidf_top3",
+    "distinct_ngram_diversity",
+    "tokenizer_fertility_by_lang",
+    "embedding_pca_project",
     # X1 exact dedup — fingerprint-groups holds the family slot (2nd);
     # rotated IN: the sampled keep-best twin (never checked)
     "dedup_fingerprint_groups",
