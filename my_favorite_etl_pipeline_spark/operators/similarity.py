@@ -1063,3 +1063,87 @@ def ivf_pq_topk(
         vec_col=vec_col,
         train=corpus,
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse re-ranking
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 — Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results maximizing ``λ·rel − (1−λ)·max
+    sim-to-selected`` with λ = 0.5, the diversity-aware final stage a
+    retrieval pipeline runs after any ANN shortlist.
+
+    Scale shape at 100 TB: the ONLY corpus-scale work is the shortlist scan
+    (map-only cosine + TakeOrdered(``shortlist``) — identical plan to
+    brute_force_topk; swap in any ANN arm for the same contract). Both the
+    pairwise-similarity join and the greedy loop run on the BOUNDED
+    shortlist (50×49 pair rows, one Arrow group), so re-rank cost is
+    O(shortlist²) regardless of corpus size — the standard shortlist/
+    re-rank split (same as pq_adc_topk's exact re-rank).
+
+    Determinism contract: relevance and pair similarities are fixed-point
+    integer ten-thousandths (``ROUND(cos·10⁴) AS BIGINT``) BEFORE the
+    greedy argmax, and with λ = 0.5, ``argmax(0.5·rel − 0.5·maxsim)``
+    ≡ ``argmax(rel_i − maxsim_i)`` — an INTEGER comparison with an id
+    tie-break, so Spark and a step-unrolled SQL oracle select identical
+    sets (float MMR scores would sit exactly on rounding halves — the
+    registry-banned class). Emitted ``mmr`` is the integer score / 10⁴.
+    """
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    rel_i = F.round(cosine(F.col(vec_col), F.col("__qvec")) * 10000).cast("long")
+    cand = (
+        ensure_min_partitions(corpus)
+        .crossJoin(q)
+        .select(F.col(id_col), F.col(vec_col), rel_i.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    a = cand.select(
+        F.col(id_col).alias("pa"), F.col(vec_col).alias("va"), F.col("rel")
+    )
+    b = cand.select(F.col(id_col).alias("pb"), F.col(vec_col).alias("vb"))
+    pairs = (
+        a.join(b, F.col("pa") != F.col("pb"))
+        .select(
+            "pa",
+            "pb",
+            "rel",
+            F.round(cosine(F.col("va"), F.col("vb")) * 10000)
+            .cast("long")
+            .alias("sim"),
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = pdf.groupby("pa")["rel"].first().to_dict()
+        sims = {(int(r.pa), int(r.pb)): int(r.sim) for r in pdf.itertuples()}
+        remaining = sorted(int(i) for i in rel)
+        selected: list[int] = []
+        out = []
+        for rank in range(1, min(k, len(remaining)) + 1):
+            best_id, best_score = None, None
+            for c in remaining:
+                ms = max((sims.get((c, s), 0) for s in selected), default=0)
+                score = int(rel[c]) - ms
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+            out.append((rank, best_id, best_score / 10000.0))
+        return pd.DataFrame(out, columns=["rank", "vec_id", "mmr"])
+
+    return (
+        pairs.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(greedy, schema=f"rank int, {id_col} long, mmr double")
+        .orderBy("rank")
+    )

@@ -258,3 +258,92 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "pc1", "pc2", "pc3", "pc4")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# mmr_diverse_topk — oracle is the 10-step greedy UNROLLED into plain CTEs
+# (recursion-free ANSI SQL: each step is one argmax over the remaining
+# candidates given the union of the previous selections; all scores are
+# integer ten-thousandths so the argmax is an integer comparison).
+
+_MMR_K = 10
+
+
+def _mmr_oracle(k: int = _MMR_K, shortlist: int = 50) -> str:
+    cos = (
+        "LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> {a}[i] * {b}[i]))"
+        " / ({na} * {nb})"
+    )
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each step
+    # references the previous selection twice (NOT IN + the MAX subquery),
+    # so inlining would expand the chain EXPONENTIALLY (observed as fd
+    # exhaustion re-opening the parquet thousands of times)
+    steps = [
+        "s1 AS MATERIALIZED (SELECT vec_id, rel AS mmr_i FROM cand ORDER BY rel DESC, vec_id LIMIT 1)",
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM s1)",
+    ]
+    for i in range(2, k + 1):
+        steps.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT c.vec_id,
+             c.rel - (SELECT MAX(p.sim) FROM pairs p
+                      JOIN sel{i - 1} s ON p.pb = s.vec_id
+                      WHERE p.pa = c.vec_id) AS mmr_i
+      FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      ORDER BY mmr_i DESC, c.vec_id LIMIT 1
+    )"""
+        )
+        steps.append(
+            f"sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i})"
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, mmr_i FROM s{i}" for i in range(1, k + 1)
+    )
+    _steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS qn
+          FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.v,
+             SQRT(LIST_SUM(LIST_TRANSFORM(e.v, x -> x * x))) AS nrm,
+             CAST(ROUND(({cos.format(a='e.v', b='q.qv', na='SQRT(LIST_SUM(LIST_TRANSFORM(e.v, x -> x * x)))', nb='q.qn')}) * 10000) AS BIGINT) AS rel
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    cand AS MATERIALIZED (SELECT vec_id, v, nrm, rel FROM scored
+             ORDER BY rel DESC, vec_id LIMIT {shortlist}),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS pa, b.vec_id AS pb,
+             CAST(ROUND(({cos.format(a='a.v', b='b.v', na='a.nrm', nb='b.nrm')}) * 10000) AS BIGINT) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    {_steps_sql}
+    SELECT CAST(rank AS INT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+           mmr_i / 10000.0 AS mmr
+    FROM ({union})
+    ORDER BY rank
+    """
+
+
+@register("mmr_diverse_topk", oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — MMR diversity-aware re-ranking (Carbonell & Goldstein 1998):
+    top-10 for query vec_id=0 selected greedily by λ=0.5 relevance-vs-
+    redundancy trade-off over a 50-deep cosine shortlist — the final stage
+    of a retrieval pipeline that must not return 10 near-duplicates (see
+    operators.similarity.mmr_rerank for the shortlist/re-rank scale
+    contract and the integer-score determinism argument; the oracle
+    replays the greedy EXACTLY as ten unrolled argmax CTEs).
+    """
+    from ..operators import similarity as SIM
+
+    emb = load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    # the query vector is itself a corpus row: exclude it from the
+    # candidates, else pick 1 is the query and every later MMR score
+    # degenerates to rel − sim(c, query) = 0
+    return SIM.mmr_rerank(
+        emb.filter(F.col("vec_id") != 0), query, k=_MMR_K, shortlist=50
+    )

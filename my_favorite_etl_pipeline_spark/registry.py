@@ -104,7 +104,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "window_function_surface",
     "fuzzy_join_part_names",
-    "profile_orders_columns",
     "skew_zipf_top_users",
     "decimal_surface",
     "try_function_surface",
@@ -113,13 +112,14 @@ CURATED_FIRST: tuple[str, ...] = (
     # driver-checked from day one (the exact_span/bm25 precedent) — their
     # four slots come from surrogate_keys / sql_api_surface / unpivot
     # (1 green exposure each, the three simplest static surfaces in the
-    # registry) and funnel_view_to_purchase (3 green exposures)
+    # registry), profile_orders_columns (1) and funnel_view_to_purchase (3)
     "quality_classifier_linear",
     "perplexity_buckets_ccnet",
     "keyword_extract_tfidf_top3",
     "distinct_ngram_diversity",
     "tokenizer_fertility_by_lang",
     "embedding_pca_project",
+    "mmr_diverse_topk",
     # X1 exact dedup — fingerprint-groups holds the family slot (2nd);
     # rotated IN: the sampled keep-best twin (never checked)
     "dedup_fingerprint_groups",

@@ -42,6 +42,7 @@ FAMILY_SENTINELS = {
         "distinct_ngram_diversity",
         "tokenizer_fertility_by_lang",
         "embedding_pca_project",
+        "mmr_diverse_topk",
     ],
     # r8 rotation (VERDICT r7 missing item 1): the never-driver-checked
     # backlog rotates in IN FULL — window backlog is ZERO at commit time.
