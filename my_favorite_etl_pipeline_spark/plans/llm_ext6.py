@@ -347,3 +347,219 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.mmr_rerank(
         emb.filter(F.col("vec_id") != 0), query, k=_MMR_K, shortlist=50
     )
+
+
+# ---------------------------------------------------------------------------
+# rrf_hybrid_fusion_topk
+
+
+@register(
+    "rrf_hybrid_fusion_topk",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    tf AS MATERIALIZED (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS c
+          FROM toks GROUP BY 1, 2),
+    dl AS MATERIALIZED (SELECT doc_id, SUM(c) AS len FROM tf GROUP BY 1),
+    st AS (SELECT AVG(len) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+    dfc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS DOUBLE) AS dfc
+           FROM tf GROUP BY 1),
+    -- tfidf-cosine arm (identical math to tfidf_topk_similar_docs)
+    wts AS (
+      SELECT tf.doc_id, tf.w, (c / len) * ln(st.n / dfc.dfc) AS wt
+      FROM tf JOIN dl USING (doc_id) JOIN dfc USING (w) CROSS JOIN st
+      WHERE dfc.dfc < st.n
+    ),
+    nrm AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nv FROM wts GROUP BY doc_id),
+    unit AS MATERIALIZED (
+      SELECT w.doc_id, w.w, wt / nv AS u
+      FROM wts w JOIN nrm USING (doc_id) WHERE nv > 0
+    ),
+    cand_t AS (
+      SELECT doc_id, w, u FROM (
+        SELECT doc_id, w, u,
+               ROW_NUMBER() OVER (
+                 PARTITION BY w ORDER BY ROUND(u, 4) DESC, doc_id) AS pn
+        FROM unit) WHERE pn <= 256
+    ),
+    sims AS (
+      SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+             ROUND(SUM(a.u * b.u), 4) AS sim
+      FROM unit a JOIN cand_t b ON a.w = b.w AND a.doc_id <> b.doc_id
+      WHERE a.doc_id % 100 = 0
+      GROUP BY 1, 2
+    ),
+    rank_t AS MATERIALIZED (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, doc_id) AS rt
+      FROM sims QUALIFY rt <= 20
+    ),
+    -- BM25 arm (identical math to bm25_topk_docs)
+    post AS (
+      SELECT tf.doc_id, tf.w,
+             LN(1 + (st.n - dfc.dfc + 0.5) / (dfc.dfc + 0.5))
+               * tf.c * 2.2
+               / (tf.c + 1.2 * (0.25 + 0.75 * dl.len / st.avgdl)) AS wt
+      FROM tf JOIN dl USING (doc_id) JOIN dfc USING (w) CROSS JOIN st
+    ),
+    cand_b AS (
+      SELECT doc_id, w, wt FROM (
+        SELECT doc_id, w, wt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY w ORDER BY ROUND(wt, 4) DESC, doc_id) AS pn
+        FROM post) WHERE pn <= 256
+    ),
+    q AS (SELECT DISTINCT doc_id AS query_id, w FROM toks
+          WHERE doc_id % 100 = 0),
+    sc AS (
+      SELECT q.query_id, p.doc_id, ROUND(SUM(p.wt), 4) AS score
+      FROM q JOIN cand_b p ON q.w = p.w AND p.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    rank_b AS MATERIALIZED (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rb
+      FROM sc QUALIFY rb <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(t.query_id, b.query_id) AS query_id,
+             COALESCE(t.doc_id, b.doc_id) AS doc_id,
+             COALESCE(CAST(ROUND(1000000.0 / (60 + t.rt)) AS BIGINT), 0)
+               + COALESCE(CAST(ROUND(1000000.0 / (60 + b.rb)) AS BIGINT), 0)
+               AS rrf_i
+      FROM rank_t t FULL OUTER JOIN rank_b b
+        ON t.query_id = b.query_id AND t.doc_id = b.doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rn AS INT) AS rank,
+           rrf_i / 1000000.0 AS rrf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_i DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= 5 ORDER BY query_id, rank
+    """,
+)
+def rrf_hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (sparse, r8) — hybrid retrieval via Reciprocal Rank Fusion
+    (Cormack et al. 2009): fuse the tf·idf-cosine and Okapi-BM25 rankings
+    for the same query set (``doc_id % 100 = 0``, top-20 each arm) by
+    ``Σ 1/(60 + rank)`` and keep the top-5 fused results — the standard
+    way production search combines heterogeneous scorers without score
+    calibration (ranks are scale-free; Elasticsearch/OpenSearch ship
+    exactly this).
+
+    Plan at 100 TB: BOTH arms ride the shared posting pipeline
+    (``term_postings``: ONE tokenize, the persisted tf feeding six
+    consumers here) with impact-truncated candidates and the df-probe
+    salted top-k for hot terms (operators/retrieval.py) — so the fusion
+    costs two per-term windows + two bounded rank joins more than either
+    arm alone, never a second corpus scan. The fusion itself joins two
+    (|queries| × 20)-row rank tables — query-keyed equi-join, trivially
+    bounded. RRF contributions are integer micro-units
+    (``ROUND(10⁶/(60+r)) AS BIGINT``; r ≤ 20 ⇒ no value lands on a
+    rounding half), so the fused ordering is an integer comparison with a
+    doc-id tie-break both engines replay identically.
+    """
+    from ..operators.retrieval import impact_truncate, term_postings
+
+    K1, B = 1.2, 0.75
+    docs = load(spark, sf_dir, "documents")
+    tf, dl, dfc = term_postings(docs)
+    st = dl.agg(
+        F.avg("len").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    df_max = dfc.agg(F.max("dfc")).collect()[0][0] or 0.0
+
+    # tfidf-cosine arm (math of tfidf_topk_similar_docs, % 100 query set)
+    wts = (
+        tf.join(dl, "doc_id")
+        .join(dfc, "w")
+        .crossJoin(F.broadcast(st))
+        .filter(F.col("dfc") < F.col("n"))
+        .select(
+            "doc_id",
+            "w",
+            ((F.col("c") / F.col("len")) * F.log(F.col("n") / F.col("dfc"))).alias("wt"),
+        )
+    )
+    nrm = wts.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nv"))
+    unit = (
+        wts.join(nrm, "doc_id")
+        .filter(F.col("nv") > 0)
+        .select("doc_id", "w", (F.col("wt") / F.col("nv")).alias("u"))
+    )
+    cand_t = impact_truncate(unit, "u", df_max=df_max)
+    a = unit.filter(F.col("doc_id") % 100 == 0).alias("a")
+    sims = (
+        a.join(
+            cand_t.alias("b"),
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("query_id"), F.col("b.doc_id").alias("doc_id"))
+        .agg(F.round(F.sum(F.col("a.u") * F.col("b.u")), 4).alias("sim"))
+    )
+    wt_rank = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("doc_id"))
+    rank_t = (
+        sims.withColumn("rt", F.row_number().over(wt_rank))
+        .filter(F.col("rt") <= 20)
+        .select("query_id", "doc_id", "rt")
+    )
+
+    # BM25 arm (math of bm25_topk_docs)
+    bwt = (
+        F.log(F.lit(1.0) + (F.col("n") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5))
+        * F.col("c")
+        * (K1 + 1)
+        / (F.col("c") + K1 * ((1 - B) + B * F.col("len") / F.col("avgdl")))
+    )
+    post = (
+        tf.join(dl, "doc_id")
+        .join(dfc, "w")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "w", bwt.alias("wt"))
+    )
+    cand_b = impact_truncate(post, "wt", df_max=df_max)
+    q = tf.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("w").alias("qw")
+    )
+    sc = (
+        q.join(cand_b, (F.col("qw") == cand_b.w) & (F.col("query_id") != cand_b.doc_id))
+        .groupBy("query_id", F.col("doc_id"))
+        .agg(F.round(F.sum("wt"), 4).alias("score"))
+    )
+    wb_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    rank_b = (
+        sc.withColumn("rb", F.row_number().over(wb_rank))
+        .filter(F.col("rb") <= 20)
+        .select("query_id", "doc_id", "rb")
+    )
+
+    # fusion: integer micro-unit RRF, full-outer on (query, doc)
+    rrf_part = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1000000.0) / (60 + r)).cast("long"), F.lit(0)
+    )
+    fused = (
+        rank_t.join(rank_b, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (rrf_part(F.col("rt")) + rrf_part(F.col("rb"))).alias("rrf_i"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_i").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rn").cast("int").alias("rank"),
+            (F.col("rrf_i") / F.lit(1000000.0)).alias("rrf"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -103,7 +103,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "q20_bulk_suppliers",
     "q21_waiting_suppliers",
     "window_function_surface",
-    "fuzzy_join_part_names",
     "skew_zipf_top_users",
     "decimal_surface",
     "try_function_surface",
@@ -112,7 +111,8 @@ CURATED_FIRST: tuple[str, ...] = (
     # driver-checked from day one (the exact_span/bm25 precedent) — their
     # four slots come from surrogate_keys / sql_api_surface / unpivot
     # (1 green exposure each, the three simplest static surfaces in the
-    # registry), profile_orders_columns (1) and funnel_view_to_purchase (3)
+    # registry), profile_orders_columns / fuzzy_join (1 each) and
+    # funnel_view_to_purchase (3)
     "quality_classifier_linear",
     "perplexity_buckets_ccnet",
     "keyword_extract_tfidf_top3",
@@ -120,6 +120,7 @@ CURATED_FIRST: tuple[str, ...] = (
     "tokenizer_fertility_by_lang",
     "embedding_pca_project",
     "mmr_diverse_topk",
+    "rrf_hybrid_fusion_topk",
     # X1 exact dedup — fingerprint-groups holds the family slot (2nd);
     # rotated IN: the sampled keep-best twin (never checked)
     "dedup_fingerprint_groups",

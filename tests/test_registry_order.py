@@ -43,6 +43,7 @@ FAMILY_SENTINELS = {
         "tokenizer_fertility_by_lang",
         "embedding_pca_project",
         "mmr_diverse_topk",
+        "rrf_hybrid_fusion_topk",
     ],
     # r8 rotation (VERDICT r7 missing item 1): the never-driver-checked
     # backlog rotates in IN FULL — window backlog is ZERO at commit time.
