@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..functions import text as TX
 from ..registry import REGISTRY, register
 from ..sources.tables import load
@@ -686,12 +687,19 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 13)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
-        "doc_id",
-        ntok.alias("ntok"),
-        gp.alias("gp"),
-        (wsum >= 0).alias("cp"),
-        F.md5("text").alias("fp"),
+    # Two consumers read `base` (the dedup groupBy and the final level
+    # join); without a materialization point Spark re-runs the whole
+    # Gopher + classifier expression tree — the funnel's dominant cost —
+    # once per consumer (VERDICT r7 item 4). tracked_persist keeps it one
+    # scan; the harness's materialized_scope releases it after the action.
+    base = tracked_persist(
+        docs.select(
+            "doc_id",
+            ntok.alias("ntok"),
+            gp.alias("gp"),
+            (wsum >= 0).alias("cp"),
+            F.md5("text").alias("fp"),
+        )
     )
     first = (
         base.filter(F.col("gp") & F.col("cp"))

@@ -97,3 +97,58 @@ def test_semdedup_recall_floor_across_scales(spark, scale_dir):
     assert recall >= 0.2, f"{scale_dir}: recall {recall:.3f}"
     assert recall2 >= recall
     assert recall2 >= 0.5, f"{scale_dir}: top2 recall {recall2:.3f}"
+
+
+# Floors by scale for the PQ family (r8, VERDICT r7 item 5): the sf0.01
+# numbers extend the single-scale floors in test_model_filters.py
+# (kc=64 PQ-ADC measured 0.82; IVF-PQ ~0.6-0.8 behind the 3/16 probe).
+# At sf0.1 the PQ codebook quantizes 10× the vectors with the same 64
+# codes/subspace, and IVF-PQ additionally inherits the probe miss decay
+# measured on the plain-IVF arm (0.35 → 0.25). Floors catch a collapse
+# (mis-trained codebook → recall ≈ shortlist/corpus) without flaking on
+# seed drift; BASELINE.md records the per-round measurements.
+_PQ_FLOORS = {"sf0.01": 0.6, "sf0.1": 0.4}
+_IVF_PQ_FLOORS = {"sf0.01": 0.5, "sf0.1": 0.2}
+
+
+def _mean_recall10(spark, scale_dir, approx_fn) -> float:
+    from pyspark.sql import functions as F
+
+    from my_favorite_etl_pipeline_spark.operators.similarity import brute_force_topk
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    emb = load(spark, scale_dir, "embeddings").cache()
+    total, qids = 0.0, (0, 20, 40, 60, 80)
+    for qid in qids:
+        q = emb.filter(F.col("vec_id") == qid)
+        exact = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+        approx = {r.vec_id for r in approx_fn(emb, q).collect()}
+        total += len(exact & approx) / 10
+    emb.unpersist()
+    return total / len(qids)
+
+
+@pytest.mark.parametrize("scale_dir", SCALES)
+def test_pq_adc_recall_floor_across_scales(spark, scale_dir):
+    _need(scale_dir)
+    from my_favorite_etl_pipeline_spark.operators.similarity import pq_adc_topk
+
+    r = _mean_recall10(
+        spark, scale_dir,
+        lambda emb, q: pq_adc_topk(emb, q, k=10, shortlist=50, kc=64),
+    )
+    print(f"\npq_adc mean recall@10 @ {os.path.basename(scale_dir)}: {r:.3f}")
+    assert r >= _PQ_FLOORS[os.path.basename(scale_dir)], f"{scale_dir}: {r:.3f}"
+
+
+@pytest.mark.parametrize("scale_dir", SCALES)
+def test_ivf_pq_recall_floor_across_scales(spark, scale_dir):
+    _need(scale_dir)
+    from my_favorite_etl_pipeline_spark.operators.similarity import ivf_pq_topk
+
+    r = _mean_recall10(
+        spark, scale_dir,
+        lambda emb, q: ivf_pq_topk(emb, q, k=10, shortlist=30),
+    )
+    print(f"\nivf_pq mean recall@10 @ {os.path.basename(scale_dir)}: {r:.3f}")
+    assert r >= _IVF_PQ_FLOORS[os.path.basename(scale_dir)], f"{scale_dir}: {r:.3f}"
