@@ -48,5 +48,6 @@ _import_or_warn("llm_ext3")
 _import_or_warn("llm_ext4")
 _import_or_warn("llm_ext5")
 _import_or_warn("llm_ext6")
+_import_or_warn("llm_ext7")
 _import_or_warn("streaming_queries")
 _import_or_warn("docstore_queries")

@@ -1,0 +1,71 @@
+"""Engine-side invariants for the r8 scale-path curation operators
+(plans/llm_ext7.py): the Bloom-prefiltered decontamination must be exactly
+lossless vs the plain equi-join algorithm, its bit table must stay bounded
+and broadcast, and the DSIR selection must respect its rank contract.
+"""
+
+from pyspark.sql import functions as F
+
+from my_favorite_etl_pipeline_spark.registry import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_decontamination_equals_exact_algorithm(spark, sf_dir):
+    """The Bloom stage is a lossless prefilter: the final flag list must be
+    row-identical to contamination_13gram's (two independent algorithms,
+    one contract — the minhash/ssjoin precedent)."""
+    exact = {
+        (r.doc_id, r.n_grams_hit, r.n_bench_docs)
+        for r in REGISTRY["contamination_13gram"].fn(spark, sf_dir).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_grams_hit, r.n_bench_docs)
+        for r in REGISTRY["decontaminate_bloom_13gram"].fn(spark, sf_dir).collect()
+    }
+    assert bloom == exact and exact  # nonempty at every fixture scale
+
+
+def test_bloom_table_bounded_and_probe_broadcasts(spark, sf_dir):
+    from my_favorite_etl_pipeline_spark.functions import text as TX
+    from my_favorite_etl_pipeline_spark.plans.llm_ext7 import (
+        _BLOOM_BITS,
+        bench_gram_bloom,
+        bloom_probe_candidates,
+    )
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), n=13)).alias("g")
+    )
+    bloom = bench_gram_bloom(g.select("g").distinct())
+    # the bit table NEVER exceeds m/64 rows no matter how many grams feed it
+    assert bloom.count() <= _BLOOM_BITS // 64
+    cand = bloom_probe_candidates(g, bloom)
+    assert "BroadcastHashJoin" in _plan(cand)
+    # no false negatives: probing the builder's own grams keeps every row
+    assert cand.count() == g.count()
+
+
+def test_dsir_rank_contract(spark, sf_dir):
+    rows = REGISTRY["dsir_importance_resample"].fn(spark, sf_dir).collect()
+    assert rows
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    ws = [r.dsir_logw for r in rows]
+    assert all(a >= b for a, b in zip(ws, ws[1:]))  # non-increasing scores
+    # only RAW documents are scored/selected — the target slice never
+    # self-selects (it defines the distribution, it is not a candidate)
+    from my_favorite_etl_pipeline_spark.plans.llm_ext3 import _bench_pred
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    bench = {
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .filter(_bench_pred())
+        .select("doc_id")
+        .collect()
+    }
+    assert not ({r.doc_id for r in rows} & bench)
