@@ -121,10 +121,11 @@ CURATED_FIRST: tuple[str, ...] = (
     "embedding_pca_project",
     "mmr_diverse_topk",
     "rrf_hybrid_fusion_topk",
-    # X1 exact dedup — fingerprint-groups holds the family slot (2nd);
-    # rotated IN: the sampled keep-best twin (never checked)
-    "dedup_fingerprint_groups",
+    # X1 exact dedup — rotated IN: the sampled keep-best twin (never
+    # checked). fingerprint-groups rotates out at 2 green exposures; its
+    # slot goes to the r8 DSIR selector (new ops driver-check from day one)
     "dedup_keep_best_sampled",
+    "dsir_importance_resample",
     # X2 near-dup — rotated IN: the exact n-gram Jaccard ground truth,
     # the non-portable xxhash64 SimHash twins (rows-only), the top-2
     # SemDeDup boundary-recall variant, and both sampled CC variants
@@ -141,9 +142,11 @@ CURATED_FIRST: tuple[str, ...] = (
     "embedding_topk_ivf",
     "embedding_topk_ivf_pq",
     "embedding_topk_ivf_kmeans_probe6",
-    "embedding_topk_pandas_udf",
     "embedding_topk_pq_adc",
     "frequent_terms_sketch_merge",
+    # (pandas_udf arm rotates out at 3+ green exposures; its slot goes to
+    # the r8 Bloom-prefilter decontamination — driver-checked day one)
+    "decontaminate_bloom_13gram",
     # X4 text analysis / curation — winnowing + LM scorers continue
     # (2nd); rotated IN: the GROUPING-SETS dataset card
     "winnowing_fingerprints",
