@@ -300,12 +300,12 @@ def q_dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_oracle(assign_top: int) -> str:
-    """SemDeDup oracle, parameterized by the per-vector assignment count
-    (r7): top-1 is classic SemDeDup; top-2 is the boundary-recall variant.
-    The pair aggregate (GROUP BY pair, MIN over identical values) is an
-    identity at top-1 and the duplicate-cell collapse at top-2, so ONE
-    template serves both and cannot drift."""
+def _semdedup_assign_cte(assign_top: int) -> str:
+    """The shared CTE prefix — fixed-point hash centroids + top-m
+    nearest-centroid assignment (mirrors operators.similarity
+    build_hash_centroids / nearest_centroid). Factored (r8) so the
+    SemDeDup pair oracles AND the kNN-graph oracle (llm_ext7) replay ONE
+    assignment text and cannot drift."""
     return f"""
     WITH n AS (
       SELECT vec_id,
@@ -336,7 +336,17 @@ def _semdedup_oracle(assign_top: int) -> str:
                                          ORDER BY cos_c DESC, cid) AS rn
             FROM scored)
       WHERE rn <= {assign_top}
-    ),
+    )"""
+
+
+def _semdedup_oracle(assign_top: int) -> str:
+    """SemDeDup oracle, parameterized by the per-vector assignment count
+    (r7): top-1 is classic SemDeDup; top-2 is the boundary-recall variant.
+    The pair aggregate (GROUP BY pair, MIN over identical values) is an
+    identity at top-1 and the duplicate-cell collapse at top-2, so ONE
+    template serves both and cannot drift."""
+    return f"""
+    {_semdedup_assign_cte(assign_top)},
     p AS (
       SELECT MIN(a.cluster) AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
              MIN(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))

@@ -264,3 +264,92 @@ def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "dsir_logw")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_topk
+
+_KNN_K = 3  # neighbors per node
+
+
+def _knn_oracle() -> str:
+    from .llm_ext4 import _semdedup_assign_cte
+
+    return f"""
+    {_semdedup_assign_cte(1)},
+    p AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
+                   / (a.nrm * b.nrm), 4) AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+    ),
+    r AS (SELECT src_id, nbr_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY src_id
+                                    ORDER BY cos_sim DESC, nbr_id) AS rnk
+          FROM p)
+    SELECT src_id, CAST(rnk AS INT) AS rank, nbr_id, cos_sim
+    FROM r WHERE rnk <= {_KNN_K} ORDER BY src_id, rank
+    """
+
+
+@register("knn_graph_topk", oracle=_knn_oracle())
+def q_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r8) — approximate k-NN graph construction: the top-{_KNN_K}
+    directed neighbor edges per vector, candidates restricted to the
+    vector's nearest-centroid cell (the SemDeDup assignment, shared
+    machinery AND shared oracle CTE — llm_ext4._semdedup_assign_cte, so
+    the two families cannot drift). The k-NN graph is the input every
+    graph-based corpus tool wants: NN-Descent refinement, graph-clustering
+    topic discovery, connected-component semantic dedup, HNSW layer
+    seeding.
+
+    Plan at 100 TB: assignment is the O(n·k_cells) broadcast + max_by
+    aggregate; the candidate join is the within-cell Σ|cell|² equi-shuffle
+    (never all-pairs); per-source top-{_KNN_K} runs as ONE
+    collect_list+sort_array+slice aggregate — map-side combinable,
+    {_KNN_K}-bounded output per node, no per-vector window (the semdedup
+    assign_top idiom). Boundary neighbors (in a different cell) are the
+    recall tradeoff — production refines with one or two NN-Descent
+    rounds over the edge list, each round the same bounded join shape.
+    """
+    from ..operators.similarity import dot, nearest_centroid
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = nearest_centroid(emb, k=8)
+    a = assign.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("cluster"),
+        F.col("__v").alias("av"),
+        F.col("__n").alias("an"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("cluster"),
+        F.col("__v").alias("bv"),
+        F.col("__n").alias("bn"),
+    )
+    cos = F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4)
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            "src_id",
+            F.struct(
+                cos.alias("c"), (-F.col("nbr_id")).alias("nn"), F.col("nbr_id").alias("nbr_id")
+            ).alias("__s"),
+        )
+    )
+    topk = pairs.groupBy("src_id").agg(
+        F.slice(F.reverse(F.sort_array(F.collect_list("__s"))), 1, _KNN_K).alias("__t")
+    )
+    return (
+        topk.select("src_id", F.posexplode("__t").alias("pos", "s"))
+        .select(
+            "src_id",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s.nbr_id").alias("nbr_id"),
+            F.col("s.c").alias("cos_sim"),
+        )
+        .orderBy("src_id", "rank")
+    )

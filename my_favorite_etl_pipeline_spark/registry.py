@@ -147,9 +147,10 @@ CURATED_FIRST: tuple[str, ...] = (
     # (pandas_udf arm rotates out at 3+ green exposures; its slot goes to
     # the r8 Bloom-prefilter decontamination — driver-checked day one)
     "decontaminate_bloom_13gram",
-    # X4 text analysis / curation — winnowing + LM scorers continue
-    # (2nd); rotated IN: the GROUPING-SETS dataset card
-    "winnowing_fingerprints",
+    # X4 text analysis / curation — LM scorers continue (2nd); rotated
+    # IN: the GROUPING-SETS dataset card; winnowing rotates out at 2
+    # green exposures for the r8 kNN-graph builder (driver-checked day one)
+    "knn_graph_topk",
     "unigram_logprob_scores",
     "bigram_logprob_scores",
     "documents_dataset_card",

@@ -69,3 +69,32 @@ def test_dsir_rank_contract(spark, sf_dir):
         .collect()
     }
     assert not ({r.doc_id for r in rows} & bench)
+
+
+def test_knn_graph_contract(spark, sf_dir):
+    """Directed kNN edges: no self-loops, per-source ranks contiguous from
+    1, similarities non-increasing in rank, and every neighbor shares the
+    source's nearest-centroid cell (the documented candidate bound)."""
+    from collections import defaultdict
+
+    from my_favorite_etl_pipeline_spark.operators.similarity import nearest_centroid
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    rows = REGISTRY["knn_graph_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    by_src = defaultdict(list)
+    for r in rows:
+        assert r.src_id != r.nbr_id
+        by_src[r.src_id].append(r)
+    cell = {
+        r.vec_id: r.cluster
+        for r in nearest_centroid(load(spark, sf_dir, "embeddings"), k=8)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    for src, es in by_src.items():
+        es.sort(key=lambda r: r.rank)
+        assert [e.rank for e in es] == list(range(1, len(es) + 1))
+        sims = [e.cos_sim for e in es]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))
+        assert all(cell[e.nbr_id] == cell[src] for e in es)
