@@ -22,12 +22,15 @@ DRIVER_CAP = 50
 FAMILY_SENTINELS = {
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
     "relational": ["q11_important_stock", "window_function_surface", "decimal_surface"],
-    "X1-exact-dedup": ["dedup_fingerprint_groups", "dedup_keep_best_sampled"],
+    # r8 late rotation pushed dedup_fingerprint_groups / embedding_topk_pandas_udf /
+    # winnowing_fingerprints out of the window (each 2+ green exposures, still
+    # verified by the full local harness); their in-window successors are the
+    # sentinels now. VERDICT r8 item 1: decided — amend the sentinel list.
+    "X1-exact-dedup": ["dedup_keep_best_sampled"],
     "X2-near-dup": ["ngram_jaccard_pairs", "simhash_near_dups", "semdedup_cluster_pairs_top2"],
     "X3-similarity": ["embedding_topk_ivf", "embedding_topk_ivf_pq",
-                      "embedding_topk_ivf_kmeans_probe6", "embedding_topk_pandas_udf",
-                      "embedding_topk_pq_adc"],
-    "X4-text": ["winnowing_fingerprints", "unigram_logprob_scores", "bigram_logprob_scores"],
+                      "embedding_topk_ivf_kmeans_probe6", "embedding_topk_pq_adc"],
+    "X4-text": ["unigram_logprob_scores", "bigram_logprob_scores"],
     "X4-curation": ["curation_funnel_report", "documents_dataset_card"],
     "X5-multimodal": ["multimodal_frame_sample"],
     "assembly": ["pack_sequences_materialize", "negative_pairs_contrastive",
