@@ -1139,7 +1139,7 @@ def mmr_rerank(
             selected.append(best_id)
             remaining.remove(best_id)
             out.append((rank, best_id, best_score / 10000.0))
-        return pd.DataFrame(out, columns=["rank", "vec_id", "mmr"])
+        return pd.DataFrame(out, columns=["rank", id_col, "mmr"])
 
     return (
         pairs.withColumn("g", F.lit(1))

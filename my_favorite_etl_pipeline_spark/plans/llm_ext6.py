@@ -159,7 +159,18 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("g").alias("total_trigrams"),
         F.count_distinct("g").alias("distinct_trigrams"),
     )
-    return a2.join(a3, "lang").select(
+    # FULL outer join, not inner: a lang whose docs all have <3 tokens has
+    # bigrams but no trigram rows; the oracle's single GROUP BY still emits
+    # it (trigram counts 0, ratio NULL — DuckDB `// 0` and Spark `DIV 0`
+    # both yield NULL). Coalesce counts to 0 so the sides agree.
+    joined = a2.join(a3, "lang", "full_outer").select(
+        "lang",
+        F.coalesce("total_bigrams", F.lit(0)).alias("total_bigrams"),
+        F.coalesce("distinct_bigrams", F.lit(0)).alias("distinct_bigrams"),
+        F.coalesce("total_trigrams", F.lit(0)).alias("total_trigrams"),
+        F.coalesce("distinct_trigrams", F.lit(0)).alias("distinct_trigrams"),
+    )
+    return joined.select(
         "lang",
         "total_bigrams",
         "distinct_bigrams",

@@ -264,6 +264,17 @@ def stream_contamination_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so a fresh process never reads stale data); later calls scan the
 # parquet directly.
 _PREFIX_IDX_MEMO: dict[tuple[str, float], tuple[str, str]] = {}
+_PREFIX_IDX_ROOT: list[str] = []  # lazily-created per-process temp root
+
+
+def _prefix_idx_root() -> str:
+    # Per-PROCESS private root (tempfile.mkdtemp is collision-free), so
+    # concurrent processes never overwrite each other's parquet mid-read.
+    if not _PREFIX_IDX_ROOT:
+        import tempfile
+
+        _PREFIX_IDX_ROOT.append(tempfile.mkdtemp(prefix="mfe_prefix_index_"))
+    return _PREFIX_IDX_ROOT[0]
 
 
 def _static_dedup_index(
@@ -277,10 +288,14 @@ def _static_dedup_index(
     key = (os.path.abspath(sf_dir), threshold)
     paths = _PREFIX_IDX_MEMO.get(key)
     if paths is None:
-        base = os.path.join(
-            "/tmp/mfe_prefix_index",
-            f"{os.path.basename(sf_dir.rstrip('/'))}_t{int(threshold * 100)}",
-        )
+        # On-disk path derives from the SAME full key as the memo (hash of
+        # abspath + exact threshold) under a per-process temp root — two
+        # sf_dirs sharing a basename, or thresholds differing below 1%,
+        # get distinct directories.
+        import hashlib
+
+        digest = hashlib.sha256(f"{key[0]}\x00{threshold!r}".encode()).hexdigest()[:16]
+        base = os.path.join(_prefix_idx_root(), digest)
         idx_path = os.path.join(base, "prefix")
         st_path = os.path.join(base, "static")
         static.write.mode("overwrite").parquet(st_path)

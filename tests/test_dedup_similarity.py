@@ -305,3 +305,20 @@ def test_exact_span_matches_random_vs_reference(spark):
         keep = [t for p, t in enumerate(toks) if p not in removed_ref.get(did, set())]
         assert out[did].clean_text == " ".join(keep), did
         assert out[did].n_removed_tokens == len(removed_ref.get(did, set())), did
+
+
+def test_mmr_rerank_respects_id_col(spark):
+    """mmr_rerank must honor a non-default id_col end-to-end (the greedy
+    pandas function once hard-coded 'vec_id' in its output columns, so any
+    other id_col crashed at runtime with a schema/column mismatch)."""
+    from my_favorite_etl_pipeline_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(7)
+    rows = [Row(item_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    corpus = spark.createDataFrame(rows)
+    query = spark.createDataFrame([Row(embedding=rows[0].embedding)])
+    out = mmr_rerank(corpus, query, k=5, shortlist=10, id_col="item_id").collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    assert len({r.item_id for r in out}) == 5
+    # rank 1 is pure relevance: the query's own vector wins
+    assert out[0].item_id == 0
