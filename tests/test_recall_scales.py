@@ -152,3 +152,88 @@ def test_ivf_pq_recall_floor_across_scales(spark, scale_dir):
     )
     print(f"\nivf_pq mean recall@10 @ {os.path.basename(scale_dir)}: {r:.3f}")
     assert r >= _IVF_PQ_FLOORS[os.path.basename(scale_dir)], f"{scale_dir}: {r:.3f}"
+
+
+# Floors for the kNN-graph family (r9, VERDICT r8 items 4+6), calibrated
+# to the r9 measurements: base (within-cell top-3) 0.241 @ sf0.01 / 0.261
+# @ sf0.1; seeded NN-Descent ×2 rounds 0.806 / 0.503. The sf0.1 decay is
+# the documented convergence story (NN-Descent needs ~O(log n) rounds;
+# _KNN_ROUNDS=2 is a knob). Floors sit well under the measurements to
+# catch a COLLAPSE (unseeded rounds measured a 0.000 lift — that is the
+# regression these floors exist for) without flaking on fixture drift.
+_KNN_BASE_FLOORS = {"sf0.01": 0.15, "sf0.1": 0.15}
+_KNN_ND_FLOORS = {"sf0.01": 0.6, "sf0.1": 0.35}
+
+
+def _exact_knn_edges(scale_dir: str, k: int) -> set:
+    """Exact top-k edge set via numpy, same rounding (4dp) and tie-break
+    (cos DESC, nbr_id ASC) as the engine."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(scale_dir, "embeddings.parquet"))
+    ids = np.array(t["vec_id"])
+    V = np.array([np.array(x) for x in t["embedding"].to_pylist()], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(Vn @ Vn.T, 4)
+    np.fill_diagonal(S, -2)
+    edges = set()
+    for i in range(len(ids)):
+        top = sorted(range(len(ids)), key=lambda j: (-S[i, j], ids[j]))[:k]
+        edges.update((int(ids[i]), int(ids[j])) for j in top)
+    return edges
+
+
+@pytest.mark.parametrize("scale_dir", SCALES)
+def test_knn_graph_recall_floors_across_scales(spark, scale_dir):
+    """Edge recall of the within-cell base graph AND the seeded NN-Descent
+    refinement vs exact kNN; the refinement must STRICTLY lift recall
+    (unseeded neighbors-of-neighbors provably cannot — every base edge is
+    within-cell, so two-hop candidates never leave the cell)."""
+    _need(scale_dir)
+    qs = engine.queries()
+    true = _exact_knn_edges(scale_dir, 3)
+    base = {(r.src_id, r.nbr_id) for r in qs["knn_graph_topk"](spark, scale_dir).collect()}
+    nd = {(r.src_id, r.nbr_id) for r in qs["knn_graph_nn_descent"](spark, scale_dir).collect()}
+    r_base = len(base & true) / len(true)
+    r_nd = len(nd & true) / len(true)
+    tag = os.path.basename(scale_dir)
+    print(f"\nknn_graph edge recall @ {tag}: base {r_base:.3f} → nn_descent {r_nd:.3f}")
+    assert r_base >= _KNN_BASE_FLOORS[tag], f"{scale_dir}: base {r_base:.3f}"
+    assert r_nd >= _KNN_ND_FLOORS[tag], f"{scale_dir}: nn_descent {r_nd:.3f}"
+    assert r_nd > r_base + 0.1, f"{scale_dir}: refinement lift {r_nd - r_base:.3f}"
+
+
+def test_auto_cell_count_bounds_candidates_across_scales(spark):
+    """VERDICT r8 item 6: with k='auto' the nearest-centroid cell COUNT
+    scales with the corpus so the within-cell candidate join (Σ|cell|²)
+    stays LINEAR in n. Pin it: growing the corpus 10× (sf0.01→sf0.1) with
+    auto-k must keep the max cell size (and so per-cell candidate rows)
+    under a fixed multiple of target_cell_size — while fixed k=8 lets the
+    max cell grow ~10×."""
+    from pyspark.sql import functions as F
+
+    from my_favorite_etl_pipeline_spark.operators.similarity import (
+        nearest_centroid,
+        resolve_cell_count,
+    )
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    target = 64
+    max_cells = {}
+    for scale_dir in SCALES:
+        _need(scale_dir)
+        emb = load(spark, scale_dir, "embeddings")
+        k_auto = resolve_cell_count(emb, "auto", target_cell_size=target)
+        assign = nearest_centroid(emb, k=k_auto, target_cell_size=target)
+        sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("c"))
+        mx = sizes.agg(F.max("c")).collect()[0][0]
+        n = emb.count()
+        max_cells[scale_dir] = mx
+        print(f"\nauto-k @ {os.path.basename(scale_dir)}: n={n} k={k_auto} max_cell={mx}")
+        # hash-bucket centroids keep cells near-uniform: the bound is a
+        # fixed multiple of the target, independent of n
+        assert k_auto >= n // target
+        assert mx <= 4 * target, f"{scale_dir}: max cell {mx} vs target {target}"
+    # the bound held while n grew 10× — that IS the linearity pin
+    assert max_cells[SCALES[1]] <= 4 * target
