@@ -158,9 +158,7 @@ _DSIR_B = 4096  # hashed-feature buckets
 _DSIR_TOP = 100  # resample size
 
 
-@register(
-    "dsir_importance_resample",
-    oracle=f"""
+_DSIR_DOCW_CTE = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     f AS (
       SELECT doc_id,
@@ -192,6 +190,13 @@ _DSIR_TOP = 100  # resample size
             GROUP BY doc_id, b)
       JOIN w USING (b) GROUP BY doc_id
     )
+    """
+
+
+@register(
+    "dsir_importance_resample",
+    oracle=f"""
+    {_DSIR_DOCW_CTE}
     SELECT CAST(rnk AS INT) AS rank, doc_id, dsir_logw FROM (
       SELECT doc_id, dsir_logw,
              ROW_NUMBER() OVER (ORDER BY dsir_logw DESC, doc_id) AS rnk
@@ -219,6 +224,20 @@ def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-N here is the testable core (noise is a map-only ``-ln(-ln(u))``
     column away, with u from the portable md5 idiom).
     """
+    docw = _dsir_doc_weights(spark, sf_dir)
+    rk = Window.orderBy(F.col("dsir_logw").desc(), F.col("doc_id"))
+    return (
+        docw.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rank") <= _DSIR_TOP)
+        .select("rank", "doc_id", "dsir_logw")
+        .orderBy("rank")
+    )
+
+
+def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR scoring frame ``docw(doc_id, dsir_logw)`` — the hashed
+    unigram+bigram importance log-ratio per raw document (the deterministic
+    core both the top-N selector and the Gumbel sampler rank on)."""
     docs = load(spark, sf_dir, "documents")
     toks = TX.tokens("text")
     bigrams = F.when(
@@ -257,11 +276,67 @@ def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("c") * F.col("lw")), 4).alias("dsir_logw"))
     )
-    rk = Window.orderBy(F.col("dsir_logw").desc(), F.col("doc_id"))
+    return docw
+
+
+_DSIR_SEED = 7  # sampling seed; part of the query definition, echoed in SQL
+
+
+@register(
+    "dsir_gumbel_topk_sample",
+    oracle=f"""
+    {_DSIR_DOCW_CTE},
+    gum AS (
+      SELECT doc_id, dsir_logw,
+             ROUND(dsir_logw + (-LN(-LN(
+               (({_duck_md5_32("'dsir-gumbel|' || CAST(doc_id AS VARCHAR) || '|' || CAST(" + str(_DSIR_SEED) + " AS VARCHAR)")}) + 0.5)
+               / 4294967296.0))), 4) AS gumbel_key
+      FROM docw
+    )
+    SELECT CAST(rnk AS INT) AS rank, doc_id, gumbel_key FROM (
+      SELECT doc_id, gumbel_key,
+             ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id) AS rnk
+      FROM gum
+    ) WHERE rnk <= {_DSIR_TOP} ORDER BY rank
+    """,
+)
+def q_dsir_gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r9) — DSIR's ACTUAL sampler (Xie et al. 2023 §2): sample
+    top-{_DSIR_TOP} documents with probability ∝ importance weight via the
+    Gumbel-top-k trick — rank on ``log w_i + g_i`` where ``g_i =
+    -ln(-ln(u_i))`` is standard Gumbel noise and ``u_i ∈ (0,1)`` derives
+    from the portable md5 idiom on (doc_id, seed={_DSIR_SEED}), so the
+    draw is seeded, replayable, and engine-portable. This closes the gap
+    the deterministic top-N arm documented: same ``docw`` scoring frame
+    (shared Spark helper AND shared SQL CTE — the two arms cannot drift),
+    one extra MAP-ONLY noise column, same TakeOrdered tail.
+
+    Plan at 100 TB: identical to the deterministic arm — the noise adds
+    zero shuffles (hash, two LNs, one ADD per row on the one-row-per-doc
+    scoring frame); the global top-N on (rounded key, doc_id) remains the
+    only total order and runs as TakeOrdered on n_docs rows. Ranking on
+    the ROUNDED key with the id tie-break keeps both engines cutting the
+    identical set (the impact_truncate idiom; Gumbel keys are sums of
+    irrational logs, so exact decimal halves have measure ~zero).
+    """
+    docw = _dsir_doc_weights(spark, sf_dir)
+    u = (
+        _spark_md5_32(
+            F.concat_ws(
+                "|", F.lit("dsir-gumbel"), F.col("doc_id"), F.lit(_DSIR_SEED)
+            )
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    gum = docw.select(
+        "doc_id",
+        F.round(F.col("dsir_logw") + (-F.log(-F.log(u))), 4).alias("gumbel_key"),
+    )
+    rk = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id"))
     return (
-        docw.withColumn("rank", F.row_number().over(rk).cast("int"))
+        gum.withColumn("rank", F.row_number().over(rk).cast("int"))
         .filter(F.col("rank") <= _DSIR_TOP)
-        .select("rank", "doc_id", "dsir_logw")
+        .select("rank", "doc_id", "gumbel_key")
         .orderBy("rank")
     )
 

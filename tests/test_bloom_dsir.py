@@ -98,3 +98,24 @@ def test_knn_graph_contract(spark, sf_dir):
         sims = [e.cos_sim for e in es]
         assert all(a >= b for a, b in zip(sims, sims[1:]))
         assert all(cell[e.nbr_id] == cell[src] for e in es)
+
+
+def test_dsir_gumbel_sampler_perturbs_but_tracks_the_weights(spark, sf_dir):
+    """The Gumbel arm must (a) be a genuine SAMPLE — the noise changes the
+    selected set vs the deterministic top-N — while (b) still tracking the
+    importance weights (high overlap: noise is O(1), log-weights span much
+    more), and (c) replay exactly (seeded portable hash, no RNG state)."""
+    det = {r.doc_id for r in REGISTRY["dsir_importance_resample"].fn(spark, sf_dir).collect()}
+    g1 = [
+        (r.rank, r.doc_id, r.gumbel_key)
+        for r in REGISTRY["dsir_gumbel_topk_sample"].fn(spark, sf_dir).collect()
+    ]
+    g2 = [
+        (r.rank, r.doc_id, r.gumbel_key)
+        for r in REGISTRY["dsir_gumbel_topk_sample"].fn(spark, sf_dir).collect()
+    ]
+    assert g1 == g2  # seeded => bit-identical replay
+    gum = {d for _, d, _ in g1}
+    assert len(gum) == len(det)
+    assert gum != det  # the noise did something
+    assert len(gum & det) / len(det) >= 0.5  # ...but weights still dominate
