@@ -28,12 +28,23 @@ not just the correctness sweep's wall clock. ``--skip-full`` (or
 ``SPARK_GRAFT_BENCH_FULL=0``) disables it for quick local loops;
 ``SPARK_GRAFT_BENCH_FULL_RUNS`` controls its run count (default 3).
 
-NORMALIZATION (r7): ``calibration_sec`` (fixed 200M-row JVM probe) divides
-into ``box_factor`` = calibration/0.25 (0.25 s = calm-box reference,
-BASELINE.md), and ``value_normalized`` / ``full_value_normalized`` carry
-value ÷ box_factor — the cross-round comparable numbers. Host contention
-inflates probe and queries by ≈ the same factor (r6: same code measured
-18.3-33.1 s raw), so compare the NORMALIZED fields across rounds.
+NORMALIZATION (r9 — the r8 sampling-mismatch fix, VERDICT r8 item 5):
+r8's cold 3-probe window caught a contention spike the 3-minute query loop
+mostly missed (cold 1.007 s → box_factor 4.03 while the queries ran only
+~1.2-1.7× slow), so value ÷ cold-factor over-corrected into fiction
+(4.65 s "normalized" headline). The INTERLEAVED probes — one fixed-work
+JVM probe immediately before every query's timing block — sample the same
+window the queries actually ran in, and their warm median is stable across
+rounds (r7 idle box 0.142 s, r8 contended box 0.139 s). So now:
+
+- ``box_factor`` = per-tier median of the interleaved warm probes ÷ 0.14
+  (the calm-box WARM reference; the cold probe JIT-warms to ~0.14 after
+  the first 3) — the numerator the normalized values divide by.
+- ``box_factor_cold`` = calibration_sec ÷ 0.25 — still reported for
+  continuity with the r6-r8 record, NEVER used to scale.
+- ``contention_spike`` = true when calibration_max > 3 × calibration_sec:
+  contention moved mid-bench, so treat RAW values as operative and both
+  normalized fields as suspect — flagged, not silently scaled.
 """
 
 from __future__ import annotations
@@ -46,6 +57,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Calm-box reference for the WARM (JIT-settled) 200M-row probe: r7 idle box
+# 0.142 s, r8 contended box 0.139 s — stable where the cold probe swung 4×.
+WARM_PROBE_REF = 0.14
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -177,15 +192,20 @@ def main() -> None:
     per_run_totals = [
         round(sum(per_run[name][i] for name in HEADLINE), 3) for i in range(runs)
     ]
-    # Self-normalization (r7, prescribed by VERDICT r6): divide by the
-    # box-speed factor calibration/0.25 (0.25 s = the calm-box reference
-    # for the fixed 200M-row probe, BASELINE.md calibration table). A
-    # contended host inflates both the probe and the queries by roughly
-    # the same factor, so value_normalized is comparable ACROSS rounds
-    # without a same-box control experiment — r6's 30.9 s driver reading
-    # would have self-adjudicated to ~25 s instead of costing a full
-    # contention investigation.
-    box_factor = (calibration / 0.25) if calibration > 0 else 1.0
+    # Interleaved normalization (r9, VERDICT r8 item 5): the headline
+    # tier's box factor comes from the probes taken INSIDE the headline
+    # window (one before each query), not the cold pre-loop triple — the
+    # cold window can catch a spike the query loop missed (r8: cold
+    # factor 4.03, queries ~1.4× → normalized 4.65 s fiction). The warm
+    # calm-box reference is 0.14 s (r7 idle 0.142 / r8 contended 0.139).
+    head_warm = probe_samples[3:]
+
+    def _warm_factor(samples: list[float]) -> float:
+        if not samples:
+            return (calibration / 0.25) if calibration > 0 else 1.0
+        return max(statistics.median(samples) / WARM_PROBE_REF, 0.25)
+
+    head_factor = _warm_factor(head_warm)
     out = {
         "metric": "headline_wall_sec",
         "value": round(sum(medians.values()), 3),
@@ -195,16 +215,18 @@ def main() -> None:
         "runs": runs,
         "per_run_totals": per_run_totals,
         "calibration_sec": calibration,
-        "probe_median_warm": round(statistics.median(probe_samples[3:]), 3)
-        if len(probe_samples) > 3
+        "probe_median_warm": round(statistics.median(head_warm), 3)
+        if head_warm
         else None,
         "calibration_max": max(probe_samples),
-        "box_factor": round(box_factor, 3),
-        "value_normalized": round(sum(medians.values()) / box_factor, 3),
+        "box_factor_cold": round((calibration / 0.25) if calibration > 0 else 1.0, 3),
+        "box_factor": round(head_factor, 3),
+        "value_normalized": round(sum(medians.values()) / head_factor, 3),
     }
     if full_on:
         # no warm pass: the median of full_runs absorbs the cold run, and
         # the tier is expensive enough that a 4th execution isn't free
+        n_before_full = len(probe_samples)
         full_samples = {}
         for name in FULL:
             probe()
@@ -212,14 +234,27 @@ def main() -> None:
         full_medians = {
             name: round(statistics.median(s), 3) for name, s in full_samples.items()
         }
+        # the full tier runs minutes after the headline — normalize it by
+        # ITS OWN window's interleaved probes
+        full_factor = _warm_factor(probe_samples[n_before_full:])
         out["full_value"] = round(sum(full_medians.values()), 3)
         out["full_queries"] = full_medians
         out["full_runs"] = full_runs
+        out["full_box_factor"] = round(full_factor, 3)
         out["full_value_normalized"] = round(
-            sum(full_medians.values()) / box_factor, 3
+            sum(full_medians.values()) / full_factor, 3
         )
         out["probe_median_warm"] = round(statistics.median(probe_samples[3:]), 3)
         out["calibration_max"] = max(probe_samples)
+    # Flag, don't silently scale: a >3× spike WITHIN the warm window means
+    # contention moved mid-bench and no single factor is trustworthy —
+    # read raw values. (The cold triple is excluded: the very first probe
+    # carries JVM/codegen warm-up — r7's idle-box max was 4.5 s on probe
+    # #1 — and would false-flag every round.)
+    warm_all = probe_samples[3:]
+    out["contention_spike"] = bool(
+        warm_all and max(warm_all) > 3 * statistics.median(warm_all)
+    )
     print(json.dumps(out))
 
 
