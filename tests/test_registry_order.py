@@ -14,70 +14,36 @@ from my_favorite_etl_pipeline_spark.registry import CURATED_FIRST, REGISTRY
 DRIVER_CAP = 50
 
 # One representative per family that MUST sit inside the driver-checked window.
-# r8 rotation (VERDICT r7 missing item 1): the whole never-driver-checked
-# backlog (19 entries) rotates in at once, burning the backlog to zero —
-# the window must ROTATE to catch fixture/environment drift, not freeze
-# (decimal_surface proved why: six rounds of local green, red on first
-# driver contact).
+# The window ROTATES every round to catch fixture/environment drift, never
+# freezes (decimal_surface proved why: six rounds of local green, red on
+# first driver contact). r8 burned the never-checked backlog to zero.
 FAMILY_SENTINELS = {
+    # r9 window (VERDICT r8 item 7): backlog is zero, so the window's job
+    # is DRIFT RE-DETECTION — every family sentinel below is in-window at
+    # HEAD, and the bulk of the 50 slots are RETURNING entries (>=10
+    # required; this window carries ~40), including the r1-only relational
+    # tail (8 rounds since last driver contact) and the r6/r7 flagships
+    # the r8 verdict named. r9's two new operators check from day one.
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
-    "relational": ["q11_important_stock", "window_function_surface", "decimal_surface"],
-    # r8 late rotation pushed dedup_fingerprint_groups / embedding_topk_pandas_udf /
-    # winnowing_fingerprints out of the window (each 2+ green exposures, still
-    # verified by the full local harness); their in-window successors are the
-    # sentinels now. VERDICT r8 item 1: decided — amend the sentinel list.
-    "X1-exact-dedup": ["dedup_keep_best_sampled"],
-    "X2-near-dup": ["ngram_jaccard_pairs", "simhash_near_dups", "semdedup_cluster_pairs_top2"],
-    "X3-similarity": ["embedding_topk_ivf", "embedding_topk_ivf_pq",
-                      "embedding_topk_ivf_kmeans_probe6", "embedding_topk_pq_adc"],
-    "X4-text": ["unigram_logprob_scores", "bigram_logprob_scores"],
-    "X4-curation": ["curation_funnel_report", "documents_dataset_card"],
-    "X5-multimodal": ["multimodal_frame_sample"],
-    "assembly": ["pack_sequences_materialize", "negative_pairs_contrastive",
-                 "leakage_safe_split", "prototype_prune_d4"],
-    "sketch": ["approx_percentile_sketch", "frequent_terms_sketch_merge"],
-    "model-filters": ["quality_classifier_linear", "perplexity_buckets_ccnet"],
+    "relational": ["q3_shipping_priority", "q1_pricing_summary", "grouping_sets_revenue",
+                   "cube_events", "scd2_status_history"],
+    "transform-chains": ["transform_chain", "typed_struct_props_chain", "variant_props_chain"],
+    "timeseries": ["continuous_aggregate_rollup", "rolling_1h_user_stats"],
+    "sketch": ["hll_sketch_merge", "approx_distinct_users"],
+    "model-filters": ["quality_classifier_linear"],
+    "X1-exact-dedup": ["dedup_exact_groups", "dedup_fingerprint_groups",
+                       "exact_span_dedup_20tok"],
+    "X2-near-dup": ["minhash_near_dups", "simhash_near_dups_portable", "semdedup_cluster_pairs"],
+    "X3-similarity": ["embedding_topk_bruteforce", "embedding_topk_pandas_udf",
+                      "embedding_topk_ivf_kmeans", "tfidf_topk_similar_docs", "bm25_topk_docs"],
+    "X4-text": ["winnowing_fingerprints", "lang_id_heuristic", "gopher_quality_flags",
+                "contamination_13gram"],
+    "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
-    # brand-new r8 operators, driver-checked from day one (the
-    # exact_span/bm25 precedent)
-    "r8-new": [
-        "keyword_extract_tfidf_top3",
-        "distinct_ngram_diversity",
-        "tokenizer_fertility_by_lang",
-        "embedding_pca_project",
-        "mmr_diverse_topk",
-        "rrf_hybrid_fusion_topk",
-    ],
-    # r8 rotation (VERDICT r7 missing item 1): the never-driver-checked
-    # backlog rotates in IN FULL — window backlog is ZERO at commit time.
-    # Rotated-out flagships (q3, typed/variant chains, minhash, portable
-    # simhash twins, semdedup, ivf_kmeans, tfidf, bm25, span-dedup arms,
-    # decontaminate-excise, multimodal resize, keep-best, star CC, both
-    # streaming anchors, training-shard, funnel, surrogate/sql-api/unpivot
-    # surfaces) stay verified by the full local harness each round.
-    "r8-rotated-in": [
-        "approx_percentile_sketch",
-        "ngram_jaccard_pairs",
-        "simhash_signatures",
-        "simhash_near_dups",
-        "frequent_terms_sketch_merge",
-        "embedding_topk_ivf",
-        "multimodal_frame_sample",
-        "dedup_cluster_components_sampled",
-        "dedup_cluster_components_star_sampled",
-        "pack_sequences_materialize",
-        "negative_pairs_contrastive",
-        "dedup_keep_best_sampled",
-        "semdedup_cluster_pairs_top2",
-        "embedding_topk_ivf_pq",
-        "documents_dataset_card",
-        "stream_session_window_30m",
-        "sliding_window_3h_1h",
-        "stream_decontaminate_flags",
-        "stream_ingest_dedup_ssjoin",
-    ],
-    "X6-streaming": ["stream_session_window_30m", "sliding_window_3h_1h",
-                     "stream_decontaminate_flags", "stream_ingest_dedup_ssjoin"],
+    "assembly": ["training_data_prep"],
+    "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join"],
+    # brand-new r9 operators, driver-checked from day one
+    "r9-new": ["knn_graph_nn_descent", "dsir_gumbel_topk_sample"],
 }
 
 
