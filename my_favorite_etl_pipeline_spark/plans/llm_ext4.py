@@ -330,7 +330,7 @@ def _semdedup_assign_cte(assign_top: int) -> str:
                    / (n.nrm * c.cn), 4) AS cos_c
       FROM n CROSS JOIN cent c
     ),
-    assign AS (
+    assign AS MATERIALIZED (
       SELECT vec_id, v, nrm, cid AS cluster
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY cos_c DESC, cid) AS rn

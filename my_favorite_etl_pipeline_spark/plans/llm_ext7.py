@@ -393,7 +393,7 @@ def _knn_round_cte(i: int, cap: int, w: int) -> str:
         UNION ALL
         SELECT nbr_id AS node, src_id AS nbr, cos_sim FROM {prev})
     ),
-    undc{i} AS (
+    undc{i} AS MATERIALIZED (
       SELECT node, nbr FROM (
         SELECT node, nbr,
                ROW_NUMBER() OVER (PARTITION BY node
@@ -416,7 +416,7 @@ def _knn_round_cte(i: int, cap: int, w: int) -> str:
     ),
     m{i} AS (SELECT DISTINCT src_id, nbr_id, cos_sim FROM (
                SELECT * FROM {prev} UNION ALL SELECT * FROM resc{i})),
-    wk{i} AS (
+    wk{i} AS MATERIALIZED (
       SELECT src_id, nbr_id, cos_sim FROM (
         SELECT src_id, nbr_id, cos_sim,
                ROW_NUMBER() OVER (PARTITION BY src_id
@@ -426,11 +426,12 @@ def _knn_round_cte(i: int, cap: int, w: int) -> str:
     )"""
 
 
-def _knn_nn_descent_oracle() -> str:
-    """NN-Descent replayed in SQL: deterministic random seed edges (the
-    paper's random init, portable-md5) widen the within-cell base graph
-    into ``wk0``, then _KNN_ROUNDS round-CTE blocks refine it, then the
-    final top-K re-rank."""
+def _knn_refined_cte() -> str:
+    """Shared oracle prefix through ``wk{_KNN_ROUNDS}`` — assignment +
+    base edges + deterministic random seeds + the NN-Descent round blocks.
+    Consumed by the refined-graph oracle (final top-K re-rank) AND the
+    graph-search oracle (search over the W-wide working graph), so the
+    graph that is searched is provably the graph that was built."""
     seed_md5 = _duck_md5_32(
         "'knn|' || CAST(a.vec_id AS VARCHAR) || '|' || CAST(rr.r AS VARCHAR)"
     )
@@ -455,7 +456,7 @@ def _knn_nn_descent_oracle() -> str:
       JOIN assign x ON x.vec_id = s.src_id
       JOIN assign y ON y.vec_id = s.nbr_id
     ),
-    wk0 AS (
+    wk0 AS MATERIALIZED (
       SELECT src_id, nbr_id, cos_sim FROM (
         SELECT src_id, nbr_id, cos_sim,
                ROW_NUMBER() OVER (PARTITION BY src_id
@@ -463,7 +464,14 @@ def _knn_nn_descent_oracle() -> str:
         FROM (SELECT DISTINCT src_id, nbr_id, cos_sim FROM (
                 SELECT * FROM eb UNION ALL SELECT * FROM sesc)))
       WHERE rn <= {_KNN_W}
-    ){rounds}
+    ){rounds}"""
+
+
+def _knn_nn_descent_oracle() -> str:
+    """NN-Descent replayed in SQL (see _knn_refined_cte) + the final
+    top-K re-rank."""
+    return f"""
+    {_knn_refined_cte()}
     SELECT src_id, CAST(rn AS INT) AS rank, nbr_id, cos_sim FROM (
       SELECT src_id, nbr_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY src_id
@@ -558,6 +566,18 @@ def q_knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     and base-edge CTEs (_knn_round_cte), so base and refined graphs
     cannot drift.
     """
+    from ..operators.similarity import knn_topk_edges
+
+    _, work = _knn_refined_work(spark, sf_dir)
+    return knn_topk_edges(work.select("src_id", "nbr_id", "cos_sim"), _KNN_K).orderBy(
+        "src_id", "rank"
+    )
+
+
+def _knn_refined_work(spark: SparkSession, sf_dir: str):
+    """Shared Spark-side refined graph: ``(assign, work)`` where ``work``
+    is the W-wide working edge list after seeding + all NN-Descent rounds
+    (the Spark twin of the oracle's ``wk{_KNN_ROUNDS}`` CTE)."""
     from ..operators.similarity import knn_topk_edges, nn_descent_round, score_id_pairs
 
     assign, base = _knn_base_edges(spark, sf_dir)
@@ -582,6 +602,174 @@ def q_knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_KNN_W,
             reverse_cap=_KNN_CAP,
         )
-    return knn_topk_edges(work.select("src_id", "nbr_id", "cos_sim"), _KNN_K).orderBy(
-        "src_id", "rank"
+        # Truncate lineage between rounds: each round's plan references its
+        # input FOUR times (undirected self-union ×2, candidate self-join,
+        # merge union), so an unbroken chain grows ~4^rounds copies of the
+        # base subtree — measured ~600 MB of retained Catalyst objects at
+        # 2 rounds, OOMing a small driver before any data moved. The edge
+        # list is data-sized (n·W rows) so it canNOT collect to the driver
+        # like kmeans centroids; localCheckpoint materializes it on the
+        # executors (production: a reliable checkpoint dir / a table write
+        # between rounds — same shape, durable). Values are unchanged:
+        # every round is deterministic (rounded scores, id tie-breaks).
+        work = work.localCheckpoint()
+    return assign, work
+
+
+# ---------------------------------------------------------------------------
+# graph_ann_search_topk
+
+_GS_K = 20  # final answer size (matches the embedding_topk_* family)
+_GS_BEAM = 32  # beam width: nodes expanded per hop
+_GS_HOPS = 4  # search hops
+_GS_ENTRIES = 4  # deterministic entry points
+
+
+def _gs_hop_cte(i: int) -> str:
+    """One beam-search hop as CTEs: visited ``gv{i-1}`` -> ``gv{i}``.
+    Beam = top-BEAM of ALL visited (best-first with bounded frontier);
+    expand the beam's undirected neighbors, score vs the query, merge."""
+    prev = f"gv{i - 1}"
+    return f""",
+    bm{i} AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM {prev})
+      WHERE rn <= {_GS_BEAM}
+    ),
+    gv{i} AS MATERIALIZED (
+      SELECT DISTINCT vec_id, cos_sim FROM (
+        SELECT vec_id, cos_sim FROM {prev}
+        UNION ALL
+        SELECT u.nbr AS vec_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * qq.qv[d]))
+                     / (x.nrm * qq.qn), 4) AS cos_sim
+        FROM bm{i} b
+        JOIN gund u ON u.node = b.vec_id
+        JOIN assign x ON x.vec_id = u.nbr
+        CROSS JOIN qq)
+    )"""
+
+
+def _graph_search_oracle() -> str:
+    """Beam search replayed in SQL over the SHARED refined-graph prefix:
+    the searched graph is definitionally the built graph."""
+    hops = "".join(_gs_hop_cte(i) for i in range(1, _GS_HOPS + 1))
+    return f"""
+    {_knn_refined_cte()},
+    gund AS MATERIALIZED (
+      SELECT DISTINCT node, nbr FROM (
+        SELECT src_id AS node, nbr_id AS nbr FROM wk{_KNN_ROUNDS}
+        UNION ALL
+        SELECT nbr_id AS node, src_id AS nbr FROM wk{_KNN_ROUNDS})
+    ),
+    qq AS (SELECT v AS qv, nrm AS qn FROM assign WHERE vec_id = 0),
+    ent AS (
+      SELECT ((nn.n // {_GS_ENTRIES}) * g.g) AS vec_id
+      FROM (SELECT COUNT(*) AS n FROM embeddings) nn
+      CROSS JOIN (SELECT UNNEST(range({_GS_ENTRIES})) AS g) g
+    ),
+    gv0 AS MATERIALIZED (
+      SELECT DISTINCT x.vec_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * qq.qv[d]))
+                   / (x.nrm * qq.qn), 4) AS cos_sim
+      FROM ent e JOIN assign x ON x.vec_id = e.vec_id CROSS JOIN qq
+    ){hops}
+    SELECT vec_id, cos_sim FROM gv{_GS_HOPS}
+    ORDER BY cos_sim DESC, vec_id LIMIT {_GS_K}
+    """
+
+
+@register("graph_ann_search_topk", oracle=_graph_search_oracle())
+def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r9) — graph-based ANN SEARCH over the NN-Descent graph: the
+    query-time half of the HNSW/NSG family (Malkov & Yashunin 2018 layer-0
+    search; Fu et al. 2019 NSG). From {_GS_ENTRIES} deterministic entry
+    points, run {_GS_HOPS} best-first hops with beam {_GS_BEAM}: each hop
+    expands the current beam's undirected neighbors in the W={_KNN_W}
+    working graph, scores them against the query (vec_id 0, the
+    embedding_topk_* convention), and merges into the visited set; the
+    answer is the visited top-{_GS_K}. Completes the r9 graph story:
+    build (knn_graph_topk) → refine (knn_graph_nn_descent) → SEARCH.
+
+    Plan at 100 TB: at query time the graph is a PRECOMPUTED table (here
+    it is rebuilt inline so the oracle can replay end-to-end — the
+    docstring-of-record for production is: materialize wk{_KNN_ROUNDS}
+    once, search many). Search cost is independent of corpus size:
+    ≤ BEAM × (2W) candidate rows per hop, each hop one equi-join of a
+    {_GS_BEAM}-row beam against the edge table (broadcast the beam) plus
+    one id-join to fetch vectors — O(BEAM·W·HOPS) score evaluations
+    total vs the brute-force O(n). Deterministic: rounded scores, id
+    tie-breaks, fixed entries at n//{_GS_ENTRIES} strides. Recall vs
+    brute-force top-{_GS_K} is floor-pinned at two scales in
+    tests/test_recall_scales.py.
+    """
+    from ..caching import tracked_persist
+
+    assign_raw, work_raw = _knn_refined_work(spark, sf_dir)
+    # Materialize the graph-build ONCE (registry CACHE OWNERSHIP contract +
+    # LAZINESS note: this query runs a small materialization job during
+    # construction, the tfidf max-df-probe precedent). The hop loop
+    # re-reads `assign` (vector fetches) and `gund` (edge expansion)
+    # ~2×HOPS times, and gund's self-union references `work` TWICE — left
+    # uncached, one job would run the whole NN-Descent build chain twice
+    # in flight (measured: OOMs a default-1g driver at sf0.01).
+    # Production searches a PRE-materialized graph table; these persists
+    # are that table's session-scoped stand-in.
+    assign = tracked_persist(assign_raw)
+    work = tracked_persist(work_raw.select("src_id", "nbr_id", "cos_sim"))
+    work.count()  # one action populates BOTH caches (assign is upstream)
+    n = load(spark, sf_dir, "embeddings").count()
+    gund = tracked_persist(
+        work.select(F.col("src_id").alias("node"), F.col("nbr_id").alias("nbr"))
+        .unionAll(
+            work.select(F.col("nbr_id").alias("node"), F.col("src_id").alias("nbr"))
+        )
+        .distinct()
     )
+    qv = assign.filter(F.col("vec_id") == 0).select(
+        F.col("__v").alias("qv"), F.col("__n").alias("qn")
+    )
+    from ..operators.similarity import dot
+
+    def score(ids: DataFrame) -> list:
+        return (
+            ids.join(assign, "vec_id")
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                F.round(
+                    dot(F.col("__v"), F.col("qv")) / (F.col("__n") * F.col("qn")), 4
+                ).alias("cos_sim"),
+            )
+            .collect()
+        )
+
+    # The search STATE is held on the driver: it is bounded at
+    # ENTRIES + HOPS·BEAM·2W rows INDEPENDENT of corpus size (the
+    # k-centroids-collect precedent — parameter-sized, never data-sized;
+    # HNSW search state is driver-sized by construction). Each hop runs
+    # exactly one distributed job: broadcast the ≤BEAM-row beam against
+    # the cached edge table, fetch + score the neighbor vectors. An
+    # earlier DataFrame-looped variant (localCheckpoint per hop) OOMed a
+    # default-1g driver on plan/lineage overhead for the same ~4k rows.
+    stride = n // _GS_ENTRIES
+    entries = spark.createDataFrame(
+        [(stride * g,) for g in range(_GS_ENTRIES)], "vec_id long"
+    )
+    visited: dict[int, float] = {
+        r.vec_id: r.cos_sim for r in score(entries)
+    }
+    for _ in range(_GS_HOPS):
+        beam = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:_GS_BEAM]
+        beam_df = spark.createDataFrame([(i,) for i, _ in beam], "node long")
+        nbrs = (
+            F.broadcast(beam_df)
+            .join(gund, "node")
+            .select(F.col("nbr").alias("vec_id"))
+            .distinct()
+        )
+        for r in score(nbrs):
+            visited[r.vec_id] = r.cos_sim
+    top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:_GS_K]
+    return spark.createDataFrame(top, "vec_id long, cos_sim double")

@@ -118,7 +118,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "continuous_aggregate_rollup",
     "rolling_1h_user_stats",
     "hll_sketch_merge",
-    "approx_distinct_users",
     # model filters (family sentinel continues, 3rd exposure)
     "quality_classifier_linear",
     # X1 exact dedup + span arms (fingerprint-groups returns after the r8
@@ -144,6 +143,7 @@ CURATED_FIRST: tuple[str, ...] = (
     "tfidf_topk_similar_docs",
     "bm25_topk_docs",
     "knn_graph_nn_descent",
+    "graph_ann_search_topk",
     # X4 text returning + r9 Gumbel sampler day-one
     "winnowing_fingerprints",
     "lang_id_heuristic",

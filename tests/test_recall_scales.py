@@ -237,3 +237,40 @@ def test_auto_cell_count_bounds_candidates_across_scales(spark):
         assert mx <= 4 * target, f"{scale_dir}: max cell {mx} vs target {target}"
     # the bound held while n grew 10× — that IS the linearity pin
     assert max_cells[SCALES[1]] <= 4 * target
+
+
+# Floors for graph-based ANN SEARCH (r9), calibrated to the r9
+# measurements: beam search (4 entries, beam 32, 4 hops) over the 2-round
+# NN-Descent W=16 graph measured recall@20 = 1.0 @ sf0.01 (n=500) and
+# 0.75 @ sf0.1 (n=2000) vs exact brute-force top-20 for the query vector.
+# The sf0.1 decay tracks the edge-recall decay of the underlying graph
+# (0.806 → 0.503 above) — search cannot out-recall the graph it walks.
+# Floors sit well under the measurements to catch a collapse (a broken
+# graph or a beam stuck at the entry points measures ≈ ENTRIES/n) without
+# flaking on fixture drift.
+_GS_FLOORS = {"sf0.01": 0.7, "sf0.1": 0.5}
+
+
+@pytest.mark.parametrize("scale_dir", SCALES)
+def test_graph_ann_search_recall_floor_across_scales(spark, scale_dir):
+    """Recall@20 of graph_ann_search_topk vs exact brute-force top-20
+    (same 4dp rounding and id tie-break as the engine; the query vector
+    vec_id=0 itself is eligible on both sides, matching the
+    embedding_topk_* family convention)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    _need(scale_dir)
+    t = pq.read_table(os.path.join(scale_dir, "embeddings.parquet"))
+    ids = np.array(t["vec_id"])
+    V = np.array([np.array(x) for x in t["embedding"].to_pylist()], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    q = Vn[list(ids).index(0)]
+    s = np.round(Vn @ q, 4)
+    order = sorted(range(len(ids)), key=lambda j: (-s[j], ids[j]))[:20]
+    exact = {int(ids[j]) for j in order}
+    got = {r.vec_id for r in engine.queries()["graph_ann_search_topk"](spark, scale_dir).collect()}
+    r = len(exact & got) / 20
+    tag = os.path.basename(scale_dir)
+    print(f"\ngraph_ann_search recall@20 @ {tag}: {r:.3f}")
+    assert r >= _GS_FLOORS[tag], f"{scale_dir}: recall {r:.3f}"

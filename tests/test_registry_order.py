@@ -29,7 +29,10 @@ FAMILY_SENTINELS = {
                    "cube_events", "scd2_status_history"],
     "transform-chains": ["transform_chain", "typed_struct_props_chain", "variant_props_chain"],
     "timeseries": ["continuous_aggregate_rollup", "rolling_1h_user_stats"],
-    "sketch": ["hll_sketch_merge", "approx_distinct_users"],
+    # approx_distinct_users rotated out for graph_ann_search_topk (r9's
+    # third operator, landed after the rotation commit); hll_sketch_merge
+    # keeps the sketch band in-window
+    "sketch": ["hll_sketch_merge"],
     "model-filters": ["quality_classifier_linear"],
     "X1-exact-dedup": ["dedup_exact_groups", "dedup_fingerprint_groups",
                        "exact_span_dedup_20tok"],
@@ -43,7 +46,8 @@ FAMILY_SENTINELS = {
     "assembly": ["training_data_prep"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join"],
     # brand-new r9 operators, driver-checked from day one
-    "r9-new": ["knn_graph_nn_descent", "dsir_gumbel_topk_sample"],
+    "r9-new": ["knn_graph_nn_descent", "dsir_gumbel_topk_sample",
+               "graph_ann_search_topk"],
 }
 
 
