@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd  # module-scope: pandas_udf resolves string type hints here
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import tracked_persist
@@ -275,6 +275,84 @@ def ivf_topk(
         .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivf_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """X3 serving shape — a whole query SET through the IVF index in ONE
+    job (no per-query driver loop).
+
+    The single-query :func:`ivf_topk` is the index-design story; real
+    retrieval serves batches, and the batched plan is *different*, not a
+    loop: centroids (O(cells), broadcast) cross the query set (O(|Q|),
+    model-sized) into a per-query probe table; ONE corpus pass joins each
+    probed cell's inverted list against every query probing it (the probe
+    table broadcasts — |Q|·n_probe rows); the per-query top-k cut is
+    :func:`retrieval.impact_truncate` — the same salted two-phase exact
+    top-k that bounds posting lists, with the query id as the "term", so
+    a popular cell never lands a corpus-sized candidate list on one
+    reducer. Total cost: one corpus scan + |matches| dot products,
+    amortized over all queries — vs |Q| scans for a looped client.
+
+    ``cand_max`` (the salting trigger) is probed with one model-sized
+    aggregate over cell counts at construction (the tfidf max-df probe
+    precedent; registry LAZINESS note applies). At production scale the
+    same number is free from table-level column stats.
+    """
+    from .retrieval import impact_truncate
+
+    centroids = build_ivf_centroids(corpus, cell_col, vec_col)
+    qset = queries.select(
+        F.col(qid_col), _dbl(F.col(vec_col)).alias("__qvec")
+    )
+    wprobe = Window.partitionBy(qid_col).orderBy(
+        F.col("__csim").desc(), F.col(cell_col)
+    )
+    probe = (
+        qset.crossJoin(F.broadcast(centroids))
+        .withColumn("__csim", cosine(F.col("centroid"), F.col("__qvec")))
+        .withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= n_probe)
+        .select(qid_col, cell_col, "__qvec")
+    )
+    # scalar probe: worst-case candidates for one query = Σ probed cell sizes
+    cand_max = (
+        probe.select(qid_col, cell_col)
+        .join(corpus.groupBy(cell_col).count(), cell_col)
+        .groupBy(qid_col)
+        .agg(F.sum("count").alias("nc"))
+        .agg(F.max("nc"))
+        .collect()[0][0]
+        or 0
+    )
+    cand = (
+        ensure_min_partitions(corpus)
+        .join(F.broadcast(probe), cell_col)
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 4).alias("cos_sim"),
+        )
+    )
+    topk = impact_truncate(
+        cand, "cos_sim", id_col=id_col, term_col=qid_col, k=k, df_max=float(cand_max)
+    )
+    wrank = Window.partitionBy(qid_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        topk.withColumn("rank", F.row_number().over(wrank).cast("int"))
+        .select(qid_col, "rank", id_col, "cos_sim")
+        .orderBy(qid_col, "rank")
     )
 
 

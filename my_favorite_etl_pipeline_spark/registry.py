@@ -121,35 +121,39 @@ CURATED_FIRST: tuple[str, ...] = (
     # model filters (family sentinel continues, 3rd exposure)
     "quality_classifier_linear",
     # X1 exact dedup + span arms (fingerprint-groups returns after the r8
-    # rotation displaced it — the sentinel-test lesson)
+    # rotation displaced it — the sentinel-test lesson; the excise arm
+    # yields its slot to an r9 day-one, exact_span keeps the span family)
     "dedup_exact_groups",
     "dedup_fingerprint_groups",
     "exact_span_dedup_20tok",
-    "dedup_excise_spans_20tok",
-    # X2 near-dup returning: minhash flagship, portable simhash twins,
-    # prefix-filter ssjoin, semdedup base arm, full-lineage CC
+    # X2 near-dup returning: minhash flagship, portable simhash near-dups
+    # (which consume the signatures arm), semdedup base arm, full-lineage
+    # CC; ssjoin_prefix_filter + simhash_signatures_portable yield their
+    # slots to r9 day-ones
     "minhash_near_dups",
-    "simhash_signatures_portable",
     "simhash_near_dups_portable",
-    "ssjoin_prefix_filter",
     "semdedup_cluster_pairs",
     "dedup_cluster_components",
     # X3 similarity returning: brute-force anchor, the pandas_udf arm, the
     # k-means IVF arm, both sparse-retrieval flagships; r9's NN-Descent
-    # refinement checks from day one
+    # refinement, graph search and batched IVF serving check from day one
     "embedding_topk_bruteforce",
     "embedding_topk_pandas_udf",
     "embedding_topk_ivf_kmeans",
+    "embedding_topk_ivf_batch",
     "tfidf_topk_similar_docs",
     "bm25_topk_docs",
     "knn_graph_nn_descent",
     "graph_ann_search_topk",
-    # X4 text returning + r9 Gumbel sampler day-one
+    # X4 text returning + r9 day-ones (Gumbel sampler, BPE trainer,
+    # mixture-audit divergence)
     "winnowing_fingerprints",
     "lang_id_heuristic",
     "gopher_quality_flags",
     "contamination_13gram",
     "dsir_gumbel_topk_sample",
+    "bpe_train_merges",
+    "corpus_js_divergence_by_source",
     # X5 multimodal returning (resize roundtrip, out since r7)
     "multimodal_resize_8x8",
     # S1b docstore (sole family member, pinned)

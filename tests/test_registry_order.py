@@ -45,9 +45,12 @@ FAMILY_SENTINELS = {
     "S1b-docstore": ["docstore_lang_source_stats"],
     "assembly": ["training_data_prep"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join"],
-    # brand-new r9 operators, driver-checked from day one
+    # brand-new r9 operators, driver-checked from day one (the late trio
+    # displaced dedup_excise_spans_20tok / ssjoin_prefix_filter /
+    # simhash_signatures_portable — each family keeps another sentinel)
     "r9-new": ["knn_graph_nn_descent", "dsir_gumbel_topk_sample",
-               "graph_ann_search_topk"],
+               "graph_ann_search_topk", "bpe_train_merges",
+               "corpus_js_divergence_by_source", "embedding_topk_ivf_batch"],
 }
 
 
