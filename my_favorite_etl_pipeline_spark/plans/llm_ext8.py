@@ -220,7 +220,9 @@ _BPE_ROUNDS = 10
 
 def _bpe_round_cte(r: int) -> str:
     """One BPE round as DuckDB CTEs: pair-count w{r-1}, pick best{r} by
-    (count DESC, lhs, rhs), apply the merge into w{r}."""
+    (count DESC, lhs, rhs), apply the merge into w{r}. ``word`` rides
+    along untouched so the encode oracle can map words to their final
+    segmentations off the same shared prefix."""
     prev = f"w{r - 1}"
     return f""",
     px{r} AS (
@@ -234,17 +236,19 @@ def _bpe_round_cte(r: int) -> str:
       ) ORDER BY c DESC, a, b LIMIT 1
     ),
     w{r} AS MATERIALIZED (
-      SELECT REPLACE(w.seq, ' ' || b.a || '  ' || b.b || ' ',
-                             ' ' || b.a || b.b || ' ') AS seq, w.cnt
+      SELECT w.word, REPLACE(w.seq, ' ' || b.a || '  ' || b.b || ' ',
+                                    ' ' || b.a || b.b || ' ') AS seq, w.cnt
       FROM {prev} w CROSS JOIN best{r} b
     )"""
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_prefix() -> str:
+    """Shared oracle prefix through ``w{_BPE_ROUNDS}`` — word-frequency
+    vocab, char-level init, and all training rounds. Consumed by the
+    trainer oracle (merge-table selection) AND the encode oracle (word →
+    segmentation map), so the tokenizer that encodes is provably the
+    tokenizer that was trained (the _knn_refined_cte precedent)."""
     rounds = "".join(_bpe_round_cte(r) for r in range(1, _BPE_ROUNDS + 1))
-    final = " UNION ALL ".join(
-        f"SELECT {r} AS r, a, b, c FROM best{r}" for r in range(1, _BPE_ROUNDS + 1)
-    )
     return f"""
     WITH wc AS (
       SELECT word, COUNT(*) AS cnt FROM (
@@ -252,12 +256,20 @@ def _bpe_oracle() -> str:
       WHERE word <> '' GROUP BY word
     ),
     w0 AS MATERIALIZED (
-      SELECT '  ' || array_to_string(
+      SELECT word, '  ' || array_to_string(
                list_transform(range(length(word)),
                               i -> substr(word, CAST(i + 1 AS INT), 1)),
                '  ') || '  </w>  ' AS seq, cnt
       FROM wc
-    ){rounds}
+    ){rounds}"""
+
+
+def _bpe_oracle() -> str:
+    final = " UNION ALL ".join(
+        f"SELECT {r} AS r, a, b, c FROM best{r}" for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+    {_bpe_cte_prefix()}
     SELECT CAST(r AS INT) AS merge_rank, a AS lhs, b AS rhs, c AS pair_count
     FROM ({final}) ORDER BY merge_rank
     """
@@ -288,6 +300,20 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer pair counts, binary-collation (count, lhs, rhs)
     tie-break — both engines select identical merges every round.
     """
+    merges, _ = _bpe_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the {_BPE_ROUNDS}-round BPE training loop; return the learned
+    ``(rank, lhs, rhs, count)`` merge table AND the final vocab frame
+    ``(word, seq, cnt)`` with every merge applied — the word →
+    segmentation map the encode pass joins against (production tokenizers
+    memoize exactly this table)."""
     from ..caching import tracked_persist
 
     docs = load(spark, sf_dir, "documents")
@@ -303,6 +329,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cur = tracked_persist(
         wc.select(
+            "word",
             F.concat(F.lit("  "), F.array_join(chars, "  "), F.lit("  </w>  ")).alias(
                 "seq"
             ),
@@ -342,6 +369,70 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f" {best.a}{best.b} "),
             ),
         )
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_count long"
+    return merges, cur
+
+
+@register(
+    "bpe_encode_fertility",
+    oracle=f"""
+    {_bpe_cte_prefix()},
+    enc AS (
+      SELECT word, len(string_split(trim(seq), '  ')) AS nt
+      FROM w{_BPE_ROUNDS}
+    ),
+    inst AS (
+      SELECT lang, word FROM (
+        SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST((SUM(nt) * 10000) // COUNT(*) AS BIGINT) AS fert_x10000
+    FROM inst JOIN enc USING (word)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r9) — BPE ENCODE, the serving half of `bpe_train_merges`:
+    apply the trained merge table to the corpus and report per-language
+    fertility (trained-BPE tokens per word, ×10⁴ fixed-point; token
+    counts INCLUDE the `</w>` marker). Where `tokenizer_fertility_by_lang`
+    audits two FIXED tokenizers, this audits the tokenizer the engine
+    itself just trained — train and encode share one merge table by
+    construction (Spark: same `_bpe_learn` frame; oracle: same generated
+    CTE prefix).
+
+    Plan at 100 TB: encoding does NOT re-segment every token instance —
+    the merge chain applies once to the (word, count) VOCAB table (the
+    segmentation-memo trick real tokenizers use), and the corpus-sized
+    side is one (lang, word) hash agg joined against that broadcastable
+    word → token-count map. Integer counts and int·10⁴ DIV fertility —
+    no float anywhere, both engines agree exactly.
+    """
+    _, vocab = _bpe_learn(spark, sf_dir)
+    enc = vocab.select(
+        "word", F.size(F.split(F.trim(F.col("seq")), "  ")).alias("nt")
+    )
+    docs = load(spark, sf_dir, "documents")
+    inst = (
+        docs.select("lang", F.explode(TX.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        inst.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("CAST((n_tokens * 10000) DIV n_words AS BIGINT)").alias(
+                "fert_x10000"
+            ),
+        )
+        .orderBy("lang")
     )

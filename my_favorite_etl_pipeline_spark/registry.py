@@ -107,7 +107,8 @@ CURATED_FIRST: tuple[str, ...] = (
     "cube_events",
     "range_join_ship_latency",
     "asof_last_click_before_purchase",
-    "pivot_status_by_segment",
+    # pivot_status_by_segment yields its slot to the r9 BPE encode arm
+    # (relational family keeps 10 other in-window members)
     "scd2_status_history",
     # transform/flatten chains (F3/P/J families, out since r6/r7)
     "transform_chain",
@@ -153,6 +154,7 @@ CURATED_FIRST: tuple[str, ...] = (
     "contamination_13gram",
     "dsir_gumbel_topk_sample",
     "bpe_train_merges",
+    "bpe_encode_fertility",
     "corpus_js_divergence_by_source",
     # X5 multimodal returning (resize roundtrip, out since r7)
     "multimodal_resize_8x8",

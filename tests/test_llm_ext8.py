@@ -45,6 +45,37 @@ def test_bpe_merges_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_bpe_encode_consistent_with_training(spark, sf_dir):
+    """Encoding with the trained merges must (a) never split a word into
+    more pieces than characters+marker (char level is the starting
+    point), (b) strictly beat the char-level baseline once any merge
+    fires, and (c) give every word at least one token."""
+    rows = REGISTRY["bpe_encode_fertility"].fn(spark, sf_dir).collect()
+    from my_favorite_etl_pipeline_spark.functions import text as TX
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    base = {
+        r.lang: (r.n_words, r.n_chars_plus_marker)
+        for r in docs.select(
+            "lang", F.explode(TX.tokens("text")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word") + 1).alias("n_chars_plus_marker"),
+        )
+        .collect()
+    }
+    assert {r.lang for r in rows} == set(base)
+    for r in rows:
+        n_words, char_tokens = base[r.lang]
+        assert r.n_words == n_words
+        assert n_words <= r.n_tokens < char_tokens
+        assert r.fert_x10000 == (r.n_tokens * 10000) // r.n_words
+
+
 def test_ivf_batch_agrees_with_single_query_index(spark, sf_dir):
     """The batch plan must reproduce the single-query index's answers:
     for query vec_id=0 (shared with embedding_topk_ivf, same label cells,

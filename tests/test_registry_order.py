@@ -50,7 +50,8 @@ FAMILY_SENTINELS = {
     # simhash_signatures_portable — each family keeps another sentinel)
     "r9-new": ["knn_graph_nn_descent", "dsir_gumbel_topk_sample",
                "graph_ann_search_topk", "bpe_train_merges",
-               "corpus_js_divergence_by_source", "embedding_topk_ivf_batch"],
+               "bpe_encode_fertility", "corpus_js_divergence_by_source",
+               "embedding_topk_ivf_batch"],
 }
 
 
