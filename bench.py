@@ -93,29 +93,33 @@ HEADLINE = [
 ]
 
 # FULL tier: the 10 most expensive registered queries by a measured
-# sf0.1 timing pass (re-refreshed late r7 after the day's additions —
-# membership tracks cost, re-measure when the registry changes), so
-# regressions on the heavy tail are caught by BENCH, not only by the
-# round's correctness-sweep wall clock. ngram_jaccard_pairs is the
-# deliberate O(n²) ground-truth baseline and dominates (~40 s). The
-# five r7 additions displace dedup_keep_best 2.9 s, semdedup_
-# cluster_pairs 2.2 s, excise_spans 2.5 s, ivf_kmeans_probe6 2.6 s and
-# minhash_near_dups 1.9 s (all still timed by the sweeps); measured
-# medians at swap time: embedding_topk_ivf_pq 10.8 s,
-# stream_ingest_dedup_ssjoin 8.6 s, embedding_topk_pq_adc 7.8 s,
-# curation_funnel_report 6.7 s, leakage_safe_split 4.7 s. The tier runs
-# WITHOUT a separate warm pass — the median of 3 absorbs the cold run.
+# sf0.1 timing pass (re-refreshed r9 after the graph/BPE/serving
+# additions — membership tracks cost, re-measure when the registry
+# changes), so regressions on the heavy tail are caught by BENCH, not
+# only by the round's correctness-sweep wall clock. ngram_jaccard_pairs
+# is the deliberate O(n²) ground-truth baseline and dominates (~32 s).
+# r9 warm medians on a calm box: ngram 32.2, ivf_pq 13.0, stream_ingest
+# 12.0, rrf 6.6, knn_graph_topk 6.0, pq_adc 5.8, simhash_portable 5.2,
+# leakage 4.7, dsir 4.6, graph_ann_search 4.3 (its FIRST run pays the
+# ~43 s session graph build the medians amortize — chosen over
+# dsir_gumbel_topk_sample's 4.5, which shares dsir_importance_resample's
+# scoring frame already in the tier, so the tier covers one more
+# distinct plan family at equal-within-noise cost). Displaced (still
+# timed by the sweeps): curation_funnel_report 3.7, semdedup_cluster_
+# pairs_top2 3.5, stream_stream_attribution_join 3.5, multimodal_audio_
+# features 2.7. The tier runs WITHOUT a separate warm pass — the median
+# of 3 absorbs the cold run.
 FULL = [
     "ngram_jaccard_pairs",
     "embedding_topk_ivf_pq",
-    "simhash_near_dups_portable",
     "stream_ingest_dedup_ssjoin",
+    "rrf_hybrid_fusion_topk",
+    "knn_graph_topk",
     "embedding_topk_pq_adc",
-    "curation_funnel_report",
+    "simhash_near_dups_portable",
     "leakage_safe_split",
-    "semdedup_cluster_pairs_top2",
-    "stream_stream_attribution_join",
-    "multimodal_audio_features",
+    "dsir_importance_resample",
+    "graph_ann_search_topk",
 ]
 
 
