@@ -14,6 +14,15 @@ citation exists — the citation is BASELINE.json's LLM-data mandate).
   inverted lists), not a per-query driver loop. Completes the
   embedding_topk_* family: every prior entry answers one query; real
   retrieval serves batches.
+- ``bigram_kn_logprob_scores`` — interpolated Kneser-Ney bigram scoring
+  (Kneser & Ney 1995; Chen & Goodman 1999), the smoothing the CCNet-style
+  LM-quality ladder actually uses: continuation probability replaces the
+  Laplace pseudo-count of ``bigram_logprob_scores``, so frequent-but-
+  context-bound words ("Francisco") stop inflating unseen-context scores.
+- ``psi_drift_by_window`` — the temporal twin of the JS mixture audit:
+  Population Stability Index of each event type's value distribution,
+  current vs reference time window — the standard production drift gate
+  between a training snapshot and the serving stream.
 """
 
 from __future__ import annotations
@@ -435,4 +444,218 @@ def q_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram_kn_logprob_scores
+
+_KN_D = 0.75  # absolute discount; 3/4 is exactly representable in binary
+
+
+@register(
+    "bigram_kn_logprob_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+           FROM (SELECT doc_id, t, UNNEST(range(len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c) AS cu, CAST(COUNT(*) AS DOUBLE) AS fanout
+           FROM c2 GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS cc FROM c2 GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM c2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((c - {_KN_D}) / cu
+                         + {_KN_D} * fanout / cu * (cc / tt))), 4)
+             AS avg_neg_logprob_kn
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN cont ON bg.w2 = cont.w2
+    CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_bigram_kn_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (r9) — interpolated Kneser-Ney bigram scoring: per document the
+    average -ln of p_KN(w2|w1) = (c(w1,w2) - D)/c(w1) + D·N1+(w1,·)/c(w1)
+    · p_cont(w2), with continuation probability p_cont(w2) = N1+(·,w2) /
+    N1+(·,·) and absolute discount D = 0.75 (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 20). The smoothing upgrade over the Laplace
+    ``bigram_logprob_scores``: a word that is frequent but only ever
+    follows ONE context ("Francisco") gets a LOW continuation probability
+    instead of a high unigram pseudo-count, which is exactly the error
+    mode that makes Laplace-smoothed LM filters over-score boilerplate.
+    Every scored bigram appears in the corpus model (the corpus scores
+    itself, as in the other rungs of the ladder), so c ≥ 1 ⇒ c - D ≥ 0.25
+    and the max(·,0) branch of the general formula is provably dead —
+    both engines compute the same single expression.
+
+    Plan at 100 TB: one bigram explode (map-only, in-row `sequence` +
+    `transform` — no pre-agg shuffle wider than the explode) → THREE
+    model-sized hash aggs, each over the previous model table, not the
+    corpus: c2 on (w1,w2) is the only corpus-fed agg; c1 (totals +
+    fanout N1+(w1,·)) and cont (N1+(·,w2)) aggregate the bigram-TYPE
+    table; tt is a 1-row broadcast. Scoring joins the corpus bigram
+    stream against vocabulary-scale tables — AQE broadcasts them — then
+    one per-doc agg. Cross-engine floats: c, cu, fanout, cc, tt are all
+    exact small integers widened to double; D = 0.75 is exact binary; the
+    per-doc mean rounds to 4dp under the measure-zero rounding-half
+    argument shared with the other logprob scorers.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ta = docs.select("doc_id", TX.tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bg = ta.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.get("t", i).alias("w1"), F.get("t", i + 1).alias("w2")
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").alias("cu"), F.count(F.lit(1)).cast("double").alias("fanout")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("cc"))
+    tot = c2.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    d = F.lit(_KN_D)
+    p_kn = (F.col("c") - d) / F.col("cu") + d * F.col("fanout") / F.col("cu") * (
+        F.col("cc") / F.col("tt")
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_kn)), 4).alias("avg_neg_logprob_kn"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# psi_drift_by_window
+
+_PSI_B = 10  # value-histogram buckets: [0,50), [50,100), ... [450,inf)
+_PSI_SPLIT = "2024-01-16 00:00:00"  # reference window < split <= current
+
+
+@register(
+    "psi_drift_by_window",
+    oracle=f"""
+    WITH eb AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS wnd,
+             LEAST(CAST(ROUND(value * 100) AS BIGINT) // 5000, {_PSI_B - 1}) AS b
+      FROM events
+    ),
+    sc AS (SELECT event_type, wnd, b, COUNT(*) AS c FROM eb GROUP BY 1, 2, 3),
+    ns AS (SELECT event_type, wnd, SUM(c) AS n FROM sc GROUP BY 1, 2),
+    grid AS (
+      SELECT t.event_type, g.b
+      FROM (SELECT DISTINCT event_type FROM sc) t
+      CROSS JOIN (SELECT UNNEST(range({_PSI_B})) AS b) g
+    ),
+    pq AS (
+      SELECT grid.event_type,
+             COALESCE(nr.n, 0) AS n_ref, COALESCE(nu.n, 0) AS n_cur,
+             (COALESCE(sr.c, 0) + 1.0) / (COALESCE(nr.n, 0) + {_PSI_B}.0) AS q,
+             (COALESCE(su.c, 0) + 1.0) / (COALESCE(nu.n, 0) + {_PSI_B}.0) AS p
+      FROM grid
+      LEFT JOIN sc sr ON sr.event_type = grid.event_type
+                     AND sr.b = grid.b AND sr.wnd = 0
+      LEFT JOIN sc su ON su.event_type = grid.event_type
+                     AND su.b = grid.b AND su.wnd = 1
+      LEFT JOIN ns nr ON nr.event_type = grid.event_type AND nr.wnd = 0
+      LEFT JOIN ns nu ON nu.event_type = grid.event_type AND nu.wnd = 1
+    )
+    SELECT event_type,
+           CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+           ROUND(SUM((p - q) * LN(p / q)), 4) AS psi
+    FROM pq GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_psi_drift_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+/DQ (r9) — Population Stability Index per event type between a
+    fixed reference window (ts < {split}) and the current window: PSI =
+    Σ_buckets (p_cur - p_ref)·ln(p_cur/p_ref) over a fixed 10-bucket value
+    histogram, Laplace-smoothed so empty buckets stay finite. The
+    temporal twin of ``corpus_js_divergence_by_source`` (that audits the
+    SOURCE axis of the mixture; this audits the TIME axis) and the
+    standard production gate between a training-data snapshot and the
+    live stream — PSI > 0.2 is the conventional "retrain/investigate"
+    threshold.
+
+    Plan at 100 TB: the bucket id is a map-only integer projection —
+    ROUND(value·100) to exact integer cents, then integer DIV — so the
+    whole corpus collapses into ONE (event_type, window, bucket) hash
+    aggregate with map-side combine: at most |types|×2×{B} rows survive,
+    model-sized regardless of corpus size. Window totals are a second agg
+    over THAT table; the smoothing grid is built from `range`, never from
+    data; every grid join is a broadcast. Nothing corpus-sized shuffles
+    past the first aggregate, and the scan prunes to (ts, event_type,
+    value). Cross-engine notes: integer-cents bucketing sidesteps the
+    double-truncation trap (6.55·100 = 654.99… must ROUND, not CAST);
+    values carry 2 decimals so value·100 never lands near .5 and the
+    round is engine-identical; the PSI sum rounds to 4dp under the
+    measure-zero argument. A type absent from one window is scored
+    against the uniform smoothed distribution (COALESCE 0 totals) rather
+    than dropped — drift of a brand-new event type should read as large,
+    not invisible.
+    """
+    events = load(spark, sf_dir, "events")
+    b = F.least(
+        F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 5000"), F.lit(_PSI_B - 1)
+    )
+    eb = events.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("wnd"),
+        b.alias("b"),
+    )
+    sc = eb.groupBy("event_type", "wnd", "b").agg(F.count(F.lit(1)).alias("c"))
+    ns = sc.groupBy("event_type", "wnd").agg(F.sum("c").alias("n"))
+    grid = (
+        sc.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(_PSI_B).select(F.col("id").alias("b"))))
+    )
+    sr = sc.filter(F.col("wnd") == 0).select("event_type", "b", F.col("c").alias("cr"))
+    su = sc.filter(F.col("wnd") == 1).select("event_type", "b", F.col("c").alias("cc_"))
+    nr = ns.filter(F.col("wnd") == 0).select("event_type", F.col("n").alias("nrn"))
+    nu = ns.filter(F.col("wnd") == 1).select("event_type", F.col("n").alias("nun"))
+    bb = float(_PSI_B)
+    pq = (
+        grid.join(F.broadcast(sr), ["event_type", "b"], "left")
+        .join(F.broadcast(su), ["event_type", "b"], "left")
+        .join(F.broadcast(nr), "event_type", "left")
+        .join(F.broadcast(nu), "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("nrn"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("nun"), F.lit(0)).alias("n_cur"),
+            ((F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
+             / (F.coalesce(F.col("nrn"), F.lit(0)) + bb)).alias("q"),
+            ((F.coalesce(F.col("cc_"), F.lit(0)) + 1.0)
+             / (F.coalesce(F.col("nun"), F.lit(0)) + bb)).alias("p"),
+        )
+    )
+    return (
+        pq.groupBy("event_type")
+        .agg(
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 4
+            ).alias("psi"),
+        )
+        .orderBy("event_type")
     )

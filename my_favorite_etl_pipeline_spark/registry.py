@@ -99,14 +99,16 @@ CURATED_FIRST: tuple[str, ...] = (
     # the r1-only tail + both multi-dim agg surfaces
     "q3_shipping_priority",
     "q1_pricing_summary",
-    "q5_region_revenue",
+    # q5_region_revenue (last driver contact r6) yields its slot to the r9
+    # KN-smoothing arm; relational keeps 9 other in-window members
     "q8_market_share",
     "q9_profit_by_nation_year",
     "q18_large_orders",
     "grouping_sets_revenue",
     "cube_events",
     "range_join_ship_latency",
-    "asof_last_click_before_purchase",
+    # asof_last_click_before_purchase yields its slot to the r9 PSI drift
+    # audit; range_join keeps the specialty-join family in-window
     # pivot_status_by_segment yields its slot to the r9 BPE encode arm
     # (relational family keeps 10 other in-window members)
     "scd2_status_history",
@@ -156,6 +158,8 @@ CURATED_FIRST: tuple[str, ...] = (
     "bpe_train_merges",
     "bpe_encode_fertility",
     "corpus_js_divergence_by_source",
+    "bigram_kn_logprob_scores",
+    "psi_drift_by_window",
     # X5 multimodal returning (resize roundtrip, out since r7)
     "multimodal_resize_8x8",
     # S1b docstore (sole family member, pinned)

