@@ -546,9 +546,12 @@ _PSI_B = 10  # value-histogram buckets: [0,50), [50,100), ... [450,inf)
 _PSI_SPLIT = "2024-01-16 00:00:00"  # reference window < split <= current
 
 
-@register(
-    "psi_drift_by_window",
-    oracle=f"""
+# Shared by the batch query and its Structured-Streaming twin
+# (stream_psi_drift_monitor): the streaming arm is a different ALGORITHM
+# (stateful streaming histogram + static reference) for the same answer,
+# so both register the same oracle — the Bloom/exact-decontamination
+# precedent.
+PSI_ORACLE_SQL = f"""
     WITH eb AS (
       SELECT event_type,
              CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS wnd,
@@ -580,8 +583,10 @@ _PSI_SPLIT = "2024-01-16 00:00:00"  # reference window < split <= current
            CAST(MAX(n_cur) AS BIGINT) AS n_cur,
            ROUND(SUM((p - q) * LN(p / q)), 4) AS psi
     FROM pq GROUP BY event_type ORDER BY event_type
-    """,
-)
+    """
+
+
+@register("psi_drift_by_window", oracle=PSI_ORACLE_SQL)
 def q_psi_drift_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4+/DQ (r9) — Population Stability Index per event type between a
     fixed reference window (ts < {split}) and the current window: PSI =
@@ -611,17 +616,32 @@ def q_psi_drift_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     not invisible.
     """
     events = load(spark, sf_dir, "events")
-    b = F.least(
-        F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 5000"), F.lit(_PSI_B - 1)
-    )
     eb = events.select(
         "event_type",
         F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), F.lit(0))
         .otherwise(F.lit(1))
         .alias("wnd"),
-        b.alias("b"),
+        psi_value_bucket().alias("b"),
     )
     sc = eb.groupBy("event_type", "wnd", "b").agg(F.count(F.lit(1)).alias("c"))
+    return psi_assemble(spark, sc)
+
+
+def psi_value_bucket() -> "F.Column":
+    """The PSI value-histogram bucket id as a map-only integer projection:
+    ROUND(value·100) to exact cents, then integer DIV — shared by the
+    batch query and its streaming twin so both arms bucket identically."""
+    return F.least(
+        F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 5000"), F.lit(_PSI_B - 1)
+    )
+
+
+def psi_assemble(spark: SparkSession, sc: DataFrame) -> DataFrame:
+    """PSI per event type from a (event_type, wnd∈{0,1}, b, c) count frame
+    — the model-sized tail shared by ``psi_drift_by_window`` (one batch
+    agg feeds it) and ``stream_psi_drift_monitor`` (the current-window
+    half of the frame comes out of a Structured Streaming stateful agg).
+    Everything here is |types|×2×buckets-sized; every join broadcasts."""
     ns = sc.groupBy("event_type", "wnd").agg(F.sum("c").alias("n"))
     grid = (
         sc.select("event_type")

@@ -300,3 +300,50 @@ def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import stream_ingest_dedup_pairs
 
     return stream_ingest_dedup_pairs(spark, sf_dir)
+
+
+from .llm_ext8 import PSI_ORACLE_SQL as _PSI_ORACLE_SQL  # noqa: E402
+
+
+@register(
+    "stream_psi_drift_monitor",
+    # two algorithms, one answer: the streaming monitor hash-checks
+    # against the exact SQL of its batch twin (Bloom precedent)
+    oracle=_PSI_ORACLE_SQL,
+)
+def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 × DQ (late r9) — the PSI drift monitor with its CURRENT-window
+    histogram computed inside Structured Streaming: the live event stream
+    (ts >= the snapshot cut) aggregates into a stateful (event_type,
+    bucket) count — the standing state a production monitor keeps — while
+    the reference histogram is a static batch frame of the training
+    snapshot; PSI assembles from the model-sized union exactly as in the
+    batch twin ``psi_drift_by_window``. availableNow + complete mode makes
+    the final streaming state equal the batch histogram, so this registers
+    the SAME oracle as the batch query: two algorithms — a streaming
+    stateful aggregation and a batch aggregation — one answer (the
+    Bloom-decontamination precedent).
+
+    Plan at 100 TB: streaming state is bounded at |types|×buckets rows per
+    state store; each micro-batch shuffles only its own (type, bucket)
+    partials (map-side combined); the reference histogram is computed once
+    from the snapshot (in production: a saved model-sized table, not a
+    rescan) and every PSI-assembly join broadcasts.
+    """
+    from .llm_ext8 import _PSI_SPLIT, psi_assemble, psi_value_bucket
+    from ..streaming.windows import stream_current_window_histogram
+
+    cur = stream_current_window_histogram(
+        spark, sf_dir, _PSI_SPLIT, psi_value_bucket()
+    ).withColumn("wnd", F.lit(1))
+    ref = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"))
+        .select("event_type", psi_value_bucket().alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("wnd", F.lit(0))
+    )
+    sc = ref.unionByName(cur.select("event_type", "b", "c", "wnd"))
+    return psi_assemble(spark, sc)
+

@@ -136,7 +136,8 @@ CURATED_FIRST: tuple[str, ...] = (
     "minhash_near_dups",
     "simhash_near_dups_portable",
     "semdedup_cluster_pairs",
-    "dedup_cluster_components",
+    # dedup_cluster_components (judge-reverified local-O r8) yields its
+    # slot to the r9 streaming PSI monitor; X2 keeps 3 other sentinels
     # X3 similarity returning: brute-force anchor, the pandas_udf arm, the
     # k-means IVF arm, both sparse-retrieval flagships; r9's NN-Descent
     # refinement, graph search and batched IVF serving check from day one
@@ -169,6 +170,7 @@ CURATED_FIRST: tuple[str, ...] = (
     # X6 streaming returning: both r7-rotated anchors
     "stream_tumbling_hourly",
     "stream_stream_attribution_join",
+    "stream_psi_drift_monitor",
 )
 
 

@@ -390,3 +390,37 @@ def stream_ingest_dedup_pairs(
         )
         q.awaitTermination()
     return spark.table(sink_name).orderBy("doc_id", "ref_id")
+
+
+def stream_current_window_histogram(
+    spark: SparkSession, sf_dir: str, split: str, bucket_col, n_types_hint: int = 8
+) -> DataFrame:
+    """The CURRENT-window half of the PSI drift monitor, computed INSIDE
+    Structured Streaming: events stream in, the reference window is
+    filtered out (ts >= split — in production the stream simply starts at
+    the snapshot cut), and a stateful (event_type, bucket) count
+    aggregates in complete mode under availableNow. With all data
+    available the final state equals the batch histogram, so the PSI the
+    monitor computes from it is oracle-checkable (the
+    ``stream_tumbling_hourly`` precedent). State is bounded by
+    |types|×buckets rows — the production monitor keeps exactly this
+    histogram as its standing state and re-emits PSI per trigger.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.filter(F.col("ts") >= F.lit(split).cast("timestamp"))
+        .select("event_type", bucket_col.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sink_name = f"psi_sink_{int(time.time() * 1000) % 10_000_000}"
+    with stream_shuffle_scope(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink_name)

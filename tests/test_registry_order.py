@@ -55,7 +55,10 @@ FAMILY_SENTINELS = {
                # late r9 pair (KN smoothing, PSI drift) — displaced
                # q5_region_revenue / asof_last_click_before_purchase,
                # whose families keep 9 / 1 other in-window members
-               "bigram_kn_logprob_scores", "psi_drift_by_window"],
+               "bigram_kn_logprob_scores", "psi_drift_by_window",
+               # streaming PSI twin displaced dedup_cluster_components
+               # (X2 keeps minhash/simhash-portable/semdedup in-window)
+               "stream_psi_drift_monitor"],
 }
 
 

@@ -321,3 +321,20 @@ def test_stream_decontaminate_matches_batch_join(spark, sf_dir):
         )
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_psi_matches_batch_twin(spark, sf_dir):
+    """The streaming PSI monitor (stateful streaming histogram + static
+    reference) must equal the batch twin row-for-row — the same
+    stream-vs-batch parity contract as the ingest-dedup pair."""
+    from my_favorite_etl_pipeline_spark.registry import REGISTRY
+
+    a = {
+        tuple(r)
+        for r in REGISTRY["stream_psi_drift_monitor"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        tuple(r)
+        for r in REGISTRY["psi_drift_by_window"].fn(spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 0
