@@ -19,6 +19,11 @@ citation exists — the citation is BASELINE.json's LLM-data mandate).
   LM-quality ladder actually uses: continuation probability replaces the
   Laplace pseudo-count of ``bigram_logprob_scores``, so frequent-but-
   context-bound words ("Francisco") stop inflating unseen-context scores.
+- ``source_overlap_matrix`` — the cross-source containment matrix: the
+  fraction of each source's docs with a >=0.9-Jaccard near-dup in each
+  other source (diagonal = internal dup rate), riding the exact PPJoin
+  prefix-filter evidence — the corpus-governance statistic a mixture
+  designer reads before weighting sources.
 - ``psi_drift_by_window`` — the temporal twin of the JS mixture audit:
   Population Stability Index of each event type's value distribution,
   current vs reference time window — the standard production drift gate
@@ -678,4 +683,112 @@ def psi_assemble(spark: SparkSession, sc: DataFrame) -> DataFrame:
             ).alias("psi"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix
+
+_SOM_T = 0.9  # near-dup Jaccard threshold (the ssjoin/minhash contract)
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(len(t) - 2),
+                                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+               ELSE [] END) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, LEN(s) AS n FROM sh),
+    ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT inter.id_a, inter.id_b
+      FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_SOM_T}
+    ),
+    dir AS (SELECT id_a AS d, id_b AS o FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    ds AS (SELECT doc_id, source FROM documents),
+    e AS (SELECT a.source AS src_a, b.source AS src_b, dir.d
+          FROM dir JOIN ds a ON dir.d = a.doc_id
+                   JOIN ds b ON dir.o = b.doc_id),
+    ov AS (SELECT src_a, src_b, COUNT(DISTINCT d) AS n_overlap
+           FROM e GROUP BY 1, 2),
+    nn AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT g_a.source AS src_a, g_b.source AS src_b,
+           CAST(g_a.n_docs AS BIGINT) AS n_docs_a,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST((COALESCE(ov.n_overlap, 0) * 10000) // g_a.n_docs AS BIGINT)
+             AS share_x10000
+    FROM nn g_a CROSS JOIN nn g_b
+    LEFT JOIN ov ON ov.src_a = g_a.source AND ov.src_b = g_b.source
+    ORDER BY src_a, src_b
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X4+ (late r9) — the source-overlap containment matrix: for every
+    ordered source pair (A, B), the fraction of A's documents that have at
+    least one ≥{_SOM_T}-Jaccard near-duplicate in B (diagonal = A's
+    internal near-dup rate). The corpus-governance statistic behind "how
+    much of crawl X is already inside curated set Y" — what a mixture
+    designer reads BEFORE weighting sources (double-counted content
+    silently up-weights itself) and the aggregate view auditors ask of
+    cross-source contamination. Full |sources|² grid with explicit zeros:
+    an absent row and a measured-zero row must not be confusable.
+
+    Plan at 100 TB: near-dup evidence comes from the PPJoin prefix-filter
+    candidate equi-join + exact verify shared with
+    ``ssjoin_prefix_filter`` — 100% recall by theorem, every step an
+    equi-shuffle, NO all-pairs anywhere. The matrix tail is model-sized:
+    directed-edge union (2×|pairs|), two doc→source equi-joins against a
+    projection AQE broadcasts, one (src_a, src_b) distinct-count agg —
+    at most |sources|² rows survive. The share is fixed-point integer
+    DIV by ten-thousandths (the fertility precedent): a double ratio of
+    two small integers lands on exact rounding halves far too often to
+    survive cross-engine ROUND.
+    """
+    from ..operators.dedup import jaccard_verify, prefix_filter_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=_SOM_T)
+    pairs = jaccard_verify(docs, cand, "doc_id", "text", threshold=_SOM_T).select(
+        "id_a", "id_b"
+    )
+    direct = pairs.select(
+        F.col("id_a").alias("d"), F.col("id_b").alias("o")
+    ).unionByName(pairs.select(F.col("id_b").alias("d"), F.col("id_a").alias("o")))
+    ds = docs.select("doc_id", "source")
+    e = (
+        direct.join(ds.select(F.col("doc_id").alias("d"), F.col("source").alias("src_a")), "d")
+        .join(ds.select(F.col("doc_id").alias("o"), F.col("source").alias("src_b")), "o")
+    )
+    ov = e.groupBy("src_a", "src_b").agg(F.count_distinct("d").alias("n_overlap"))
+    nn = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    grid = nn.select(F.col("source").alias("src_a"), F.col("n_docs").alias("n_docs_a")).crossJoin(
+        F.broadcast(nn.select(F.col("source").alias("src_b")))
+    )
+    return (
+        grid.join(F.broadcast(ov), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_docs_a").cast("long").alias("n_docs_a"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(
+                "CAST((COALESCE(n_overlap, 0) * 10000) DIV n_docs_a AS BIGINT)"
+            ).alias("share_x10000"),
+        )
+        .orderBy("src_a", "src_b")
     )

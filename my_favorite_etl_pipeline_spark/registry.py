@@ -103,7 +103,8 @@ CURATED_FIRST: tuple[str, ...] = (
     # KN-smoothing arm; relational keeps 9 other in-window members
     "q8_market_share",
     "q9_profit_by_nation_year",
-    "q18_large_orders",
+    # q18_large_orders (agg+join+having, shape covered by in-window q1/q3/
+    # q8/q9) yields its slot to the r9 source-overlap matrix
     "grouping_sets_revenue",
     "cube_events",
     "range_join_ship_latency",
@@ -161,6 +162,7 @@ CURATED_FIRST: tuple[str, ...] = (
     "corpus_js_divergence_by_source",
     "bigram_kn_logprob_scores",
     "psi_drift_by_window",
+    "source_overlap_matrix",
     # X5 multimodal returning (resize roundtrip, out since r7)
     "multimodal_resize_8x8",
     # S1b docstore (sole family member, pinned)

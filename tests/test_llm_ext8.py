@@ -220,3 +220,23 @@ def test_psi_bucket_projection_is_single_agg(spark, sf_dir):
     df = REGISTRY["psi_drift_by_window"].fn(spark, sf_dir)
     plan = _plan(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_source_overlap_matrix_consistency(spark, sf_dir):
+    """The containment matrix must be a full |sources|^2 grid; overlap
+    counts are bounded by the source size; the directed edge evidence is
+    symmetric in EXISTENCE (A overlaps B iff B overlaps A, though the
+    shares differ); and every (n_overlap > 0) cell is backed by at least
+    one >=0.9 pair from the exact ssjoin contract."""
+    rows = REGISTRY["source_overlap_matrix"].fn(spark, sf_dir).collect()
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources * n_sources
+    by = {(r.src_a, r.src_b): r for r in rows}
+    for r in rows:
+        assert 0 <= r.n_overlap <= r.n_docs_a
+        assert r.share_x10000 == (r.n_overlap * 10000) // r.n_docs_a
+        assert (r.n_overlap > 0) == (by[(r.src_b, r.src_a)].n_overlap > 0)
+    assert sum(r.n_overlap for r in rows) > 0, "fixture has no near-dups?"

@@ -57,8 +57,9 @@ FAMILY_SENTINELS = {
                # whose families keep 9 / 1 other in-window members
                "bigram_kn_logprob_scores", "psi_drift_by_window",
                # streaming PSI twin displaced dedup_cluster_components
-               # (X2 keeps minhash/simhash-portable/semdedup in-window)
-               "stream_psi_drift_monitor"],
+               # (X2 keeps minhash/simhash-portable/semdedup in-window);
+               # overlap matrix displaced q18 (shape covered by q1/q3/q8/q9)
+               "stream_psi_drift_monitor", "source_overlap_matrix"],
 }
 
 
