@@ -317,7 +317,10 @@ def ivf_topk_batch(
     wprobe = Window.partitionBy(qid_col).orderBy(
         F.col("__csim").desc(), F.col(cell_col)
     )
-    probe = (
+    # |Q|·n_probe rows, consumed twice (the cand_max scalar probe below
+    # and the broadcast candidate join): persist so the centroid build +
+    # probe ranking run once, not once per consumer (ADVICE r9)
+    probe = tracked_persist(
         qset.crossJoin(F.broadcast(centroids))
         .withColumn("__csim", cosine(F.col("centroid"), F.col("__qvec")))
         .withColumn("__pr", F.row_number().over(wprobe))
@@ -740,7 +743,10 @@ def nn_descent_round(
     a shared neighbor two hops away.
 
     ``vectors`` must carry ``(id_col, __v, __n)`` (double vector + norm),
-    e.g. the :func:`nearest_centroid` output.
+    e.g. the :func:`nearest_centroid` output. ``edges.cos_sim`` must be the
+    integer ten-thousandth score :func:`score_id_pairs` emits — the merge
+    relies on exact-duplicate rows collapsing under ``distinct()``, which
+    integers guarantee and rounded doubles only mostly do.
 
     Plan at 100 TB: every frame is edge-bounded, never corpus-quadratic.
     The undirected list is ≤ 2·n·k rows; each node's expansion fan-out is
@@ -788,9 +794,20 @@ def score_id_pairs(
     pairs: DataFrame, vectors: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:
     """Exactly score an id-pair frame ``(src_id, cand_id)`` against the
-    vector table: two equi-joins on near-uniform id keys + the rounded
+    vector table: two equi-joins on near-uniform id keys + the scored
     cosine — the shared scoring tail of NN-Descent rounds and seed-edge
-    construction. ``vectors`` carries ``(id_col, __v, __n)``."""
+    construction. ``vectors`` carries ``(id_col, __v, __n)``.
+
+    ``cos_sim`` is emitted as an INTEGER ten-thousandth (BIGINT,
+    ``ROUND(cos * 10000)``), not a 4-decimal double: the registry header
+    bans rounded float divisions in hash contracts (Spark rounds the
+    shortest decimal representation via BigDecimal HALF_UP, DuckDB rounds
+    the raw binary double, and they disagree exactly at ``x.xxxx5``
+    boundaries — which NN-Descent's iterative merge then amplifies into
+    different top-W membership). Integer scores compare and hash
+    bit-identically on both engines (the ``mmr_rerank`` precedent);
+    consumers emit ``cos_i / 10000.0`` at the query boundary, a single
+    exact IEEE division that round-trips identically everywhere."""
     va = vectors.select(
         F.col(id_col).alias("src_id"), F.col("__v").alias("sv"), F.col("__n").alias("sn")
     )
@@ -803,9 +820,11 @@ def score_id_pairs(
         .select(
             "src_id",
             F.col("cand_id").alias("nbr_id"),
-            F.round(dot(F.col("sv"), F.col("cv")) / (F.col("sn") * F.col("cn")), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("sv"), F.col("cv")) / (F.col("sn") * F.col("cn")) * 10000
+            )
+            .cast("long")
+            .alias("cos_sim"),
         )
     )
 

@@ -361,8 +361,8 @@ def _knn_base_cte() -> str:
     {_semdedup_assign_cte(1)},
     p AS (
       SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
-             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
-                   / (a.nrm * b.nrm), 4) AS cos_sim
+             CAST(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
+                   / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_sim
       FROM assign a JOIN assign b
         ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
     ),
@@ -375,7 +375,7 @@ def _knn_base_cte() -> str:
 def _knn_oracle() -> str:
     return f"""
     {_knn_base_cte()}
-    SELECT src_id, CAST(rnk AS INT) AS rank, nbr_id, cos_sim
+    SELECT src_id, CAST(rnk AS INT) AS rank, nbr_id, cos_sim / 10000.0 AS cos_sim
     FROM e0 WHERE rnk <= {_KNN_K} ORDER BY src_id, rank
     """
 
@@ -408,8 +408,8 @@ def _knn_round_cte(i: int, cap: int, w: int) -> str:
     ),
     resc{i} AS (
       SELECT c.src_id, c.nbr_id,
-             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * y.v[d]))
-                   / (x.nrm * y.nrm), 4) AS cos_sim
+             CAST(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * y.v[d]))
+                   / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_sim
       FROM cand{i} c
       JOIN assign x ON x.vec_id = c.src_id
       JOIN assign y ON y.vec_id = c.nbr_id
@@ -450,8 +450,8 @@ def _knn_refined_cte() -> str:
     ),
     sesc AS (
       SELECT s.src_id, s.nbr_id,
-             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * y.v[d]))
-                   / (x.nrm * y.nrm), 4) AS cos_sim
+             CAST(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * y.v[d]))
+                   / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_sim
       FROM seeds s
       JOIN assign x ON x.vec_id = s.src_id
       JOIN assign y ON y.vec_id = s.nbr_id
@@ -472,7 +472,8 @@ def _knn_nn_descent_oracle() -> str:
     top-K re-rank."""
     return f"""
     {_knn_refined_cte()}
-    SELECT src_id, CAST(rn AS INT) AS rank, nbr_id, cos_sim FROM (
+    SELECT src_id, CAST(rn AS INT) AS rank, nbr_id,
+           cos_sim / 10000.0 AS cos_sim FROM (
       SELECT src_id, nbr_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY src_id
                                 ORDER BY cos_sim DESC, nbr_id) AS rn
@@ -502,13 +503,17 @@ def q_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds over the edge list, each round the same bounded join shape.
     """
     _, edges = _knn_base_edges(spark, sf_dir)
-    return edges.orderBy("src_id", "rank")
+    return edges.withColumn("cos_sim", F.col("cos_sim") / 10000.0).orderBy(
+        "src_id", "rank"
+    )
 
 
 def _knn_base_edges(spark: SparkSession, sf_dir: str):
     """Shared Spark-side base graph: returns ``(assign, edges)`` — the
     nearest-centroid assignment (vectors + norms ride along for re-scoring)
-    and the ranked within-cell top-K edge list."""
+    and the ranked within-cell top-K edge list. ``cos_sim`` is the integer
+    ten-thousandth score throughout the graph family (see
+    ``score_id_pairs``); registered queries divide by 10⁴ at the boundary."""
     from ..operators.similarity import dot, knn_topk_edges, nearest_centroid
 
     emb = load(spark, sf_dir, "embeddings")
@@ -525,7 +530,10 @@ def _knn_base_edges(spark: SparkSession, sf_dir: str):
         F.col("__v").alias("bv"),
         F.col("__n").alias("bn"),
     )
-    cos = F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4)
+    cos = (
+        F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")) * 10000)
+        .cast("long")
+    )
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("src_id") != F.col("nbr_id"))
@@ -569,23 +577,32 @@ def q_knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_topk_edges
 
     _, work = _knn_refined_tables(spark, sf_dir)
-    return knn_topk_edges(work.select("src_id", "nbr_id", "cos_sim"), _KNN_K).orderBy(
-        "src_id", "rank"
+    return (
+        knn_topk_edges(work.select("src_id", "nbr_id", "cos_sim"), _KNN_K)
+        .withColumn("cos_sim", F.col("cos_sim") / 10000.0)
+        .orderBy("src_id", "rank")
     )
 
 
 _KNN_GRAPH_MEMO: dict[tuple[str, str], tuple[str, str]] = {}
 _KNN_GRAPH_ROOT: list[str] = []
+_KNN_GRAPH_LOCK = __import__("threading").Lock()
 
 
 def _knn_graph_root() -> str:
     # Per-PROCESS private root (tempfile.mkdtemp is collision-free), so
     # concurrent processes never overwrite each other's parquet mid-read —
-    # the _static_dedup_index pattern.
+    # the _static_dedup_index pattern. atexit-reaped: long-lived harness
+    # processes would otherwise leak one (assign, work) parquet copy per
+    # (sf_dir, partitions) key (ADVICE r9).
     if not _KNN_GRAPH_ROOT:
+        import atexit
+        import shutil
         import tempfile
 
-        _KNN_GRAPH_ROOT.append(tempfile.mkdtemp(prefix="mfe_knn_graph_"))
+        root = tempfile.mkdtemp(prefix="mfe_knn_graph_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _KNN_GRAPH_ROOT.append(root)
     return _KNN_GRAPH_ROOT[0]
 
 
@@ -608,22 +625,33 @@ def _knn_refined_tables(spark: SparkSession, sf_dir: str):
     """
     import hashlib
     import os
+    import uuid
 
     parts = spark.conf.get("spark.sql.shuffle.partitions", "")
     key = (os.path.abspath(sf_dir), parts)
-    paths = _KNN_GRAPH_MEMO.get(key)
-    if paths is None:
-        digest = hashlib.sha256(f"{key[0]}\x00{parts}".encode()).hexdigest()[:16]
-        base = os.path.join(_knn_graph_root(), digest)
-        a_path = os.path.join(base, "assign")
-        w_path = os.path.join(base, "work")
-        assign, work = _knn_refined_work(spark, sf_dir)
-        assign.write.mode("overwrite").parquet(a_path)
-        work.select("src_id", "nbr_id", "cos_sim").write.mode("overwrite").parquet(
-            w_path
-        )
-        paths = (a_path, w_path)
-        _KNN_GRAPH_MEMO[key] = paths
+    # Lock held across check-build-publish: if a harness ever runs two
+    # graph consumers concurrently (or re-enters after a timeout/retry),
+    # an unlocked memo lets two builders overwrite ONE path while a reader
+    # holds it open — mixed/partial tables with plausible row counts, the
+    # exact unreproducible-divergence shape of CORRECTNESS_r09's red rows.
+    # The build itself writes to a fresh uuid temp dir and publishes with
+    # an atomic os.rename; a published path is never rewritten.
+    with _KNN_GRAPH_LOCK:
+        paths = _KNN_GRAPH_MEMO.get(key)
+        if paths is None:
+            digest = hashlib.sha256(f"{key[0]}\x00{parts}".encode()).hexdigest()[:16]
+            base = os.path.join(_knn_graph_root(), digest)
+            a_path = os.path.join(base, "assign")
+            w_path = os.path.join(base, "work")
+            if not (os.path.isdir(a_path) and os.path.isdir(w_path)):
+                tmp = os.path.join(_knn_graph_root(), f".build-{uuid.uuid4().hex}")
+                assign, work = _knn_refined_work(spark, sf_dir)
+                assign.write.parquet(os.path.join(tmp, "assign"))
+                work.select("src_id", "nbr_id", "cos_sim").write.parquet(
+                    os.path.join(tmp, "work")
+                )
+                os.rename(tmp, base)
+            _KNN_GRAPH_MEMO[key] = paths = (a_path, w_path)
     return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
 
 
@@ -695,8 +723,8 @@ def _gs_hop_cte(i: int) -> str:
         SELECT vec_id, cos_sim FROM {prev}
         UNION ALL
         SELECT u.nbr AS vec_id,
-               ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * qq.qv[d]))
-                     / (x.nrm * qq.qn), 4) AS cos_sim
+               CAST(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * qq.qv[d]))
+                     / (x.nrm * qq.qn) * 10000) AS BIGINT) AS cos_sim
         FROM bm{i} b
         JOIN gund u ON u.node = b.vec_id
         JOIN assign x ON x.vec_id = u.nbr
@@ -724,11 +752,11 @@ def _graph_search_oracle() -> str:
     ),
     gv0 AS MATERIALIZED (
       SELECT DISTINCT x.vec_id,
-             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * qq.qv[d]))
-                   / (x.nrm * qq.qn), 4) AS cos_sim
+             CAST(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * qq.qv[d]))
+                   / (x.nrm * qq.qn) * 10000) AS BIGINT) AS cos_sim
       FROM ent e JOIN assign x ON x.vec_id = e.vec_id CROSS JOIN qq
     ){hops}
-    SELECT vec_id, cos_sim FROM gv{_GS_HOPS}
+    SELECT vec_id, cos_sim / 10000.0 AS cos_sim FROM gv{_GS_HOPS}
     ORDER BY cos_sim DESC, vec_id LIMIT {_GS_K}
     """
 
@@ -783,14 +811,17 @@ def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dot
 
     def score(ids: DataFrame) -> list:
+        # integer ten-thousandth scores end-to-end (score_id_pairs contract)
         return (
             ids.join(assign, "vec_id")
             .crossJoin(F.broadcast(qv))
             .select(
                 "vec_id",
                 F.round(
-                    dot(F.col("__v"), F.col("qv")) / (F.col("__n") * F.col("qn")), 4
-                ).alias("cos_sim"),
+                    dot(F.col("__v"), F.col("qv")) / (F.col("__n") * F.col("qn")) * 10000
+                )
+                .cast("long")
+                .alias("cos_sim"),
             )
             .collect()
         )
@@ -807,7 +838,7 @@ def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries = spark.createDataFrame(
         [(stride * g,) for g in range(_GS_ENTRIES)], "vec_id long"
     )
-    visited: dict[int, float] = {
+    visited: dict[int, int] = {
         r.vec_id: r.cos_sim for r in score(entries)
     }
     for _ in range(_GS_HOPS):
@@ -822,4 +853,6 @@ def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in score(nbrs):
             visited[r.vec_id] = r.cos_sim
     top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:_GS_K]
-    return spark.createDataFrame(top, "vec_id long, cos_sim double")
+    return spark.createDataFrame(
+        [(i, s / 10000.0) for i, s in top], "vec_id long, cos_sim double"
+    )

@@ -560,7 +560,8 @@ PSI_ORACLE_SQL = f"""
     WITH eb AS (
       SELECT event_type,
              CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS wnd,
-             LEAST(CAST(ROUND(value * 100) AS BIGINT) // 5000, {_PSI_B - 1}) AS b
+             LEAST(GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) // 5000,
+                   {_PSI_B - 1}) AS b
       FROM events
     ),
     sc AS (SELECT event_type, wnd, b, COUNT(*) AS c FROM eb GROUP BY 1, 2, 3),
@@ -635,9 +636,14 @@ def q_psi_drift_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def psi_value_bucket() -> "F.Column":
     """The PSI value-histogram bucket id as a map-only integer projection:
     ROUND(value·100) to exact cents, then integer DIV — shared by the
-    batch query and its streaming twin so both arms bucket identically."""
+    batch query and its streaming twin so both arms bucket identically.
+    Cents clamp at 0 first: Spark DIV truncates toward zero while DuckDB
+    ``//`` floors, so a negative value would bucket as 0 vs −1 across
+    engines (ADVICE r9); clamping makes any negative value bucket 0 on
+    both arms instead of silently relying on the fixture's value ≥ 0."""
     return F.least(
-        F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 5000"), F.lit(_PSI_B - 1)
+        F.expr("GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) DIV 5000"),
+        F.lit(_PSI_B - 1),
     )
 
 
@@ -716,7 +722,7 @@ _SOM_T = 0.9  # near-dup Jaccard threshold (the ssjoin/minhash contract)
       FROM inter
       JOIN sizes sa ON inter.id_a = sa.doc_id
       JOIN sizes sb ON inter.id_b = sb.doc_id
-      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_SOM_T}
+      WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= {_SOM_T}
     ),
     dir AS (SELECT id_a AS d, id_b AS o FROM pairs
             UNION ALL SELECT id_b, id_a FROM pairs),

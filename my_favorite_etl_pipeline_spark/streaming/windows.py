@@ -407,8 +407,15 @@ def stream_current_window_histogram(
     histogram as its standing state and re-emits PSI per trigger.
     """
     stream = read_events_stream(spark, sf_dir)
+    # NOT plain ts >= split: the batch twin buckets NULL ts into the
+    # CURRENT window (otherwise(1)/ELSE 1), so the stream must keep
+    # NULL-ts rows too or the stream-vs-batch parity contract breaks on
+    # nullable ts (ADVICE r9). The NULL arm is explicit — under
+    # three-valued logic both ts >= split AND NOT(ts < split) drop NULLs.
     agg = (
-        stream.filter(F.col("ts") >= F.lit(split).cast("timestamp"))
+        stream.filter(
+            F.col("ts").isNull() | (F.col("ts") >= F.lit(split).cast("timestamp"))
+        )
         .select("event_type", bucket_col.alias("b"))
         .groupBy("event_type", "b")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -5,13 +5,19 @@ matching oracle SQL in DuckDB over the same parquet tables, and compares
 row count, column names, and an order-insensitive value hash (values rounded
 / normalized the same way on both sides).
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--dump] [sf_dir] [query ...]
+
+``--dump``: for every FAILING comparison, write the full per-row symmetric
+difference (spark-only rows, oracle-only rows, sorted) to
+``.tmp/diff_<name>.txt`` so a driver-red row is diagnosable mechanically
+instead of from 3-row inline samples (VERDICT r9 item 2).
 """
 
 from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 import traceback
@@ -22,8 +28,11 @@ import duckdb
 
 from my_favorite_etl_pipeline_spark.caching import materialized_scope
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = [a for a in sys.argv[1:] if a != "--dump"]
+DUMP = "--dump" in sys.argv[1:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -113,6 +122,20 @@ def main() -> int:
             for label, diff in (("spark-only", sset - dset), ("duck-only", dset - sset)):
                 for row in list(diff)[:3]:
                     print(f"      {label}: {row[:200]}")
+            if DUMP:
+                os.makedirs(TMP, exist_ok=True)
+                path = os.path.join(TMP, f"diff_{name}.txt")
+                with open(path, "w") as fh:
+                    fh.write(f"# {name} @ {SF_DIR}: {'; '.join(problems)}\n")
+                    fh.write(f"# columns (spark): {scols}\n# columns (duck): {dcols}\n")
+                    for label, diff in (
+                        ("spark-only", sorted(sset - dset)),
+                        ("oracle-only", sorted(dset - sset)),
+                    ):
+                        fh.write(f"## {label}: {len(diff)} rows\n")
+                        for row in diff:
+                            fh.write(row.replace("\x01", " | ") + "\n")
+                print(f"      full diff -> {path}")
             failures.append(name)
         else:
             print(f"PASS  {name} ({len(srows)} rows, {dt:.1f}s)")

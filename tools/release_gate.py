@@ -68,8 +68,12 @@ def main() -> int:
     results.append(("pytest", rc, _grep_tail(log, r"\d+ passed[^\n]*")))
 
     if not fast:
-        rc, log = _run("sweep_sf01", [sys.executable, "tools/check.py", SF01_DIR])
+        # --dump: any failing comparison leaves its full per-row symmetric
+        # difference in .tmp/diff_<name>.txt (divergence forensics, r10)
+        rc, log = _run("sweep_sf01", [sys.executable, "tools/check.py", "--dump", SF01_DIR])
         results.append((f"oracle sweep @ {SF01_DIR}", rc, _grep_tail(log, r"\d+ failures[^\n]*")))
+        if rc != 0:
+            print(f"[gate] sweep FAILED — per-query row diffs under {TMP}/diff_*.txt", flush=True)
 
         rc, log = _run("determinism", [sys.executable, "tools/determinism.py", SF001_DIR])
         results.append((f"determinism @ {SF001_DIR}", rc, _grep_tail(log, r"\d+ failures[^\n]*")))
