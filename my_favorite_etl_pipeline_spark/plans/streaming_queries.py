@@ -347,3 +347,150 @@ def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = ref.unionByName(cur.select("event_type", "b", "c", "wnd"))
     return psi_assemble(spark, sc)
 
+
+
+def _psi_windowed_oracle() -> str:
+    from .llm_ext8 import _PSI_B, _PSI_SPLIT
+
+    bucket = (
+        f"LEAST(GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) // 5000, "
+        f"{_PSI_B - 1})"
+    )
+    return f"""
+    WITH wm AS (
+      SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events
+      WHERE ts >= TIMESTAMP '{_PSI_SPLIT}'
+    ),
+    cur AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             {bucket} AS b, COUNT(*) AS c
+      FROM events, wm
+      WHERE ts >= TIMESTAMP '{_PSI_SPLIT}'
+        AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+      GROUP BY 1, 2, 3
+    ),
+    ref AS (
+      SELECT event_type, {bucket} AS b, COUNT(*) AS c
+      FROM events WHERE ts < TIMESTAMP '{_PSI_SPLIT}' GROUP BY 1, 2
+    ),
+    wins AS (SELECT DISTINCT window_start FROM cur),
+    types AS (
+      SELECT DISTINCT event_type FROM ref
+      UNION SELECT DISTINCT event_type FROM cur
+    ),
+    grid AS (
+      SELECT w.window_start, t.event_type, g.b
+      FROM wins w CROSS JOIN types t
+      CROSS JOIN (SELECT UNNEST(range({_PSI_B})) AS b) g
+    ),
+    nr AS (SELECT event_type, SUM(c) AS n FROM ref GROUP BY 1),
+    nc AS (SELECT window_start, event_type, SUM(c) AS n FROM cur GROUP BY 1, 2),
+    pq AS (
+      SELECT g.window_start, g.event_type,
+             COALESCE(nr.n, 0) AS n_ref, COALESCE(nc.n, 0) AS n_cur,
+             (COALESCE(r.c, 0) + 1.0) / (COALESCE(nr.n, 0) + {_PSI_B}.0) AS q,
+             (COALESCE(cu.c, 0) + 1.0) / (COALESCE(nc.n, 0) + {_PSI_B}.0) AS p
+      FROM grid g
+      LEFT JOIN ref r ON r.event_type = g.event_type AND r.b = g.b
+      LEFT JOIN cur cu ON cu.window_start = g.window_start
+                      AND cu.event_type = g.event_type AND cu.b = g.b
+      LEFT JOIN nr ON nr.event_type = g.event_type
+      LEFT JOIN nc ON nc.window_start = g.window_start
+                  AND nc.event_type = g.event_type
+    )
+    SELECT window_start, event_type,
+           CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+           ROUND(SUM((p - q) * LN(p / q)), 4) AS psi
+    FROM pq GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("stream_psi_windowed_append", oracle=_psi_windowed_oracle())
+def q_stream_psi_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 × DQ (r10) — the PSI drift monitor in its PRODUCTION trigger
+    mode: per-window PSI emitted as WATERMARKS CLOSE windows (append mode),
+    not one complete-mode snapshot. The live stream aggregates (window,
+    event_type, bucket) histograms under ``withWatermark("ts", "1 hour")``;
+    a tumbling 1-hour window's histogram emits exactly once when the
+    watermark passes its end, stragglers are dropped, and STILL-OPEN
+    windows are never scored (closes the r9 gap: the complete-mode
+    ``stream_psi_drift_monitor`` stays as the bounded-run parity check,
+    this is the shape a deployed monitor runs). Each closed window's
+    distribution is scored against the static reference snapshot
+    (ts < split) with the same Laplace-smoothed 10-bucket PSI as the batch
+    twin; output is one row per (closed window, event type).
+
+    Plan at 100 TB: streaming state is |open windows|×|types|×buckets rows
+    and watermark eviction bounds |open windows| by the lateness budget —
+    state can never grow with stream length (the complete-mode twin's
+    documented weakness). Emission is append-only into the model-sized PSI
+    assembly: reference totals broadcast, every join key is (window, type,
+    bucket) — nothing corpus-sized moves after the first aggregate. The
+    oracle replays the watermark policy in SQL: a window participates iff
+    its end ≤ max event time − the watermark delay, and NULL-ts rows are
+    excluded on both arms (event-time windowing requires a timestamp).
+    """
+    from .llm_ext8 import _PSI_B, _PSI_SPLIT, psi_value_bucket
+    from ..streaming.windows import stream_windowed_histograms
+
+    # localCheckpoint: the histogram is referenced FOUR times below (wins,
+    # types, per-cell counts, per-window totals) and the memory-sink
+    # relation does not self-join cleanly when derived frames meet
+    # (conflicting-reference resolution error); checkpointing to a leaf
+    # makes every reference a fresh instance. Bounded: |closed windows| ×
+    # |types| × buckets rows — model-sized, never corpus-sized.
+    cur = stream_windowed_histograms(
+        spark, sf_dir, _PSI_SPLIT, psi_value_bucket()
+    ).localCheckpoint(eager=True)
+    ref = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"))
+        .select("event_type", psi_value_bucket().alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wins = cur.select("window_start").distinct()
+    types = (
+        ref.select("event_type").union(cur.select("event_type")).distinct()
+    )
+    grid = (
+        wins.crossJoin(F.broadcast(types))
+        .crossJoin(
+            F.broadcast(spark.range(_PSI_B).select(F.col("id").alias("b")))
+        )
+    )
+    nr = ref.groupBy("event_type").agg(F.sum("c").alias("nrn"))
+    nc = cur.groupBy("window_start", "event_type").agg(F.sum("c").alias("nun"))
+    bb = float(_PSI_B)
+    pq = (
+        grid.join(F.broadcast(ref.withColumnRenamed("c", "cr")), ["event_type", "b"], "left")
+        .join(
+            F.broadcast(cur.withColumnRenamed("c", "cc_")),
+            ["window_start", "event_type", "b"],
+            "left",
+        )
+        .join(F.broadcast(nr), "event_type", "left")
+        .join(F.broadcast(nc), ["window_start", "event_type"], "left")
+        .select(
+            "window_start",
+            "event_type",
+            F.coalesce(F.col("nrn"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("nun"), F.lit(0)).alias("n_cur"),
+            ((F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
+             / (F.coalesce(F.col("nrn"), F.lit(0)) + bb)).alias("q"),
+            ((F.coalesce(F.col("cc_"), F.lit(0)) + 1.0)
+             / (F.coalesce(F.col("nun"), F.lit(0)) + bb)).alias("p"),
+        )
+    )
+    return (
+        pq.groupBy("window_start", "event_type")
+        .agg(
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 4
+            ).alias("psi"),
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -392,6 +392,64 @@ def stream_ingest_dedup_pairs(
     return spark.table(sink_name).orderBy("doc_id", "ref_id")
 
 
+def stream_windowed_histograms(
+    spark: SparkSession,
+    sf_dir: str,
+    split: str,
+    bucket_col,
+    watermark: str = "1 hour",
+    input_dir: str | None = None,
+    schema=None,
+) -> DataFrame:
+    """Per-WINDOW value histograms of the live stream in APPEND mode with a
+    watermark — the production emission mode of the PSI drift monitor: each
+    tumbling 1-hour window's (event_type, bucket) counts emit exactly ONCE,
+    when the watermark (max event time − {watermark}) passes the window end;
+    later stragglers are dropped (the ``watermarked_hourly_counts`` late-data
+    policy). Rows for windows still open at end-of-input are NOT emitted —
+    a monitor never scores a window it may still be accumulating.
+
+    NULL-ts note: event-time windowing requires a timestamp, so NULL-ts rows
+    are excluded here BY CONSTRUCTION (unlike the complete-mode twin, which
+    buckets them into the current window); the oracle filters identically.
+
+    ``input_dir``/``schema``: test hook — read an explicit-schema directory
+    one file per micro-batch (the ``watermarked_hourly_counts`` recipe) so
+    watermark advancement between batches is observable; the default reads
+    the fixture events table.
+    """
+    if input_dir is not None:
+        stream = normalize_event_time(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(input_dir)
+        )
+    else:
+        stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.filter(F.col("ts") >= F.lit(split).cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select("ts", "event_type", bucket_col.alias("b"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "b", "c"
+        )
+    )
+    sink_name = f"psi_wnd_sink_{int(time.time() * 1000) % 10_000_000}"
+    with stream_shuffle_scope(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink_name)
+
+
 def stream_current_window_histogram(
     spark: SparkSession, sf_dir: str, split: str, bucket_col, n_types_hint: int = 8
 ) -> DataFrame:

@@ -338,3 +338,77 @@ def test_stream_psi_matches_batch_twin(spark, sf_dir):
         for r in REGISTRY["psi_drift_by_window"].fn(spark, sf_dir).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_windowed_psi_histograms_respect_watermark(spark, tmp_path):
+    """The append-mode PSI histogram source (stream_windowed_histograms)
+    must (a) emit a window's histogram exactly once, after the watermark
+    passes its end, (b) drop a straggler aimed at a closed window, and
+    (c) never emit windows still open at end-of-input — the on-time-file /
+    late-file / closed-window recipe of test_watermark_drops_late_rows."""
+    import glob
+    import shutil
+
+    from my_favorite_etl_pipeline_spark.plans.llm_ext8 import psi_value_bucket
+    from my_favorite_etl_pipeline_spark.streaming.windows import (
+        stream_windowed_histograms,
+    )
+
+    schema = T.StructType(
+        EVENT_SCHEMA.fields + [T.StructField("event_type", T.StringType())]
+    )
+    in_dir = str(tmp_path / "psi_stream_in")
+    os.makedirs(in_dir)
+
+    def _file(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/{name}")
+
+    R = Row("event_id", "ts", "value", "event_type")
+    # batch 1: two on-time rows in the 01:00 window (buckets 0 and 1)
+    _file(
+        [
+            R(1, TS(2024, 1, 1, 1, 10), 10.0, "click"),
+            R(2, TS(2024, 1, 1, 1, 40), 60.0, "click"),
+            R(3, TS(2024, 1, 1, 3, 59), 10.0, "click"),
+        ],
+        "b1.parquet",
+    )
+    # batch 2: watermark jumps past 01:00's end (max ts 05:30 - 1h)
+    _file([R(5, TS(2024, 1, 1, 5, 30), 10.0, "click")], "b2.parquet")
+    # batch 3: straggler aimed at the closed 01:00 window + a fresh row
+    _file(
+        [
+            R(4, TS(2024, 1, 1, 1, 50), 10.0, "click"),  # late → dropped
+            R(6, TS(2024, 1, 1, 7, 30), 10.0, "click"),
+        ],
+        "b3.parquet",
+    )
+    files = []
+    for sub in ("b1.parquet", "b2.parquet", "b3.parquet"):
+        (part,) = glob.glob(f"{in_dir}/{sub}/part-*.parquet")
+        dst = f"{in_dir}/{sub.replace('.parquet', '_data.parquet')}"
+        shutil.copy(part, dst)
+        files.append(dst)
+        shutil.rmtree(f"{in_dir}/{sub}")
+    now = time.time()
+    for i, f in enumerate(files):
+        os.utime(f, (now - 120 + i * 60, now - 120 + i * 60))
+
+    out = stream_windowed_histograms(
+        spark,
+        sf_dir="",
+        split="2000-01-01 00:00:00",
+        bucket_col=psi_value_bucket(),
+        input_dir=in_dir,
+        schema=schema,
+    ).collect()
+    by_window = {}
+    for r in out:
+        by_window.setdefault(r.window_start, []).append(r)
+    # 01:00 closed with ONLY the two on-time rows (buckets 0, 1), once
+    w1 = sorted((r.b, r.c) for r in by_window[TS(2024, 1, 1, 1, 0)])
+    assert w1 == [(0, 1), (1, 1)]
+    # the straggler's window never re-emits; open tail windows never emit
+    assert TS(2024, 1, 1, 7, 0) not in by_window
