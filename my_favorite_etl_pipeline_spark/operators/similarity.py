@@ -868,7 +868,14 @@ def semdedup_pairs(
     structs)+sort_array+slice aggregate over the (cos, cid) scores only
     (map-side combinable, k-bounded — no per-vector window, and the
     64-dim vector itself is never replicated across the k scored rows).
+
+    ``k`` may be ``"auto"`` (r10): resolved ONCE here via
+    :func:`resolve_cell_count` so the centroid build and the assignment
+    see the same count, cell COUNT scales with the corpus, and the
+    Σ|cluster|² join stays linear in n (the registered auto-k twin is the
+    benched scale-safe plan).
     """
+    k = resolve_cell_count(corpus, k)
     side = ensure_min_partitions(corpus).select(
         F.col(id_col), _dbl(F.col(vec_col)).alias("__v"), norm(F.col(vec_col)).alias("__n")
     )

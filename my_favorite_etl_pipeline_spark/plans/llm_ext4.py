@@ -300,12 +300,24 @@ def q_dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_assign_cte(assign_top: int) -> str:
+#: SQL twin of operators.similarity.resolve_cell_count(k="auto",
+#: target_cell_size=64): the oracle derives the cell count from the SAME
+#: rule the engine resolves, so auto-k queries replay without a Python-side
+#: count leaking into the oracle text.
+AUTO_K_SQL = (
+    "(SELECT GREATEST(4, LEAST(1048576, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)))"
+    " FROM embeddings)"
+)
+
+
+def _semdedup_assign_cte(assign_top: int, k_sql: str = "8") -> str:
     """The shared CTE prefix — fixed-point hash centroids + top-m
     nearest-centroid assignment (mirrors operators.similarity
     build_hash_centroids / nearest_centroid). Factored (r8) so the
     SemDeDup pair oracles AND the kNN-graph oracle (llm_ext7) replay ONE
-    assignment text and cannot drift."""
+    assignment text and cannot drift. ``k_sql`` is the cell-count
+    expression — a literal for the fixed-k flagships, ``AUTO_K_SQL`` for
+    the auto-k twins (r10)."""
     return f"""
     WITH n AS (
       SELECT vec_id,
@@ -314,7 +326,7 @@ def _semdedup_assign_cte(assign_top: int) -> str:
       FROM embeddings
     ),
     dims AS (
-      SELECT vec_id % 8 AS cid, d.dim AS dim,
+      SELECT vec_id % {k_sql} AS cid, d.dim AS dim,
              CAST(FLOOR(v[d.dim] * 10000000.0) AS BIGINT) AS sv
       FROM n, (SELECT UNNEST(range(1, 65)) AS dim) d
     ),
@@ -339,14 +351,15 @@ def _semdedup_assign_cte(assign_top: int) -> str:
     )"""
 
 
-def _semdedup_oracle(assign_top: int) -> str:
+def _semdedup_oracle(assign_top: int, k_sql: str = "8") -> str:
     """SemDeDup oracle, parameterized by the per-vector assignment count
     (r7): top-1 is classic SemDeDup; top-2 is the boundary-recall variant.
     The pair aggregate (GROUP BY pair, MIN over identical values) is an
     identity at top-1 and the duplicate-cell collapse at top-2, so ONE
-    template serves both and cannot drift."""
+    template serves both and cannot drift. ``k_sql``: see
+    ``_semdedup_assign_cte``."""
     return f"""
-    {_semdedup_assign_cte(assign_top)},
+    {_semdedup_assign_cte(assign_top, k_sql)},
     p AS (
       SELECT MIN(a.cluster) AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
              MIN(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
@@ -403,6 +416,29 @@ def q_semdedup_cluster_pairs_top2(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load(spark, sf_dir, "embeddings")
     return semdedup_pairs(emb, threshold=0.4, k=8, assign_top=2)
+
+
+@register(
+    "semdedup_cluster_pairs_auto_k",
+    oracle=_semdedup_oracle(1, k_sql=AUTO_K_SQL),
+)
+def q_semdedup_cluster_pairs_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ (r10) — SemDeDup with the AUTO cell count, the scale-safe plan
+    (VERDICT r9 item 5): ``k = max(4, ceil(n / 64))`` from
+    ``resolve_cell_count``, so cell COUNT grows with the corpus and cell
+    SIZE stays pinned at the 64-vector target — the within-cell Σ|cell|²
+    candidate join is O(n·64), linear in n, where the k=8 flagship (kept
+    for oracle-replay continuity and as the recall baseline) silently goes
+    quadratic past fixture scale. The oracle derives the SAME count in SQL
+    (``AUTO_K_SQL``), so the twin replays end-to-end with no Python count
+    in the oracle text. The linearity bound itself is pinned across a 10×
+    corpus growth in tests/test_recall_scales.py
+    (test_auto_cell_count_bounds_candidates_across_scales).
+    """
+    from ..operators.similarity import semdedup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, threshold=0.4, k="auto")
 
 
 @register(

@@ -274,3 +274,49 @@ def test_graph_ann_search_recall_floor_across_scales(spark, scale_dir):
     tag = os.path.basename(scale_dir)
     print(f"\ngraph_ann_search recall@20 @ {tag}: {r:.3f}")
     assert r >= _GS_FLOORS[tag], f"{scale_dir}: recall {r:.3f}"
+
+
+# Floors for the AUTO-k twins (r10, VERDICT r9 item 5). At sf0.01 the
+# resolve gives k = ceil(500/64) = 8 — identical to the fixed-k flagship,
+# so the floors coincide; at sf0.1 k = ceil(2000/64) = 32 and the smaller
+# 64-vector cells trade recall for the linear candidate bound (measured:
+# semdedup 0.134, knn base 0.135 vs the fixed-k 0.21/0.26). The floors sit
+# under the measurements to catch a collapse (broken centroid build →
+# recall ≈ 0) without flaking on fixture drift; the 10×-growth candidate
+# bound itself is pinned in test_auto_cell_count_bounds_candidates_*.
+_SEMDEDUP_AUTO_FLOORS = {"sf0.01": 0.2, "sf0.1": 0.08}
+_KNN_AUTO_FLOORS = {"sf0.01": 0.15, "sf0.1": 0.08}
+
+
+@pytest.mark.parametrize("scale_dir", SCALES)
+def test_auto_k_twins_recall_floors_across_scales(spark, scale_dir):
+    """The benched scale-safe plans (auto cell count) keep usable recall at
+    both scales, and at sf0.01 — where the resolve returns the flagship's
+    k=8 — they return EXACTLY the flagship's answer (same machinery, same
+    tie-breaks: the twin is a reparameterization, not a reimplementation)."""
+    _need(scale_dir)
+    from my_favorite_etl_pipeline_spark.operators.similarity import (
+        all_pairs_cosine,
+        semdedup_pairs,
+    )
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    tag = os.path.basename(scale_dir)
+    qs = engine.queries()
+    emb = load(spark, scale_dir, "embeddings")
+
+    exact = {(r.id_a, r.id_b) for r in all_pairs_cosine(emb, 0.4).collect()}
+    auto = {(r.id_a, r.id_b) for r in semdedup_pairs(emb, 0.4, k="auto").collect()}
+    r_sd = len(auto & exact) / len(exact)
+
+    true = _exact_knn_edges(scale_dir, 3)
+    ak = {(r.src_id, r.nbr_id) for r in qs["knn_graph_topk_auto_k"](spark, scale_dir).collect()}
+    r_knn = len(ak & true) / len(true)
+    print(f"\nauto-k recall @ {tag}: semdedup {r_sd:.3f}  knn_base {r_knn:.3f}")
+    assert r_sd >= _SEMDEDUP_AUTO_FLOORS[tag], f"{scale_dir}: semdedup {r_sd:.3f}"
+    assert r_knn >= _KNN_AUTO_FLOORS[tag], f"{scale_dir}: knn {r_knn:.3f}"
+    if tag == "sf0.01":
+        fixed = {(r.id_a, r.id_b) for r in semdedup_pairs(emb, 0.4, k=8).collect()}
+        assert auto == fixed
+        base = {(r.src_id, r.nbr_id) for r in qs["knn_graph_topk"](spark, scale_dir).collect()}
+        assert ak == base
