@@ -100,6 +100,12 @@ HEADLINE = [
 # is the deliberate O(n²) ground-truth baseline and dominates (~32 s).
 # r9 warm medians on a calm box: ngram 32.2, ivf_pq 13.0, stream_ingest
 # 12.0, rrf 6.6, knn_graph_topk 6.0, pq_adc 5.8, simhash_portable 5.2,
+# r10: knn_graph_topk's slot moves to its auto-k twin — the benched plan
+# must be the scale-safe one (VERDICT r9 item 5), and the measured swap
+# (box_factor 1.14, warm median of 3) is 11.9 s -> 5.3 s: resolve_cell_
+# count pins ~64-vector cells where fixed k=8 ran ~625-vector cells at
+# sf0.1. The fixed-k flagship stays registered (oracle-replay baseline,
+# still timed by the sweeps).
 # leakage 4.7, dsir 4.6, graph_ann_search 4.3 (its FIRST run pays the
 # ~43 s session graph build the medians amortize — chosen over
 # dsir_gumbel_topk_sample's 4.5, which shares dsir_importance_resample's
@@ -114,7 +120,7 @@ FULL = [
     "embedding_topk_ivf_pq",
     "stream_ingest_dedup_ssjoin",
     "rrf_hybrid_fusion_topk",
-    "knn_graph_topk",
+    "knn_graph_topk_auto_k",
     "embedding_topk_pq_adc",
     "simhash_near_dups_portable",
     "leakage_safe_split",

@@ -76,103 +76,89 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dataset-assembly, SCD2, and streaming. Names not yet registered are skipped,
 # so the list may lead the code; everything else follows in registration order.
 CURATED_FIRST: tuple[str, ...] = (
-    # R9 ROTATION (VERDICT r8 item 7): the never-checked backlog is ZERO,
-    # so the window's job flips from burn-down to DRIFT RE-DETECTION —
-    # every r8 first-exposure entry that went green rotates OUT (still
-    # verified by the full local harness + the end-of-round sf0.1 sweep)
-    # and the slots return long-rotated-out flagships: the r1-only
-    # relational tail (q8/q9/q18/grouping-sets/cube, last driver contact
-    # EIGHT rounds ago — the largest environment-drift surface in the
-    # registry), the r6/r7 flagships the r8 verdict named (q3, minhash,
-    # tfidf, bm25, span-dedup arms, multimodal resize, typed/variant
-    # chains), and the timeseries/sketch band (continuous_aggregate_rollup
-    # carries the cross-engine rounding scar tissue — exactly the entry
-    # drift bites first). The two r9 operators driver-check from day one
-    # (the exact_span/bm25 precedent).
+    # R10 ROTATION (VERDICT r9 item 6): drift re-detection continues — the
+    # nine r9 day-ones that went driver-green rotate OUT (still verified by
+    # the full local harness + the end-of-round sf0.1 sweep + determinism),
+    # their slots RETURN the five flagships they displaced
+    # (q5/q18/pivot/asof/dedup_cluster_components), and the six r10
+    # operators driver-check from day one: both auto-k scale-safe twins,
+    # the durable graph search, the unigram-LM trainer/encoder pair, and
+    # the watermarked append-mode PSI monitor. BOTH r9 hash-red rows
+    # (knn_graph_nn_descent, graph_ann_search_topk) stay IN per VERDICT r9
+    # item 1 — the integer-cosine + lock/atomic-rename fix needs a driver
+    # re-check to clear them. lang_id_heuristic and embedding_topk_
+    # pandas_udf complete the slot budget (X4 keeps 4 other members
+    # in-window, X3 keeps 7; the UDF surface stays pinned by equivalence
+    # tests). 44 of 50 entries are returning.
     #
     # reference-parity pipeline anchors (SURVEY §2.1-§2.8): pinned always
     "incremental_extract",
     "merge_upsert",
     "dq_gate",
     "reconciliation",
-    # relational returning: q3 (flagship, out since r7) + q1/q5 (r6) +
-    # the r1-only tail + both multi-dim agg surfaces
+    # relational: flagships + the full returning tail (q5/q18/pivot/asof
+    # return after yielding their r9 slots)
     "q3_shipping_priority",
     "q1_pricing_summary",
-    # q5_region_revenue (last driver contact r6) yields its slot to the r9
-    # KN-smoothing arm; relational keeps 9 other in-window members
+    "q5_region_revenue",
     "q8_market_share",
     "q9_profit_by_nation_year",
-    # q18_large_orders (agg+join+having, shape covered by in-window q1/q3/
-    # q8/q9) yields its slot to the r9 source-overlap matrix
+    "q18_large_orders",
     "grouping_sets_revenue",
     "cube_events",
+    "pivot_status_by_segment",
     "range_join_ship_latency",
-    # asof_last_click_before_purchase yields its slot to the r9 PSI drift
-    # audit; range_join keeps the specialty-join family in-window
-    # pivot_status_by_segment yields its slot to the r9 BPE encode arm
-    # (relational family keeps 10 other in-window members)
+    "asof_last_click_before_purchase",
     "scd2_status_history",
-    # transform/flatten chains (F3/P/J families, out since r6/r7)
+    # transform/flatten chains (F3/P/J families)
     "transform_chain",
     "typed_struct_props_chain",
     "variant_props_chain",
-    # timeseries + sketches (r1-only band; continuous_aggregate_rollup is
-    # the query whose sf0.1 rounding divergence wrote the registry header)
+    # timeseries + sketches (continuous_aggregate_rollup carries the
+    # cross-engine rounding scar tissue — exactly where drift bites first)
     "continuous_aggregate_rollup",
     "rolling_1h_user_stats",
     "hll_sketch_merge",
-    # model filters (family sentinel continues, 3rd exposure)
+    # model filters (family sentinel, 4th exposure)
     "quality_classifier_linear",
-    # X1 exact dedup + span arms (fingerprint-groups returns after the r8
-    # rotation displaced it — the sentinel-test lesson; the excise arm
-    # yields its slot to an r9 day-one, exact_span keeps the span family)
+    # X1 exact dedup + span arms
     "dedup_exact_groups",
     "dedup_fingerprint_groups",
     "exact_span_dedup_20tok",
-    # X2 near-dup returning: minhash flagship, portable simhash near-dups
-    # (which consume the signatures arm), semdedup base arm, full-lineage
-    # CC; ssjoin_prefix_filter + simhash_signatures_portable yield their
-    # slots to r9 day-ones
+    # X2 near-dup: flagships + BOTH semdedup postures (fixed-k baseline
+    # and the r10 auto-k scale-safe twin) + the returning full-lineage CC
     "minhash_near_dups",
     "simhash_near_dups_portable",
     "semdedup_cluster_pairs",
-    # dedup_cluster_components (judge-reverified local-O r8) yields its
-    # slot to the r9 streaming PSI monitor; X2 keeps 3 other sentinels
-    # X3 similarity returning: brute-force anchor, the pandas_udf arm, the
-    # k-means IVF arm, both sparse-retrieval flagships; r9's NN-Descent
-    # refinement, graph search and batched IVF serving check from day one
+    "semdedup_cluster_pairs_auto_k",
+    "dedup_cluster_components",
+    # X3 similarity: anchors + sparse retrieval + the graph family —
+    # auto-k base build (r10), both r9 REDS held in for re-check, and the
+    # durable serving posture (r10)
     "embedding_topk_bruteforce",
-    "embedding_topk_pandas_udf",
     "embedding_topk_ivf_kmeans",
-    "embedding_topk_ivf_batch",
     "tfidf_topk_similar_docs",
     "bm25_topk_docs",
+    "knn_graph_topk_auto_k",
     "knn_graph_nn_descent",
     "graph_ann_search_topk",
-    # X4 text returning + r9 day-ones (Gumbel sampler, BPE trainer,
-    # mixture-audit divergence)
+    "graph_ann_search_durable",
+    # X4 text + the r10 unigram-LM (SentencePiece-style) tokenizer pair
     "winnowing_fingerprints",
-    "lang_id_heuristic",
     "gopher_quality_flags",
     "contamination_13gram",
-    "dsir_gumbel_topk_sample",
-    "bpe_train_merges",
-    "bpe_encode_fertility",
-    "corpus_js_divergence_by_source",
-    "bigram_kn_logprob_scores",
-    "psi_drift_by_window",
-    "source_overlap_matrix",
-    # X5 multimodal returning (resize roundtrip, out since r7)
+    "unigram_lm_train_model",
+    "unigram_lm_encode_fertility",
+    # X5 multimodal (family sentinel)
     "multimodal_resize_8x8",
     # S1b docstore (sole family member, pinned)
     "docstore_lang_source_stats",
-    # dataset assembly returning (out since r5)
+    # dataset assembly
     "training_data_prep",
-    # X6 streaming returning: both r7-rotated anchors
+    # X6 streaming: both anchors + the r10 watermarked append-mode PSI
     "stream_tumbling_hourly",
     "stream_stream_attribution_join",
-    "stream_psi_drift_monitor",
+    "stream_psi_windowed_append",
 )
 
 

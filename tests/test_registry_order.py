@@ -18,48 +18,42 @@ DRIVER_CAP = 50
 # freezes (decimal_surface proved why: six rounds of local green, red on
 # first driver contact). r8 burned the never-checked backlog to zero.
 FAMILY_SENTINELS = {
-    # r9 window (VERDICT r8 item 7): backlog is zero, so the window's job
-    # is DRIFT RE-DETECTION — every family sentinel below is in-window at
-    # HEAD, and the bulk of the 50 slots are RETURNING entries (>=10
-    # required; this window carries ~40), including the r1-only relational
-    # tail (8 rounds since last driver contact) and the r6/r7 flagships
-    # the r8 verdict named. r9's two new operators check from day one.
+    # r10 window (VERDICT r9 item 6): drift re-detection — the nine green
+    # r9 day-ones rotated OUT, the five flagships they displaced RETURN
+    # (q5/q18/pivot/asof/dedup_cluster_components), both r9 hash-red graph
+    # rows stay IN for the fix re-check, and the six r10 operators check
+    # from day one. 44 of the 50 slots are returning entries (>=10
+    # required).
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
-    "relational": ["q3_shipping_priority", "q1_pricing_summary", "grouping_sets_revenue",
+    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q5_region_revenue",
+                   "q18_large_orders", "pivot_status_by_segment",
+                   "asof_last_click_before_purchase", "grouping_sets_revenue",
                    "cube_events", "scd2_status_history"],
     "transform-chains": ["transform_chain", "typed_struct_props_chain", "variant_props_chain"],
     "timeseries": ["continuous_aggregate_rollup", "rolling_1h_user_stats"],
-    # approx_distinct_users rotated out for graph_ann_search_topk (r9's
-    # third operator, landed after the rotation commit); hll_sketch_merge
-    # keeps the sketch band in-window
     "sketch": ["hll_sketch_merge"],
     "model-filters": ["quality_classifier_linear"],
     "X1-exact-dedup": ["dedup_exact_groups", "dedup_fingerprint_groups",
                        "exact_span_dedup_20tok"],
-    "X2-near-dup": ["minhash_near_dups", "simhash_near_dups_portable", "semdedup_cluster_pairs"],
-    "X3-similarity": ["embedding_topk_bruteforce", "embedding_topk_pandas_udf",
-                      "embedding_topk_ivf_kmeans", "tfidf_topk_similar_docs", "bm25_topk_docs"],
-    "X4-text": ["winnowing_fingerprints", "lang_id_heuristic", "gopher_quality_flags",
-                "contamination_13gram"],
+    # embedding_topk_pandas_udf rotated out (UDF surface stays pinned by
+    # the pandas/JVM equivalence test); lang_id_heuristic rotated out
+    # (X4 keeps four other members in-window)
+    "X2-near-dup": ["minhash_near_dups", "simhash_near_dups_portable",
+                    "semdedup_cluster_pairs", "dedup_cluster_components"],
+    "X3-similarity": ["embedding_topk_bruteforce", "embedding_topk_ivf_kmeans",
+                      "tfidf_topk_similar_docs", "bm25_topk_docs"],
+    "X4-text": ["winnowing_fingerprints", "gopher_quality_flags", "contamination_13gram"],
     "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
     "assembly": ["training_data_prep"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join"],
-    # brand-new r9 operators, driver-checked from day one (the late trio
-    # displaced dedup_excise_spans_20tok / ssjoin_prefix_filter /
-    # simhash_signatures_portable — each family keeps another sentinel)
-    "r9-new": ["knn_graph_nn_descent", "dsir_gumbel_topk_sample",
-               "graph_ann_search_topk", "bpe_train_merges",
-               "bpe_encode_fertility", "corpus_js_divergence_by_source",
-               "embedding_topk_ivf_batch",
-               # late r9 pair (KN smoothing, PSI drift) — displaced
-               # q5_region_revenue / asof_last_click_before_purchase,
-               # whose families keep 9 / 1 other in-window members
-               "bigram_kn_logprob_scores", "psi_drift_by_window",
-               # streaming PSI twin displaced dedup_cluster_components
-               # (X2 keeps minhash/simhash-portable/semdedup in-window);
-               # overlap matrix displaced q18 (shape covered by q1/q3/q8/q9)
-               "stream_psi_drift_monitor", "source_overlap_matrix"],
+    # the r9 REDS held in-window until CORRECTNESS_r10 shows them green
+    # (VERDICT r9 item 1)
+    "r9-reds-recheck": ["knn_graph_nn_descent", "graph_ann_search_topk"],
+    # brand-new r10 operators, driver-checked from day one
+    "r10-new": ["semdedup_cluster_pairs_auto_k", "knn_graph_topk_auto_k",
+                "graph_ann_search_durable", "unigram_lm_train_model",
+                "unigram_lm_encode_fertility", "stream_psi_windowed_append"],
 }
 
 
