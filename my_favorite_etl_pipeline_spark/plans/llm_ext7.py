@@ -897,6 +897,95 @@ def graph_beam_search(
 
 
 # ---------------------------------------------------------------------------
+# knn_graph_pagerank — centrality over the near-dup graph
+
+_PR_ROUNDS = 3  # power-iteration rounds (a knob; each round is one join+agg)
+
+
+def _pr_round_cte(i: int) -> str:
+    """One power-iteration round as a CTE: ``pr{i-1}`` -> ``pr{i}``.
+    Everything is BIGINT micro-units: contrib = s // outdeg (floor of
+    nonnegatives — Spark DIV and DuckDB // agree there), then
+    new = 150000 + (85 * Σ contrib) // 100, i.e. damping 0.85 with the
+    teleport mass 0.15 in the same fixed-point unit."""
+    return f""",
+    pr{i} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS s
+      FROM nodesg n
+      LEFT JOIN (
+        SELECT e.nbr_id AS node, p.s // o.d AS contrib
+        FROM ed e JOIN pr{i - 1} p ON e.src_id = p.node
+                  JOIN odeg o ON e.src_id = o.src_id
+      ) c ON c.node = n.node
+      GROUP BY n.node
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    rounds = "".join(_pr_round_cte(i) for i in range(1, _PR_ROUNDS + 1))
+    return f"""
+    {_knn_base_cte()},
+    ed AS (SELECT src_id, nbr_id FROM e0 WHERE rnk <= {_KNN_K}),
+    odeg AS (SELECT src_id, COUNT(*) AS d FROM ed GROUP BY 1),
+    nodesg AS (SELECT DISTINCT src_id AS node FROM ed),
+    pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodesg){rounds}
+    SELECT node AS vec_id, s AS pagerank_x1e6 FROM pr{_PR_ROUNDS} ORDER BY vec_id
+    """
+
+
+@register("knn_graph_pagerank", oracle=_pagerank_oracle())
+def q_knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r10) — PageRank (Page et al. 1999) power iteration over the
+    directed top-{_KNN_K} base kNN graph: the graph-centrality signal a
+    curation pipeline uses to pick the CANONICAL document inside a
+    near-duplicate neighborhood (keep the most-linked-to exemplar, drop
+    satellites) and to weight representative sampling — the same "rank
+    inside the similarity graph" idea the dedup literature uses for
+    cluster-representative selection. Emits every graph node with its
+    3-round score so downstream keep/drop joins need no re-run.
+
+    Determinism contract: integer micro-unit scores end-to-end — uniform
+    init 10⁶, per-edge contribution s // outdeg, damped update
+    150000 + (85·Σcontrib) // 100. Both engines floor nonnegative integer
+    division identically, so every round replays EXACTLY in the oracle's
+    generated per-round CTEs (the NN-Descent/BPE trajectory precedent) —
+    no float summation order anywhere.
+
+    Plan at 100 TB: per round exactly one equi-join of the (n·K)-row edge
+    list against the n-row score table on near-uniform id keys plus one
+    hash agg — the classic Pregel-on-DataFrames shape with no driver-side
+    state at all (scores stay distributed; nothing is collected). Edges
+    and the node list are consumed every round, so they are persisted
+    once (CACHE OWNERSHIP contract); rounds is a knob, cost strictly
+    linear in it. Every node in the edge list has out-degree ≥ 1 by
+    construction (each is a `src` of its own top-{_KNN_K} list), so the
+    dangling-mass term is structurally zero.
+    """
+    from ..caching import tracked_persist
+
+    _, edges = _knn_base_edges(spark, sf_dir)
+    ed = tracked_persist(edges.select("src_id", "nbr_id"))
+    odeg = ed.groupBy("src_id").agg(F.count(F.lit(1)).alias("d"))
+    nodes = tracked_persist(ed.select(F.col("src_id").alias("node")).distinct())
+    pr = nodes.select("node", F.lit(1_000_000).cast("long").alias("s"))
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            ed.join(pr, ed.src_id == pr.node)
+            .join(odeg, "src_id")
+            .select(F.col("nbr_id").alias("node"), F.expr("s DIV d").alias("contrib"))
+        )
+        summed = contrib.groupBy("node").agg(F.sum("contrib").alias("sc"))
+        pr = nodes.join(summed, "node", "left").select(
+            "node",
+            F.expr("CAST(150000 + (85 * COALESCE(sc, 0)) DIV 100 AS BIGINT)").alias("s"),
+        )
+    return pr.select(
+        F.col("node").alias("vec_id"), F.col("s").alias("pagerank_x1e6")
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # graph_ann_search_durable — the graph family's production posture made real
 
 _DURABLE_GRAPH_MEMO: dict[tuple[str, str], str] = {}

@@ -80,10 +80,13 @@ CURATED_FIRST: tuple[str, ...] = (
     # nine r9 day-ones that went driver-green rotate OUT (still verified by
     # the full local harness + the end-of-round sf0.1 sweep + determinism),
     # their slots RETURN the five flagships they displaced
-    # (q5/q18/pivot/asof/dedup_cluster_components), and the six r10
+    # (q5/q18/pivot/asof/dedup_cluster_components), and the nine r10
     # operators driver-check from day one: both auto-k scale-safe twins,
-    # the durable graph search, the unigram-LM trainer/encoder pair, and
-    # the watermarked append-mode PSI monitor. BOTH r9 hash-red rows
+    # the durable graph search, graph PageRank, the trained quality
+    # classifier pair, the unigram-LM trainer/encoder pair, and the
+    # watermarked append-mode PSI monitor (grouping_sets/cube re-greened
+    # in r9 and yield their slots; quality_classifier_linear yields to
+    # its own trained successors). BOTH r9 hash-red rows
     # (knn_graph_nn_descent, graph_ann_search_topk) stay IN per VERDICT r9
     # item 1 — the integer-cosine + lock/atomic-rename fix needs a driver
     # re-check to clear them. lang_id_heuristic and embedding_topk_
@@ -104,8 +107,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "q8_market_share",
     "q9_profit_by_nation_year",
     "q18_large_orders",
-    "grouping_sets_revenue",
-    "cube_events",
     "pivot_status_by_segment",
     "range_join_ship_latency",
     "asof_last_click_before_purchase",
@@ -119,8 +120,10 @@ CURATED_FIRST: tuple[str, ...] = (
     "continuous_aggregate_rollup",
     "rolling_1h_user_stats",
     "hll_sketch_merge",
-    # model filters (family sentinel, 4th exposure)
-    "quality_classifier_linear",
+    # model filters: the r10 TRAINED pair replaces the linear sentinel
+    # (same feature space; the hash-weight stand-in rotates out green)
+    "quality_classifier_train_gd",
+    "quality_classifier_gd_scores",
     # X1 exact dedup + span arms
     "dedup_exact_groups",
     "dedup_fingerprint_groups",
@@ -140,6 +143,7 @@ CURATED_FIRST: tuple[str, ...] = (
     "tfidf_topk_similar_docs",
     "bm25_topk_docs",
     "knn_graph_topk_auto_k",
+    "knn_graph_pagerank",
     "knn_graph_nn_descent",
     "graph_ann_search_topk",
     "graph_ann_search_durable",

@@ -27,12 +27,11 @@ FAMILY_SENTINELS = {
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
     "relational": ["q3_shipping_priority", "q1_pricing_summary", "q5_region_revenue",
                    "q18_large_orders", "pivot_status_by_segment",
-                   "asof_last_click_before_purchase", "grouping_sets_revenue",
-                   "cube_events", "scd2_status_history"],
+                   "asof_last_click_before_purchase", "scd2_status_history"],
     "transform-chains": ["transform_chain", "typed_struct_props_chain", "variant_props_chain"],
     "timeseries": ["continuous_aggregate_rollup", "rolling_1h_user_stats"],
     "sketch": ["hll_sketch_merge"],
-    "model-filters": ["quality_classifier_linear"],
+    "model-filters": ["quality_classifier_train_gd", "quality_classifier_gd_scores"],
     "X1-exact-dedup": ["dedup_exact_groups", "dedup_fingerprint_groups",
                        "exact_span_dedup_20tok"],
     # embedding_topk_pandas_udf rotated out (UDF surface stays pinned by
@@ -52,7 +51,9 @@ FAMILY_SENTINELS = {
     "r9-reds-recheck": ["knn_graph_nn_descent", "graph_ann_search_topk"],
     # brand-new r10 operators, driver-checked from day one
     "r10-new": ["semdedup_cluster_pairs_auto_k", "knn_graph_topk_auto_k",
-                "graph_ann_search_durable", "unigram_lm_train_model",
+                "graph_ann_search_durable", "knn_graph_pagerank",
+                "quality_classifier_train_gd", "quality_classifier_gd_scores",
+                "unigram_lm_train_model",
                 "unigram_lm_encode_fertility", "stream_psi_windowed_append"],
 }
 
