@@ -294,3 +294,119 @@ def q_quality_classifier_gd_scores(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# topic_cluster_cards — the cluster-level corpus audit report
+
+_TC_K = 16  # clusters (matches the ivf_kmeans fixture geometry)
+_TC_ITERS = 2  # Lloyd rounds (shared _lloyd_rounds_sql / kmeans_iterate pair)
+_TC_TOP = 3  # terms per card
+
+
+def _tc_oracle() -> str:
+    from .llm_ext import _lloyd_rounds_sql
+
+    return f"""
+    WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    en AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS n FROM e),
+    dims AS (SELECT UNNEST(range(64)) AS dim),
+    pd0 AS (
+      SELECT vec_id % {_TC_K} AS cid, d.dim,
+             CAST(SUM(CAST(FLOOR(v[d.dim + 1] * 10000000) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 10000000.0) AS mean_val
+      FROM e CROSS JOIN dims d GROUP BY 1, 2
+    ),
+    c0 AS (SELECT cid, LIST(mean_val ORDER BY dim) AS centroid FROM pd0 GROUP BY cid),
+    {_lloyd_rounds_sql(_TC_ITERS)},
+    af AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT en.vec_id, c.cid,
+               ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> en.v[i] * c.centroid[i]))
+                 / (en.n * SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> c.centroid[i] * c.centroid[i])))),
+               4) AS cc
+        FROM en CROSS JOIN c{_TC_ITERS} c
+      ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) = 1
+    ),
+    toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+    dt AS (SELECT a.cid, t.term FROM toks t JOIN af a ON t.doc_id = a.vec_id),
+    tf AS (SELECT cid, term, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+    cdf AS (SELECT term, COUNT(*) AS cdf FROM tf GROUP BY 1),
+    sc AS (SELECT tf.cid, tf.term, (tf.tf * 10000) // cdf.cdf AS score_x10000
+           FROM tf JOIN cdf ON tf.term = cdf.term),
+    rk AS (SELECT cid, term, score_x10000,
+                  ROW_NUMBER() OVER (PARTITION BY cid
+                                     ORDER BY score_x10000 DESC, term) AS rnk
+           FROM sc),
+    nc AS (SELECT cid, COUNT(*) AS n_docs FROM af GROUP BY 1)
+    SELECT r.cid AS cluster, CAST(n.n_docs AS BIGINT) AS n_docs,
+           CAST(r.rnk AS INT) AS rank, r.term,
+           CAST(r.score_x10000 AS BIGINT) AS score_x10000
+    FROM rk r JOIN nc n ON r.cid = n.cid
+    WHERE r.rnk <= {_TC_TOP} ORDER BY cluster, rank
+    """
+
+
+@register("topic_cluster_cards", oracle=_tc_oracle())
+def q_topic_cluster_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r10) — per-cluster TOPIC CARDS: k-means-cluster the corpus
+    embeddings ({_TC_K} cells, the shared kmeans_iterate/_lloyd_rounds_sql
+    pair, so the clustering cannot drift from the IVF family's) and label
+    each cluster with its size and top-{_TC_TOP} most DISTINCTIVE terms —
+    the BERTopic-style cluster report (Grootendorst 2022's c-TF-IDF idea)
+    a corpus curator reads before weighting or pruning by topic, and the
+    aggregate view behind "what IS in this crawl slice". Distinctiveness
+    is the integer ratio (tf_in_cluster · 10⁴) // clusters_containing_term
+    — the c-TF-IDF shape with the transcendental idf replaced by an exact
+    integer cluster-df divisor, so the ranking replays bit-identically on
+    both engines (ties broken by term; the registry rounding rule).
+
+    Plan at 100 TB: ONE corpus token pass (explode → (cluster, term) hash
+    agg, map-side combinable); the embedding side is the standard k-means
+    shape — model-sized centroid table broadcast, assignment one max_by
+    aggregate; everything downstream of the two corpus passes is bounded
+    by k·|vocab| (tf), |vocab| (cluster-df), and k·{_TC_TOP} (the cards).
+    The doc→cluster equi-join shuffles on the id key — near-uniform by
+    construction. No collect anywhere.
+    """
+    from ..operators.similarity import kmeans_assign_and_probe
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign, _ = kmeans_assign_and_probe(
+        emb, emb.filter(F.col("vec_id") == 0), n_clusters=_TC_K,
+        n_probe=1, n_iter=_TC_ITERS,
+    )
+    assign = assign.select("vec_id", F.col("__cid").alias("cid"))
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    dt = toks.join(
+        assign, toks.doc_id == assign.vec_id
+    ).select("cid", "term")
+    tf = dt.groupBy("cid", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
+    sc = tf.join(cdf, "term").select(
+        "cid", "term", F.expr("(tf * 10000) DIV cdf").alias("score_x10000")
+    )
+    from pyspark.sql import Window
+
+    rk = sc.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("cid").orderBy(
+                F.col("score_x10000").desc(), F.col("term")
+            )
+        ),
+    ).filter(F.col("rank") <= _TC_TOP)
+    nc = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        rk.join(nc, "cid")
+        .select(
+            F.col("cid").alias("cluster"),
+            F.col("n_docs").cast("long"),
+            F.col("rank").cast("int"),
+            "term",
+            F.col("score_x10000").cast("long"),
+        )
+        .orderBy("cluster", "rank")
+    )

@@ -105,7 +105,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "q1_pricing_summary",
     "q5_region_revenue",
     "q8_market_share",
-    "q9_profit_by_nation_year",
     "q18_large_orders",
     "pivot_status_by_segment",
     "range_join_ship_latency",
@@ -153,6 +152,7 @@ CURATED_FIRST: tuple[str, ...] = (
     "contamination_13gram",
     "unigram_lm_train_model",
     "unigram_lm_encode_fertility",
+    "topic_cluster_cards",
     # X5 multimodal (family sentinel)
     "multimodal_resize_8x8",
     # S1b docstore (sole family member, pinned)

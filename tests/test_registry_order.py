@@ -54,7 +54,8 @@ FAMILY_SENTINELS = {
                 "graph_ann_search_durable", "knn_graph_pagerank",
                 "quality_classifier_train_gd", "quality_classifier_gd_scores",
                 "unigram_lm_train_model",
-                "unigram_lm_encode_fertility", "stream_psi_windowed_append"],
+                "unigram_lm_encode_fertility", "topic_cluster_cards",
+                "stream_psi_windowed_append"],
 }
 
 
