@@ -682,3 +682,174 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("value"), 2).alias("total"))
         .orderBy("measure")
     )
+
+
+# ---------------------------------------------------------------------------
+# theta_sketch_user_overlap — KMV sketches with SET INTERSECTION
+
+_KMV_K = 64  # sketch size (k minimum values per event type)
+_KMV_M = 1 << 32  # hash space (portable 32-bit md5 prefix)
+
+
+@register(
+    "theta_sketch_user_overlap",
+    oracle=f"""
+    WITH hu AS (
+      SELECT DISTINCT event_type,
+             {{MD5_32}} AS h
+      FROM events
+    ),
+    cnt AS (SELECT event_type, COUNT(*) AS n FROM hu GROUP BY 1),
+    sk AS MATERIALIZED (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+        FROM hu) WHERE r <= {_KMV_K}
+    ),
+    tt AS (
+      SELECT s.event_type,
+             CASE WHEN c.n >= {_KMV_K} THEN MAX(s.h) ELSE {_KMV_M} END AS theta,
+             CASE WHEN c.n < {_KMV_K} THEN c.n
+                  ELSE ({_KMV_K - 1} * CAST({_KMV_M} AS BIGINT)) // MAX(s.h) END AS est
+      FROM sk s JOIN cnt c ON s.event_type = c.event_type
+      GROUP BY s.event_type, c.n
+    ),
+    pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.est AS est_a, b.est AS est_b,
+             LEAST(a.theta, b.theta) AS th
+      FROM tt a JOIN tt b ON a.event_type < b.event_type
+    ),
+    cm AS (
+      SELECT sa.event_type AS type_a, sb.event_type AS type_b, COUNT(*) AS c
+      FROM sk sa JOIN sk sb ON sa.h = sb.h AND sa.event_type < sb.event_type
+      JOIN pr ON pr.type_a = sa.event_type AND pr.type_b = sb.event_type
+      WHERE sa.h <= pr.th
+      GROUP BY 1, 2
+    )
+    SELECT pr.type_a AS type_a, pr.type_b AS type_b,
+           CAST(pr.est_a AS BIGINT) AS est_users_a,
+           CAST(pr.est_b AS BIGINT) AS est_users_b,
+           CAST((COALESCE(cm.c, 0) * CAST({_KMV_M} AS BIGINT)) // pr.th AS BIGINT)
+             AS est_common_users
+    FROM pr LEFT JOIN cm ON pr.type_a = cm.type_a AND pr.type_b = cm.type_b
+    ORDER BY pr.type_a, pr.type_b
+    """.replace(
+        "{MD5_32}",
+        __import__(
+            "my_favorite_etl_pipeline_spark.plans.llm_ext5", fromlist=["_duck_md5_32"]
+        )._duck_md5_32("'kmv|' || CAST(user_id AS VARCHAR)"),
+    ),
+)
+def q_theta_sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch band (r10) — KMV/theta sketches WITH SET INTERSECTION
+    (Bar-Yossef 2002 k-minimum-values; the Apache DataSketches theta
+    idiom): per event type, keep the {_KMV_K} smallest portable-md5 user
+    hashes; estimate per-type distinct users as (K−1)·M // kth, and for
+    every type PAIR estimate the AUDIENCE OVERLAP — common sketch hashes
+    under θ = min(θ_a, θ_b), scaled by M/θ. Intersection is exactly the
+    operation the engine's HLL surface (`hll_sketch_merge`,
+    `approx_distinct_users`) CANNOT express — HLL unions but never
+    intersects — and the question ("how many click-users also purchase?")
+    every funnel/audience report asks at a scale where exact
+    COUNT(DISTINCT) per pair is a corpus-sized shuffle each.
+
+    Unlike the engine-specific HLL bytes (rows-only entries), a KMV built
+    on the portable md5 idiom is FULLY oracle-checkable: both engines
+    compute the identical sketch CONTENT (the same {_KMV_K} integers),
+    so the whole estimator replays in SQL — the first sketch-family entry
+    with a value-hash oracle. When a type has < K distinct users its
+    sketch is complete, θ = M, and the estimates collapse to EXACT counts
+    (the small-set guarantee). Estimation error vs exact distinct/overlap
+    counts is pinned at two scales in tests/test_approx_invariants.py.
+
+    Plan at 100 TB: one (type, user) DISTINCT pass; the per-type
+    smallest-K cut runs the salted two-phase rank (impact_truncate's
+    shape, ascending) so no reducer ever sees a type's full user set;
+    everything downstream is |types|·K rows — the sketch property. The
+    pair grid is |types|² and the common-hash join runs on K-row sketch
+    sides. No collect anywhere.
+    """
+    from .llm_ext5 import _spark_md5_32
+
+    ev = load(spark, sf_dir, "events")
+    hu = (
+        ev.select(
+            "event_type",
+            _spark_md5_32(
+                F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    cnt = hu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # exact two-phase smallest-K: salted local rank bounds every reducer
+    # at K rows per (type, salt) before the per-type rank (impact_truncate
+    # precedent, ascending on the integer hash — no rounding to contract)
+    wl = Window.partitionBy(
+        "event_type", F.pmod(F.xxhash64("h"), F.lit(32))
+    ).orderBy("h")
+    wt = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hu.withColumn("ln", F.row_number().over(wl))
+        .filter(F.col("ln") <= _KMV_K)
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    from ..caching import tracked_persist
+
+    sk = tracked_persist(sk)
+    tt = (
+        sk.groupBy("event_type")
+        .agg(F.max("h").alias("kh"))
+        .join(cnt, "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("n") >= _KMV_K, F.col("kh"))
+            .otherwise(F.lit(_KMV_M))
+            .cast("long")
+            .alias("theta"),
+            F.when(F.col("n") < _KMV_K, F.col("n"))
+            .otherwise(F.expr(f"({_KMV_K - 1} * CAST({_KMV_M} AS BIGINT)) DIV kh"))
+            .cast("long")
+            .alias("est"),
+        )
+    )
+    a = tt.select(
+        F.col("event_type").alias("type_a"),
+        F.col("est").alias("est_a"),
+        F.col("theta").alias("th_a"),
+    )
+    b = tt.select(
+        F.col("event_type").alias("type_b"),
+        F.col("est").alias("est_b"),
+        F.col("theta").alias("th_b"),
+    )
+    pr = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a", "type_b", "est_a", "est_b",
+        F.least("th_a", "th_b").alias("th"),
+    )
+    sa = sk.select(F.col("event_type").alias("type_a"), "h")
+    sb = sk.select(F.col("event_type").alias("type_b"), "h")
+    cm = (
+        sa.join(sb, ["h"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(pr.select("type_a", "type_b", "th")), ["type_a", "type_b"])
+        .filter(F.col("h") <= F.col("th"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        pr.join(cm, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("est_a").cast("long").alias("est_users_a"),
+            F.col("est_b").cast("long").alias("est_users_b"),
+            F.expr(
+                f"CAST((COALESCE(c, 0) * CAST({_KMV_M} AS BIGINT)) DIV th AS BIGINT)"
+            ).alias("est_common_users"),
+        )
+        .orderBy("type_a", "type_b")
+    )

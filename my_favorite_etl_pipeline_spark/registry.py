@@ -118,7 +118,7 @@ CURATED_FIRST: tuple[str, ...] = (
     # cross-engine rounding scar tissue — exactly where drift bites first)
     "continuous_aggregate_rollup",
     "rolling_1h_user_stats",
-    "hll_sketch_merge",
+    "theta_sketch_user_overlap",
     # model filters: the r10 TRAINED pair replaces the linear sentinel
     # (same feature space; the hash-weight stand-in rotates out green)
     "quality_classifier_train_gd",

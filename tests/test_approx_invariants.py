@@ -153,3 +153,59 @@ def test_centroid_means_partitioning_invariant(spark, sf_dir):
     ha = build_hash_centroids(emb.repartition(1)).collect()
     hb = build_hash_centroids(emb.repartition(7, "vec_id")).collect()
     assert {r.cid: r.centroid for r in ha} == {r.cid: r.centroid for r in hb}
+
+
+def test_theta_sketch_overlap_error_bounds(spark, qs):
+    """KMV theta sketch (r10): per-type and pairwise-overlap estimates vs
+    exact distinct counts. K=64 gives RSE ≈ 1/sqrt(K-2) ≈ 12.6%; the
+    bounds allow ~3 sigma. At sf0.001 every type has < K distinct users,
+    so the sketch is COMPLETE and the small-set path must be EXACT."""
+    import os
+
+    sf001 = "/root/testdata/sf0.001"
+    if os.path.isdir(sf001):
+        ev = load(spark, sf001, "events")
+        exact = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        if max(exact.values()) < 64:
+            rows = qs["theta_sketch_user_overlap"](spark, sf001).collect()
+            for r in rows:
+                assert r.est_users_a == exact[r.type_a], "small-set path not exact"
+                assert r.est_users_b == exact[r.type_b]
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.01 absent")
+    ev = load(spark, sf01, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    u = ev.select("event_type", "user_id").distinct()
+    a = u.select(F.col("event_type").alias("type_a"), "user_id")
+    b = u.select(F.col("event_type").alias("type_b"), "user_id")
+    exact_pair = {
+        (r.type_a, r.type_b): r.c
+        for r in a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    rows = qs["theta_sketch_user_overlap"](spark, sf01).collect()
+    assert len(rows) == len(exact_pair)
+    for r in rows:
+        for est, true in [
+            (r.est_users_a, exact[r.type_a]),
+            (r.est_users_b, exact[r.type_b]),
+            (r.est_common_users, exact_pair[(r.type_a, r.type_b)]),
+        ]:
+            assert abs(est - true) <= max(5, 0.40 * true), (
+                f"{r.type_a}/{r.type_b}: est {est} vs exact {true}"
+            )

@@ -30,7 +30,10 @@ FAMILY_SENTINELS = {
                    "asof_last_click_before_purchase", "scd2_status_history"],
     "transform-chains": ["transform_chain", "typed_struct_props_chain", "variant_props_chain"],
     "timeseries": ["continuous_aggregate_rollup", "rolling_1h_user_stats"],
-    "sketch": ["hll_sketch_merge"],
+    # r10: the sketch sentinel upgrades to the KMV theta entry — the
+    # family's first FULL value-hash oracle (HLL bytes are engine-specific,
+    # so hll_sketch_merge could only ever get the weaker rows-only check)
+    "sketch": ["theta_sketch_user_overlap"],
     "model-filters": ["quality_classifier_train_gd", "quality_classifier_gd_scores"],
     "X1-exact-dedup": ["dedup_exact_groups", "dedup_fingerprint_groups",
                        "exact_span_dedup_20tok"],
@@ -54,7 +57,7 @@ FAMILY_SENTINELS = {
                 "graph_ann_search_durable", "knn_graph_pagerank",
                 "quality_classifier_train_gd", "quality_classifier_gd_scores",
                 "unigram_lm_train_model",
-                "unigram_lm_encode_fertility", "topic_cluster_cards",
+                "unigram_lm_encode_fertility", "topic_cluster_cards", "theta_sketch_user_overlap",
                 "stream_psi_windowed_append"],
 }
 
