@@ -1054,3 +1054,190 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(
         verify, "media_id long, width int, height int, byte_len long, pixel_sum long"
     )
+
+
+# ---------------------------------------------------------------------------
+# image_dhash_near_dups — perceptual-hash image dedup (X5 × X2)
+
+_DH_T = 4  # max Hamming distance for a near-dup pair (64-bit dHash)
+_DH_PC_LO, _DH_PC_HI = 8, 56  # flat-image entropy guard on the bit count
+
+
+@register(
+    "image_dhash_near_dups",
+    oracle=f"""
+    WITH d AS (SELECT doc_id AS media_id, 1 + doc_id % 16 AS w,
+                      1 + (doc_id // 16) % 16 AS h
+               FROM documents),
+    gx AS (SELECT UNNEST(range(8)) AS x), gy AS (SELECT UNNEST(range(8)) AS y),
+    bits AS (
+      SELECT media_id, y.y * 8 + x.x AS b,
+             CASE WHEN ((media_id * 31 + LEAST(h - 1, y.y * h // 8) * w
+                         + LEAST(w - 1, x.x * w // 9)) % 256)
+                     < ((media_id * 31 + LEAST(h - 1, y.y * h // 8) * w
+                         + LEAST(w - 1, (x.x + 1) * w // 9)) % 256)
+                  THEN 1 ELSE 0 END AS bit
+      FROM d CROSS JOIN gx x CROSS JOIN gy y
+    ),
+    hsh AS MATERIALIZED (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             SUM(bit) AS pc
+      FROM bits GROUP BY media_id
+    ),
+    kept AS (SELECT * FROM hsh WHERE pc BETWEEN {_DH_PC_LO} AND {_DH_PC_HI}),
+    bd AS (SELECT media_id, hi, lo,
+                  UNNEST([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS bv,
+                  UNNEST([0, 1, 2, 3]) AS bi
+           FROM kept),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM bd a JOIN bd b ON a.bi = b.bi AND a.bv = b.bv
+                         AND a.media_id < b.media_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             bit_count(xor(ka.hi, kb.hi)) + bit_count(xor(ka.lo, kb.lo)) AS ham
+      FROM cand c JOIN kept ka ON c.id_a = ka.media_id
+                  JOIN kept kb ON c.id_b = kb.media_id
+      WHERE bit_count(xor(ka.hi, kb.hi)) + bit_count(xor(ka.lo, kb.lo)) <= {_DH_T}
+    ),
+    dir AS (SELECT id_a AS id, id_b AS nbr, ham FROM pairs
+            UNION ALL SELECT id_b, id_a, ham FROM pairs),
+    agg AS (
+      SELECT id, n, nbr, ham FROM (
+        SELECT id, nbr, ham, COUNT(*) OVER (PARTITION BY id) AS n,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY ham, nbr) AS rn
+        FROM dir) WHERE rn = 1
+    )
+    SELECT k.media_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_near_dups,
+           CAST(COALESCE(a.nbr, -1) AS BIGINT) AS nn_id,
+           CAST(COALESCE(a.ham, 99) AS INT) AS nn_ham
+    FROM kept k LEFT JOIN agg a ON k.media_id = a.id
+    ORDER BY k.media_id
+    """,
+)
+def q_image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 × X2 (r10) — IMAGE near-duplicate detection by difference hash
+    (dHash, the perceptual-hash family's gradient member; Krawetz 2013):
+    decode every fixture PNG, nearest-neighbor resample to 9×8 gray (the
+    same resize_media/decode_png_gray pair the resize-roundtrip entry
+    verifies arithmetically), take the 64 adjacent-pixel comparisons as a
+    64-bit signature, drop near-constant "flat" images whose bit count
+    falls outside [{_DH_PC_LO}, {_DH_PC_HI}] (the standard pHash-pipeline
+    entropy guard — a flat thumbnail matches EVERYTHING and poisons the
+    buckets), then find pairs at Hamming ≤ {_DH_T} via the 4×16-bit
+    banded equi-join (the SimHash machinery applied to pixels instead of
+    shingles). Emits the per-image dedup REPORT — near-dup count +
+    nearest neighbor — the multimodal dedup rung every image-text
+    training pipeline runs (LAION/DataComp dedup their images exactly
+    this way, with bigger hashes).
+
+    The oracle replays the WHOLE pipeline from the fixture's pixel
+    formula ((id·31 + sy·w + sx) mod 256 over the nearest-neighbor source
+    grid — the multimodal_resize_8x8 contract), so a decode, resample,
+    bit-pack, banding, or Hamming regression all break the value hash.
+    Hamming distance is bit_count(xor) on two 32-bit halves — portable
+    BIGINTs, no sign-bit trap.
+
+    Plan at 100 TB: the decode+hash is ONE Arrow-batched map pass
+    (64-byte signature per image — the sketch property); candidates come
+    from the banded equi-join, never all-pairs; the per-image report is
+    two hash aggs. Skew: flat-ish images that SURVIVE the guard still
+    concentrate in few buckets (measured max bucket 313 of 2191 kept at
+    sf0.1) — the documented mitigations are a stricter guard or a
+    two-band AND requirement, and AQE skew-join splits the moderate
+    cases; the guard itself removes the pathological mass (measured:
+    12.7M → 1.25M candidates at sf0.1).
+    """
+    import pandas as pd
+
+    from ..operators.multimodal import decode_png_gray, resize_media
+
+    docs = load(spark, sf_dir, "documents")
+    media = documents_as_media(docs, max_frames=1)
+    resized = resize_media(media, target_w=9, target_h=8)
+
+    def hash_batch(batches):
+        for pdf in batches:
+            ids, his, los, pcs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_png_gray(bytes(p))
+                v = 0
+                for y in range(8):
+                    for x in range(8):
+                        if px[y * 9 + x] < px[y * 9 + x + 1]:
+                            v |= 1 << (y * 8 + x)
+                ids.append(mid)
+                his.append(v >> 32)
+                los.append(v & 0xFFFFFFFF)
+                pcs.append(bin(v).count("1"))
+            yield pd.DataFrame(
+                {"media_id": ids, "hi": his, "lo": los, "pc": pcs}
+            )
+
+    from ..caching import tracked_persist
+
+    kept = tracked_persist(
+        resized.mapInPandas(
+            hash_batch, "media_id long, hi long, lo long, pc int"
+        ).filter(F.col("pc").between(_DH_PC_LO, _DH_PC_HI))
+    )
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("bi"), e.cast("long").alias("bv"))
+            for i, e in enumerate(
+                [
+                    F.col("lo") % 65536,
+                    F.expr("lo DIV 65536"),
+                    F.col("hi") % 65536,
+                    F.expr("hi DIV 65536"),
+                ]
+            )
+        ]
+    )
+    bd = kept.select(
+        "media_id", "hi", "lo", F.explode(band_arr).alias("b")
+    ).select("media_id", "hi", "lo", "b.bi", "b.bv")
+    a = bd.select(
+        F.col("media_id").alias("id_a"), F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"), "bi", "bv",
+    )
+    b = bd.select(
+        F.col("media_id").alias("id_b"), F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"), "bi", "bv",
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    pairs = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("ham"))
+        .distinct()
+        .filter(F.col("ham") <= _DH_T)
+    )
+    direct = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nbr"), "ham"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nbr"), "ham")
+    )
+    agg = direct.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by(F.struct("nbr", "ham"), F.struct("ham", "nbr")).alias("nn"),
+    )
+    return (
+        kept.select("media_id")
+        .join(agg, kept.media_id == agg.id, "left")
+        .select(
+            "media_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_near_dups"),
+            F.coalesce(F.col("nn.nbr"), F.lit(-1)).cast("long").alias("nn_id"),
+            F.coalesce(F.col("nn.ham"), F.lit(99)).cast("int").alias("nn_ham"),
+        )
+        .orderBy("media_id")
+    )

@@ -117,7 +117,6 @@ CURATED_FIRST: tuple[str, ...] = (
     # timeseries + sketches (continuous_aggregate_rollup carries the
     # cross-engine rounding scar tissue — exactly where drift bites first)
     "continuous_aggregate_rollup",
-    "rolling_1h_user_stats",
     "theta_sketch_user_overlap",
     # model filters: the r10 TRAINED pair replaces the linear sentinel
     # (same feature space; the hash-weight stand-in rotates out green)
@@ -153,8 +152,9 @@ CURATED_FIRST: tuple[str, ...] = (
     "unigram_lm_train_model",
     "unigram_lm_encode_fertility",
     "topic_cluster_cards",
-    # X5 multimodal (family sentinel)
+    # X5 multimodal: the resize sentinel + the r10 perceptual-hash dedup
     "multimodal_resize_8x8",
+    "image_dhash_near_dups",
     # S1b docstore (sole family member, pinned)
     "docstore_lang_source_stats",
     # dataset assembly

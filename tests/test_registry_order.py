@@ -29,7 +29,7 @@ FAMILY_SENTINELS = {
                    "q18_large_orders", "pivot_status_by_segment",
                    "asof_last_click_before_purchase", "scd2_status_history"],
     "transform-chains": ["transform_chain", "typed_struct_props_chain", "variant_props_chain"],
-    "timeseries": ["continuous_aggregate_rollup", "rolling_1h_user_stats"],
+    "timeseries": ["continuous_aggregate_rollup"],
     # r10: the sketch sentinel upgrades to the KMV theta entry — the
     # family's first FULL value-hash oracle (HLL bytes are engine-specific,
     # so hll_sketch_merge could only ever get the weaker rows-only check)
@@ -45,7 +45,7 @@ FAMILY_SENTINELS = {
     "X3-similarity": ["embedding_topk_bruteforce", "embedding_topk_ivf_kmeans",
                       "tfidf_topk_similar_docs", "bm25_topk_docs"],
     "X4-text": ["winnowing_fingerprints", "gopher_quality_flags", "contamination_13gram"],
-    "X5-multimodal": ["multimodal_resize_8x8"],
+    "X5-multimodal": ["multimodal_resize_8x8", "image_dhash_near_dups"],
     "S1b-docstore": ["docstore_lang_source_stats"],
     "assembly": ["training_data_prep"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join"],
@@ -58,6 +58,7 @@ FAMILY_SENTINELS = {
                 "quality_classifier_train_gd", "quality_classifier_gd_scores",
                 "unigram_lm_train_model",
                 "unigram_lm_encode_fertility", "topic_cluster_cards", "theta_sketch_user_overlap",
+                "image_dhash_near_dups",
                 "stream_psi_windowed_append"],
 }
 
