@@ -853,3 +853,94 @@ def q_theta_sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact_percentiles_two_phase — exact quantiles WITHOUT a global sort
+
+_EP_PCTS = (50, 95, 99)
+_EP_BUCKET = 500  # histogram bucket width in cents (phase-1 compaction)
+
+
+@register(
+    "exact_percentiles_two_phase",
+    oracle=f"""
+    WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events WHERE value IS NOT NULL),
+    n AS (SELECT COUNT(*) AS n FROM c),
+    r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk FROM c),
+    p AS (SELECT UNNEST([{", ".join(map(str, _EP_PCTS))}]) AS pct)
+    SELECT CAST(p.pct AS INT) AS pct, CAST(r.cents AS BIGINT) AS value_cents
+    FROM p JOIN n ON TRUE
+    JOIN r ON r.rk = CAST(CEIL(p.pct * n.n / 100.0) AS BIGINT)
+    ORDER BY pct
+    """,
+)
+def q_exact_percentiles_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats band (r10) — EXACT p{_EP_PCTS[0]}/p{_EP_PCTS[1]}/p{_EP_PCTS[2]}
+    of the event value WITHOUT a global sort: the classic two-phase exact
+    quantile. Phase 1 compacts the corpus into a fixed-width cents
+    histogram (ONE hash agg; the PSI integer-cents idiom — ROUND first,
+    then cast, so 6.55·100 = 654.99… cannot truncate differently across
+    engines) and the driver walks the MODEL-sized cumulative counts to
+    locate each percentile's bucket. Phase 2 re-scans ONLY the located
+    buckets (≤ {_EP_BUCKET} distinct cents each — bounded by construction,
+    not by data) and walks the exact within-bucket counts to the target
+    rank. Rank semantics: k = ⌈p·n/100⌉, 1-indexed (the discrete quantile
+    every SQL engine's ORDER BY/OFFSET reproduces — the oracle checks it
+    literally with a ROW_NUMBER rank join).
+
+    Exactness where `approx_percentile_sketch` (rows-only, engine-specific
+    sketch internals) trades error for one pass: this entry pays a SECOND
+    bounded pass and gets oracle-checkable exactness — the percentile
+    twin of the hll→theta upgrade in the same band.
+
+    Plan at 100 TB: a global sort of the corpus is the naive plan and a
+    total-order shuffle; this is two hash aggs (the second over a
+    predicate-pruned scan — the bucket filter pushes down to parquet) and
+    two model-sized collects (histogram ≤ value-range/{_EP_BUCKET} rows,
+    within-bucket ≤ {_EP_BUCKET} rows/percentile — the k-centroids
+    precedent). Skewed value distributions make some buckets heavy, but
+    bucket COUNTS are unaffected and phase 2 aggregates by distinct cent
+    value, so a hot bucket costs one map-side-combined agg, never a hot
+    reducer.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    n = ev.count()
+    hist = {
+        r.b: r.c
+        for r in ev.select((cents / _EP_BUCKET).cast("long").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    targets = {p: (p * n + 99) // 100 for p in _EP_PCTS}  # ceil(p*n/100)
+    bucket_of, below_of = {}, {}
+    for p, k in targets.items():
+        cum = 0
+        for b in sorted(hist):
+            if cum + hist[b] >= k:
+                bucket_of[p], below_of[p] = b, cum
+                break
+            cum += hist[b]
+    need = sorted(set(bucket_of.values()))
+    within = (
+        ev.select(cents.alias("cents"))
+        .filter((F.col("cents") / _EP_BUCKET).cast("long").isin(need))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_bucket: dict[int, list] = {}
+    for r in within:
+        by_bucket.setdefault(r.cents // _EP_BUCKET, []).append((r.cents, r.c))
+    out = []
+    for p, k in targets.items():
+        cum = below_of[p]
+        for v, c in sorted(by_bucket[bucket_of[p]]):
+            cum += c
+            if cum >= k:
+                out.append((p, v))
+                break
+    return spark.createDataFrame(out, "pct int, value_cents long").orderBy("pct")

@@ -104,7 +104,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "q3_shipping_priority",
     "q1_pricing_summary",
     "q5_region_revenue",
-    "q8_market_share",
     "q18_large_orders",
     "pivot_status_by_segment",
     "range_join_ship_latency",
@@ -118,6 +117,10 @@ CURATED_FIRST: tuple[str, ...] = (
     # cross-engine rounding scar tissue — exactly where drift bites first)
     "continuous_aggregate_rollup",
     "theta_sketch_user_overlap",
+    # stats band (r10): exact two-phase quantiles — the no-global-sort
+    # exact twin of the approx percentile sketch (q8_market_share yields
+    # its slot; the relational family keeps 6 other members in-window)
+    "exact_percentiles_two_phase",
     # model filters: the r10 TRAINED pair replaces the linear sentinel
     # (same feature space; the hash-weight stand-in rotates out green)
     "quality_classifier_train_gd",

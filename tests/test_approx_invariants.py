@@ -209,3 +209,31 @@ def test_theta_sketch_overlap_error_bounds(spark, qs):
             assert abs(est - true) <= max(5, 0.40 * true), (
                 f"{r.type_a}/{r.type_b}: est {est} vs exact {true}"
             )
+
+
+def test_exact_percentiles_match_sorted_rank(spark, qs):
+    """exact_percentiles_two_phase (r10): the two-phase histogram walk must
+    reproduce the literal k = ceil(p*n/100) order statistic — checked
+    against a full sort of the same cents column at two scales (the exact
+    twin of the KLL rel-err bound above: here the tolerance is ZERO)."""
+    import os
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf):
+            pytest.skip(f"{sf} absent")
+        vals = sorted(
+            r.c
+            for r in load(spark, sf, "events")
+            .filter(F.col("value").isNotNull())
+            .select(F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"))
+            .collect()
+        )
+        n = len(vals)
+        rows = qs["exact_percentiles_two_phase"](spark, sf).collect()
+        assert [r.pct for r in rows] == [50, 95, 99]
+        for r in rows:
+            k = (r.pct * n + 99) // 100  # ceil(p*n/100), 1-indexed
+            assert r.value_cents == vals[k - 1], (
+                f"sf={sf} p{r.pct}: got {r.value_cents}, true {vals[k - 1]}"
+            )
+        assert rows[0].value_cents <= rows[1].value_cents <= rows[2].value_cents

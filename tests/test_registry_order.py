@@ -58,7 +58,7 @@ FAMILY_SENTINELS = {
                 "quality_classifier_train_gd", "quality_classifier_gd_scores",
                 "unigram_lm_train_model",
                 "unigram_lm_encode_fertility", "topic_cluster_cards", "theta_sketch_user_overlap",
-                "image_dhash_near_dups",
+                "image_dhash_near_dups", "exact_percentiles_two_phase",
                 "stream_psi_windowed_append"],
 }
 
