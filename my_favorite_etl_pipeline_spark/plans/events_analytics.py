@@ -387,3 +387,125 @@ def sessionize_events_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# gapfill_interpolate_hourly — linear interpolation between observations
+
+_GI_S = 10_000_000_000  # shift making every interp numerator nonnegative
+
+
+@register(
+    "gapfill_interpolate_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS vc
+      FROM events WHERE user_id <= 20 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), j AS (
+      SELECT g.user_id, g.h, hy.vc, CAST(epoch(g.h) AS BIGINT) AS t
+      FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
+    ), f AS (
+      SELECT user_id, h, vc, t,
+        LAST_VALUE(vc IGNORE NULLS) OVER w_p AS pv,
+        LAST_VALUE(CASE WHEN vc IS NOT NULL THEN t END IGNORE NULLS)
+          OVER w_p AS pt,
+        FIRST_VALUE(vc IGNORE NULLS) OVER w_n AS nv,
+        FIRST_VALUE(CASE WHEN vc IS NOT NULL THEN t END IGNORE NULLS)
+          OVER w_n AS nt
+      FROM j
+      WINDOW
+        w_p AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_n AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h AS bucket,
+           CASE WHEN vc IS NOT NULL THEN vc
+                ELSE pv + ((nv - pv) * (t - pt) + {_GI_S} * (nt - pt))
+                     // (nt - pt) - {_GI_S}
+           END AS v_interp_cents,
+           vc IS NULL AS was_gap
+    FROM f
+    ORDER BY user_id, bucket
+    """,
+)
+def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill, INTERPOLATION flavor (the `locf` query's
+    twin — TimescaleDB ships exactly this pair: `locf()` and
+    `interpolate()`): densify each user's hourly series to a complete
+    grid, then fill every hole with the LINEAR interpolation between the
+    nearest observed neighbors in time.
+
+    Engine-portable arithmetic: hourly sums become exact integer CENTS
+    (ROUND before CAST — the PSI precedent; the true sum is a 2dp
+    multiple, float dust is ~1e-10, so the round is engine-identical),
+    timestamps become exact epoch-second BIGINTs, and the interpolation
+    `pv + (nv-pv)·(t-pt)/(nt-pt)` is ONE integer floor-division made
+    portable by the shift identity `(N + S·D) div D − S` (nonnegative
+    numerator ⇒ Spark's truncating DIV equals DuckDB's flooring `//` —
+    the quality_classifier_train_gd precedent; S·D ≤ 1e10·4e3 ≪ 2^63).
+
+    Grid-edge guarantee: bounds come FROM the observed hours, so the
+    first/last grid row of every key is observed — interior gaps always
+    have both neighbors, and the leading/trailing-gap branch is
+    structurally dead (no COALESCE fallback to hide a bug in).
+
+    Plan at 100 TB: identical to the locf twin — grid explode, left
+    join, and both fill windows all ride ONE hash partitioning on
+    user_id; per-key grid size is span/bucket, independent of raw event
+    volume. The two IGNORE-NULLS windows are the standard prev/next
+    scan; no self-join, no range join.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.expr("CAST(ROUND(SUM(value) * 100) AS BIGINT)").alias("vc"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left").withColumn(
+        "t", F.unix_timestamp("h")
+    )
+    w_p = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("vc").isNotNull(), F.col("t"))
+    f = j.select(
+        "user_id",
+        "h",
+        "vc",
+        "t",
+        F.last("vc", ignorenulls=True).over(w_p).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(w_p).alias("pt"),
+        F.first("vc", ignorenulls=True).over(w_n).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(w_n).alias("nt"),
+    )
+    interp = F.expr(
+        f"pv + ((nv - pv) * (t - pt) + {_GI_S} * (nt - pt)) DIV (nt - pt)"
+        f" - {_GI_S}"
+    )
+    return f.select(
+        "user_id",
+        F.col("h").alias("bucket"),
+        F.when(F.col("vc").isNotNull(), F.col("vc"))
+        .otherwise(interp)
+        .alias("v_interp_cents"),
+        F.col("vc").isNull().alias("was_gap"),
+    ).orderBy("user_id", "bucket")

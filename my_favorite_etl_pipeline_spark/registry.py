@@ -106,7 +106,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "q5_region_revenue",
     "q18_large_orders",
     "pivot_status_by_segment",
-    "range_join_ship_latency",
     "asof_last_click_before_purchase",
     "scd2_status_history",
     # transform/flatten chains (F3/P/J families)
@@ -116,6 +115,10 @@ CURATED_FIRST: tuple[str, ...] = (
     # timeseries + sketches (continuous_aggregate_rollup carries the
     # cross-engine rounding scar tissue — exactly where drift bites first)
     "continuous_aggregate_rollup",
+    # timeseries band (r10): the interpolation gapfill twin enters day-one
+    # (range_join_ship_latency yields — long-green, and the asof sentinel
+    # keeps the non-equi-join family in-window)
+    "gapfill_interpolate_hourly",
     "theta_sketch_user_overlap",
     # stats band (r10): exact two-phase quantiles — the no-global-sort
     # exact twin of the approx percentile sketch (q8_market_share yields

@@ -29,7 +29,7 @@ FAMILY_SENTINELS = {
                    "q18_large_orders", "pivot_status_by_segment",
                    "asof_last_click_before_purchase", "scd2_status_history"],
     "transform-chains": ["transform_chain", "typed_struct_props_chain", "variant_props_chain"],
-    "timeseries": ["continuous_aggregate_rollup"],
+    "timeseries": ["continuous_aggregate_rollup", "gapfill_interpolate_hourly"],
     # r10: the sketch sentinel upgrades to the KMV theta entry — the
     # family's first FULL value-hash oracle (HLL bytes are engine-specific,
     # so hll_sketch_merge could only ever get the weaker rows-only check)
