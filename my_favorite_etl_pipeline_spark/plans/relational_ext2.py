@@ -944,3 +944,83 @@ def q_exact_percentiles_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame
                 out.append((p, v))
                 break
     return spark.createDataFrame(out, "pct int, value_cents long").orderBy("pct")
+
+
+# ---------------------------------------------------------------------------
+# anomalous_hours_3sigma — exact integer 3-sigma anomaly gate per event type
+
+
+@register(
+    "anomalous_hours_3sigma",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM hourly GROUP BY 1
+    )
+    SELECT hy.event_type, hy.bucket, hy.x AS value_cents,
+           (CAST(s.n * hy.x - s.sx AS HUGEINT)
+              * CAST(s.n * hy.x - s.sx AS HUGEINT)
+            > 9 * (CAST(s.n AS HUGEINT) * s.sxx
+                   - CAST(s.sx AS HUGEINT) * s.sx)) AS is_anomaly,
+           (s.n * hy.x > s.sx) AS is_high
+    FROM hourly hy JOIN s USING (event_type)
+    ORDER BY event_type, bucket
+    """,
+)
+def q_anomalous_hours_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats/DQ band (r10) — per-type hourly anomaly gate with EXACT
+    integer arithmetic: flag hours whose value sum deviates from the
+    type's mean by more than 3 population standard deviations — the
+    standard metric-monitoring alert — WITHOUT computing mean, sigma, or
+    any float. Multiply the test through by n²:
+
+        (x − μ)² > 9σ²   ⟺   (n·x − Σx)² > 9·(n·Σx² − (Σx)²)
+
+    so the whole gate is integer comparisons on exact cents (the PSI
+    ROUND-before-CAST idiom). Squares run in decimal(38,0) on Spark /
+    HUGEINT on DuckDB: at fixture scale the BIGINT bound is ~1.6e19 vs
+    the 9.2e18 ceiling — already past it, and at 100 TB far past — so
+    the wide type is load-bearing, not defensive (the decimal_surface
+    precedent). No sqrt, no float division, nothing to round: the
+    engines cannot drift.
+
+    Plan at 100 TB: one (type, hour) hash agg over the corpus (map-side
+    combine), one MODEL-sized per-type moment agg (|types| rows,
+    broadcast back), one map-only filter expression. All hours emit with
+    their verdict (the monitor's scoring table, |types|·|hours| rows —
+    grid-sized, not corpus-sized); zero-variance types degenerate to
+    rhs = 0 and flag every deviating hour, which is the correct
+    Chebyshev edge, not a crash.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.expr("CAST(ROUND(SUM(value) * 100) AS BIGINT)").alias("x"))
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))")).alias(
+            "sxx"
+        ),
+    )
+    d = "(CAST(n AS DECIMAL(20,0)) * x - sx)"
+    return (
+        hourly.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            F.col("x").alias("value_cents"),
+            F.expr(
+                f"{d} * {d} > 9 * (CAST(n AS DECIMAL(20,0)) * sxx"
+                " - CAST(sx AS DECIMAL(20,0)) * sx)"
+            ).alias("is_anomaly"),
+            F.expr("n * x > sx").alias("is_high"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -107,7 +107,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "q18_large_orders",
     "pivot_status_by_segment",
     "asof_last_click_before_purchase",
-    "scd2_status_history",
     # transform/flatten chains (F3/P/J families)
     "transform_chain",
     "typed_struct_props_chain",
@@ -122,8 +121,11 @@ CURATED_FIRST: tuple[str, ...] = (
     "theta_sketch_user_overlap",
     # stats band (r10): exact two-phase quantiles — the no-global-sort
     # exact twin of the approx percentile sketch (q8_market_share yields
-    # its slot; the relational family keeps 6 other members in-window)
+    # its slot; the relational family keeps 6 other members in-window) —
+    # and the exact-integer 3-sigma anomaly gate (scd2_status_history
+    # yields: green since r1, its family keeps 6 members in-window)
     "exact_percentiles_two_phase",
+    "anomalous_hours_3sigma",
     # model filters: the r10 TRAINED pair replaces the linear sentinel
     # (same feature space; the hash-weight stand-in rotates out green)
     "quality_classifier_train_gd",

@@ -237,3 +237,25 @@ def test_exact_percentiles_match_sorted_rank(spark, qs):
                 f"sf={sf} p{r.pct}: got {r.value_cents}, true {vals[k - 1]}"
             )
         assert rows[0].value_cents <= rows[1].value_cents <= rows[2].value_cents
+
+
+def test_anomalous_hours_matches_float_three_sigma(spark, qs):
+    """anomalous_hours_3sigma (r10): the exact-integer gate must decide
+    identically to the straightforward float mean/population-sigma test
+    (strict inequality both sides; non-vacuous — the fixture has flags)."""
+    rows = qs["anomalous_hours_3sigma"](spark, "/root/testdata/sf0.001").collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    n_flagged = 0
+    for series in by_type.values():
+        xs = [r.value_cents for r in series]
+        n = len(xs)
+        mu = sum(xs) / n
+        var = sum((x - mu) ** 2 for x in xs) / n
+        for r in series:
+            want = (r.value_cents - mu) ** 2 > 9 * var
+            assert r.is_anomaly == want, (r.event_type, r.bucket)
+            assert r.is_high == (r.value_cents > mu)
+            n_flagged += r.is_anomaly
+    assert n_flagged > 0, "fixture produced no anomalies — test is vacuous"

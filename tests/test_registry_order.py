@@ -27,7 +27,7 @@ FAMILY_SENTINELS = {
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
     "relational": ["q3_shipping_priority", "q1_pricing_summary", "q5_region_revenue",
                    "q18_large_orders", "pivot_status_by_segment",
-                   "asof_last_click_before_purchase", "scd2_status_history"],
+                   "asof_last_click_before_purchase"],
     "transform-chains": ["transform_chain", "typed_struct_props_chain", "variant_props_chain"],
     "timeseries": ["continuous_aggregate_rollup", "gapfill_interpolate_hourly"],
     # r10: the sketch sentinel upgrades to the KMV theta entry — the
@@ -59,6 +59,7 @@ FAMILY_SENTINELS = {
                 "unigram_lm_train_model",
                 "unigram_lm_encode_fertility", "topic_cluster_cards", "theta_sketch_user_overlap",
                 "image_dhash_near_dups", "exact_percentiles_two_phase",
+                "anomalous_hours_3sigma", "gapfill_interpolate_hourly",
                 "stream_psi_windowed_append"],
 }
 
