@@ -145,7 +145,6 @@ CURATED_FIRST: tuple[str, ...] = (
     # auto-k base build (r10), both r9 REDS held in for re-check, and the
     # durable serving posture (r10)
     "embedding_topk_bruteforce",
-    "embedding_topk_ivf_kmeans",
     "tfidf_topk_similar_docs",
     "bm25_topk_docs",
     "knn_graph_topk_auto_k",
@@ -161,8 +160,11 @@ CURATED_FIRST: tuple[str, ...] = (
     "unigram_lm_encode_fertility",
     "topic_cluster_cards",
     # X5 multimodal: the resize sentinel + the r10 perceptual-hash dedup
+    # pair — image dHash and its audio envelope twin
+    # (embedding_topk_ivf_kmeans yields: X3 keeps 8 members in-window)
     "multimodal_resize_8x8",
     "image_dhash_near_dups",
+    "audio_envelope_near_dups",
     # S1b docstore (sole family member, pinned)
     "docstore_lang_source_stats",
     # dataset assembly

@@ -42,10 +42,11 @@ FAMILY_SENTINELS = {
     # (X4 keeps four other members in-window)
     "X2-near-dup": ["minhash_near_dups", "simhash_near_dups_portable",
                     "semdedup_cluster_pairs", "dedup_cluster_components"],
-    "X3-similarity": ["embedding_topk_bruteforce", "embedding_topk_ivf_kmeans",
+    "X3-similarity": ["embedding_topk_bruteforce",
                       "tfidf_topk_similar_docs", "bm25_topk_docs"],
     "X4-text": ["winnowing_fingerprints", "gopher_quality_flags", "contamination_13gram"],
-    "X5-multimodal": ["multimodal_resize_8x8", "image_dhash_near_dups"],
+    "X5-multimodal": ["multimodal_resize_8x8", "image_dhash_near_dups",
+                      "audio_envelope_near_dups"],
     "S1b-docstore": ["docstore_lang_source_stats"],
     "assembly": ["training_data_prep"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join"],
@@ -60,6 +61,7 @@ FAMILY_SENTINELS = {
                 "unigram_lm_encode_fertility", "topic_cluster_cards", "theta_sketch_user_overlap",
                 "image_dhash_near_dups", "exact_percentiles_two_phase",
                 "anomalous_hours_3sigma", "gapfill_interpolate_hourly",
+                "audio_envelope_near_dups",
                 "stream_psi_windowed_append"],
 }
 

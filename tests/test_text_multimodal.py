@@ -143,3 +143,76 @@ def test_multimodal_pipeline(spark, sf_dir):
         w, h, n = 1 + r.media_id % 16, 1 + (r.media_id // 16) % 16, 1 + r.media_id % 3
         assert (r.width, r.height, r.n_frames) == (w, h, n)
         assert r.byte_len == n * png_encoded_len(w, h)
+
+
+def test_audio_envelope_near_dups_ground_truth(spark):
+    """audio_envelope_near_dups (r10): the full report at sf0.001 must equal
+    a pure-Python recompute from the documents_as_audio sample formula —
+    fingerprints, banded candidate generation, Hamming verify, and the
+    per-item (count, nearest-neighbor) aggregation."""
+    import itertools
+
+    import my_favorite_etl_pipeline_spark as engine
+
+    rows = engine.queries()["audio_envelope_near_dups"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_docs = 500
+    fps = {}
+    for d in range(n_docs):
+        n, ch = 100 + d % 50, 1 + d % 2
+        m = n * ch
+        samples = [(d * 31 + 7 * i) % 256 for i in range(m)]
+        e = [
+            sum(abs(x - 128) for x in samples[(s * m) // 64 : ((s + 1) * m) // 64])
+            for s in range(64)
+        ]
+        v = 0
+        for s in range(63):
+            if e[s + 1] > e[s]:
+                v |= 1 << s
+        if 8 <= bin(v).count("1") <= 55:
+            fps[d] = ((ch, 8000 * (1 + d % 3)), v)
+    pairs = {}
+    for (d1, (k1, v1)), (d2, (k2, v2)) in itertools.combinations(fps.items(), 2):
+        if k1 != k2:
+            continue
+        if not any(((v1 >> (b * 16)) & 0xFFFF) == ((v2 >> (b * 16)) & 0xFFFF) for b in range(4)):
+            continue  # banding must not see this pair
+        ham = bin(v1 ^ v2).count("1")
+        if ham <= 3:
+            pairs[(d1, d2)] = ham
+    assert pairs, "fixture produced no near-dup pairs — test is vacuous"
+    want = {}
+    for d in fps:
+        nbrs = sorted(
+            (h, (b if a == d else a))
+            for (a, b), h in pairs.items()
+            if d in (a, b)
+        )
+        want[d] = (
+            len(nbrs),
+            nbrs[0][1] if nbrs else -1,
+            nbrs[0][0] if nbrs else 99,
+        )
+    assert len(rows) == len(fps)
+    for r in rows:
+        assert (r.n_near_dups, r.nn_id, r.nn_ham) == want[r.media_id], r
+
+
+def test_image_dhash_report_consistency(spark):
+    """image_dhash_near_dups (r10): report invariants — directed near-dup
+    degrees sum even (pairs are symmetric), nearest-neighbor fields are
+    coherent on both the matched and unmatched arms."""
+    import my_favorite_etl_pipeline_spark as engine
+
+    rows = engine.queries()["image_dhash_near_dups"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert sum(r.n_near_dups for r in rows) % 2 == 0
+    for r in rows:
+        if r.n_near_dups:
+            assert 0 <= r.nn_ham <= 4 and r.nn_id >= 0 and r.nn_id != r.media_id
+        else:
+            assert (r.nn_id, r.nn_ham) == (-1, 99)
