@@ -1024,3 +1024,109 @@ def q_anomalous_hours_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# countmin_frequency_estimates — Count-Min sketch point queries
+
+_CM_D = 4  # sketch depth (independent hash rows)
+_CM_W = 512  # sketch width (buckets per row)
+_CM_TOP = 30  # probe set: the exact top-N tokens
+
+
+def _cm_bucket_sql(token_expr: str) -> str:
+    from .llm_ext5 import _duck_md5_32
+
+    return (
+        _duck_md5_32(f"'cm' || CAST(i AS VARCHAR) || '|' || {token_expr}")
+        + f" % {_CM_W}"
+    )
+
+
+@register(
+    "countmin_frequency_estimates",
+    oracle=f"""
+    WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    rws AS (SELECT UNNEST(range({_CM_D})) AS i),
+    cm AS MATERIALIZED (
+      SELECT i, {_cm_bucket_sql('token')} AS b, SUM(c) AS s
+      FROM tf CROSS JOIN rws GROUP BY 1, 2
+    ),
+    top AS (SELECT token, c FROM tf ORDER BY c DESC, token LIMIT {_CM_TOP}),
+    probe AS (
+      SELECT token, c, i, {_cm_bucket_sql('token')} AS b
+      FROM top CROSS JOIN rws
+    )
+    SELECT p.token, CAST(p.c AS BIGINT) AS exact_cnt,
+           CAST(MIN(cm.s) AS BIGINT) AS cm_est
+    FROM probe p JOIN cm ON cm.i = p.i AND cm.b = p.b
+    GROUP BY p.token, p.c
+    ORDER BY exact_cnt DESC, token
+    """,
+)
+def q_countmin_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch band (r10) — Count-Min sketch (Cormode & Muthukrishnan
+    2005) point-frequency estimates: a {_CM_D}×{_CM_W} counter table
+    built from portable md5 row-hashes, probed for the exact top-{_CM_TOP}
+    tokens and read out as min-over-rows — the mergeable frequency
+    summary streaming systems keep where the full term dictionary won't
+    fit. The CM guarantee (estimate ≥ truth always; ≤ truth + εN with
+    probability 1−δ) is pinned against the exact counts in
+    tests/test_approx_invariants.py, and the report carries BOTH numbers
+    so the driver hash checks estimator and truth together.
+
+    Like the KMV entry (and unlike the engine-specific HLL bytes), md5
+    row-hashes make both engines compute the IDENTICAL sketch content,
+    so the whole structure replays in SQL: the frequency-sketch family's
+    value-hash oracle.
+
+    Plan at 100 TB: ONE corpus token pass (the tf hash agg, map-side
+    combined — shared shape with term_frequencies_top50); the sketch
+    build explodes the VOCAB-sized tf table ×{_CM_D} and collapses to
+    ≤ {_CM_D * _CM_W} rows (model-sized — this is the point of CM: the
+    counter table is O(d·w) regardless of vocabulary); the probe is
+    {_CM_TOP}×{_CM_D} lookups against the broadcast counter table. In a
+    production stream the cm table is the running state and this query
+    is its readout; the tf side here exists to verify the estimates.
+    """
+    from .llm_ext5 import _spark_md5_32
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def bucket(i: int) -> F.Column:
+        return (
+            _spark_md5_32(F.concat(F.lit(f"cm{i}|"), F.col("token"))) % _CM_W
+        ).cast("long")
+
+    rows_arr = F.array(
+        *[
+            F.struct(F.lit(i).cast("long").alias("i"), bucket(i).alias("b"))
+            for i in range(_CM_D)
+        ]
+    )
+    cm = (
+        tf.select(F.explode(rows_arr).alias("r"), "c")
+        .groupBy(F.col("r.i").alias("i"), F.col("r.b").alias("b"))
+        .agg(F.sum("c").alias("s"))
+    )
+    top = tf.orderBy(F.col("c").desc(), "token").limit(_CM_TOP)
+    probe = top.select("token", "c", F.explode(rows_arr).alias("r")).select(
+        "token", "c", F.col("r.i").alias("i"), F.col("r.b").alias("b")
+    )
+    return (
+        probe.join(F.broadcast(cm), ["i", "b"])
+        .groupBy("token", "c")
+        .agg(F.min("s").alias("cm_est"))
+        .select(
+            "token",
+            F.col("c").cast("long").alias("exact_cnt"),
+            F.col("cm_est").cast("long").alias("cm_est"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )

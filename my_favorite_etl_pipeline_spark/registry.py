@@ -119,6 +119,10 @@ CURATED_FIRST: tuple[str, ...] = (
     # keeps the non-equi-join family in-window)
     "gapfill_interpolate_hourly",
     "theta_sketch_user_overlap",
+    # sketch band (r10): Count-Min point-frequency estimates join the KMV
+    # entry (winnowing_fingerprints yields: green since r2, X4 keeps 5
+    # members in-window)
+    "countmin_frequency_estimates",
     # stats band (r10): exact two-phase quantiles — the no-global-sort
     # exact twin of the approx percentile sketch (q8_market_share yields
     # its slot; the relational family keeps 6 other members in-window) —
@@ -153,7 +157,6 @@ CURATED_FIRST: tuple[str, ...] = (
     "graph_ann_search_topk",
     "graph_ann_search_durable",
     # X4 text + the r10 unigram-LM (SentencePiece-style) tokenizer pair
-    "winnowing_fingerprints",
     "gopher_quality_flags",
     "contamination_13gram",
     "unigram_lm_train_model",

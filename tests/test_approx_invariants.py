@@ -259,3 +259,24 @@ def test_anomalous_hours_matches_float_three_sigma(spark, qs):
             assert r.is_high == (r.value_cents > mu)
             n_flagged += r.is_anomaly
     assert n_flagged > 0, "fixture produced no anomalies — test is vacuous"
+
+
+def test_countmin_never_underestimates(spark, qs):
+    """countmin_frequency_estimates (r10): the CM guarantee — estimate >=
+    truth ALWAYS (min over rows of nonnegative-collision counters), and
+    the overestimate stays within a generous eN-style bound (w=512)."""
+    rows = qs["countmin_frequency_estimates"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total = (
+        load(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .count()
+    )
+    for r in rows:
+        assert r.cm_est >= r.exact_cnt, (r.token, r.cm_est, r.exact_cnt)
+        assert r.cm_est - r.exact_cnt <= max(2, total // 64), (
+            r.token,
+            r.cm_est,
+            r.exact_cnt,
+            total,
+        )

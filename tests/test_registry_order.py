@@ -33,7 +33,7 @@ FAMILY_SENTINELS = {
     # r10: the sketch sentinel upgrades to the KMV theta entry — the
     # family's first FULL value-hash oracle (HLL bytes are engine-specific,
     # so hll_sketch_merge could only ever get the weaker rows-only check)
-    "sketch": ["theta_sketch_user_overlap"],
+    "sketch": ["theta_sketch_user_overlap", "countmin_frequency_estimates"],
     "model-filters": ["quality_classifier_train_gd", "quality_classifier_gd_scores"],
     "X1-exact-dedup": ["dedup_exact_groups", "dedup_fingerprint_groups",
                        "exact_span_dedup_20tok"],
@@ -44,7 +44,7 @@ FAMILY_SENTINELS = {
                     "semdedup_cluster_pairs", "dedup_cluster_components"],
     "X3-similarity": ["embedding_topk_bruteforce",
                       "tfidf_topk_similar_docs", "bm25_topk_docs"],
-    "X4-text": ["winnowing_fingerprints", "gopher_quality_flags", "contamination_13gram"],
+    "X4-text": ["gopher_quality_flags", "contamination_13gram"],
     "X5-multimodal": ["multimodal_resize_8x8", "image_dhash_near_dups",
                       "audio_envelope_near_dups"],
     "S1b-docstore": ["docstore_lang_source_stats"],
@@ -61,7 +61,7 @@ FAMILY_SENTINELS = {
                 "unigram_lm_encode_fertility", "topic_cluster_cards", "theta_sketch_user_overlap",
                 "image_dhash_near_dups", "exact_percentiles_two_phase",
                 "anomalous_hours_3sigma", "gapfill_interpolate_hourly",
-                "audio_envelope_near_dups",
+                "audio_envelope_near_dups", "countmin_frequency_estimates",
                 "stream_psi_windowed_append"],
 }
 
