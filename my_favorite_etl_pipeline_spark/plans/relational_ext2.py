@@ -1130,3 +1130,119 @@ def q_countmin_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy(F.col("exact_cnt").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# event_type_correlation_matrix — Pearson correlation over hourly series
+
+
+@register(
+    "event_type_correlation_matrix",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    grid AS (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+    ty AS (SELECT DISTINCT event_type FROM hourly),
+    dense AS (
+      SELECT ty.event_type, g.h, COALESCE(hy.x, 0) AS x
+      FROM ty CROSS JOIN grid g
+      LEFT JOIN hourly hy ON hy.event_type = ty.event_type AND hy.h = g.h
+    ), p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             SUM(a.x) AS sa, SUM(b.x) AS sb,
+             SUM(CAST(a.x AS HUGEINT) * b.x) AS sab,
+             SUM(CAST(a.x AS HUGEINT) * a.x) AS saa,
+             SUM(CAST(b.x AS HUGEINT) * b.x) AS sbb
+      FROM dense a JOIN dense b
+        ON a.h = b.h AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_hours,
+           CASE WHEN n_hours * saa - CAST(sa AS HUGEINT) * sa = 0
+                  OR n_hours * sbb - CAST(sb AS HUGEINT) * sb = 0 THEN NULL
+                ELSE ROUND(
+                  CAST(n_hours * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+                  / SQRT(CAST(n_hours * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+                         * CAST(n_hours * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE)),
+                  4)
+           END AS corr
+    FROM p ORDER BY type_a, type_b
+    """,
+)
+def q_event_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats band (r10) — the feature-correlation audit: pairwise Pearson
+    correlation between every two event types' hourly value series (the
+    grid a data-mixing or anomaly stage reads to learn which signals
+    co-move before trusting one as a proxy for another). The series are
+    0-filled over the GLOBAL hour grid so every pair is compared over
+    the same n hours.
+
+    Determinism by construction: every MOMENT (n, Σa, Σb, Σab, Σa², Σb²)
+    is an EXACT integer on exact cents — decimal(38,0) on Spark /
+    HUGEINT on DuckDB, because n·Σx² already brushes the BIGINT ceiling
+    at fixture scale (the 3σ-gate argument) — and only the final
+    model-sized |types|² readout touches floats: one cast, one IEEE-754
+    sqrt (correctly-rounded by spec, so bit-identical across engines),
+    one division, ROUND 4dp (irrational quotients — the measure-zero
+    argument the KN/JS entries use). Zero-variance series yield NULL
+    explicitly on both engines, not a divide-by-zero artifact.
+
+    Plan at 100 TB: ONE (type, hour) corpus hash agg; the dense grid is
+    |types|×|hours| (grid-sized, built from sequence+explode, never a
+    driver loop); the pair join is a self equi-join ON HOUR of that
+    grid-sized table (each hour contributes |types|² rows — bounded by
+    the type dictionary, not the corpus); the moment agg output is
+    |types|² rows. Nothing after the first agg scales with event volume.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.expr("CAST(ROUND(SUM(value) * 100) AS BIGINT)").alias("x"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    ty = hourly.select("event_type").distinct()
+    dense = (
+        F.broadcast(ty)
+        .crossJoin(grid)
+        .join(hourly, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"), "h", F.col("x").alias("ax")
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"), "h", F.col("x").alias("bx")
+    )
+    p = (
+        a.join(b, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("ax").alias("sa"),
+            F.sum("bx").alias("sb"),
+            F.sum(F.expr("CAST(ax AS DECIMAL(19,0)) * CAST(bx AS DECIMAL(19,0))")).alias("sab"),
+            F.sum(F.expr("CAST(ax AS DECIMAL(19,0)) * CAST(ax AS DECIMAL(19,0))")).alias("saa"),
+            F.sum(F.expr("CAST(bx AS DECIMAL(19,0)) * CAST(bx AS DECIMAL(19,0))")).alias("sbb"),
+        )
+    )
+    var_a = "(CAST(n_hours AS DECIMAL(20,0)) * saa - CAST(sa AS DECIMAL(20,0)) * sa)"
+    var_b = "(CAST(n_hours AS DECIMAL(20,0)) * sbb - CAST(sb AS DECIMAL(20,0)) * sb)"
+    cov = "(CAST(n_hours AS DECIMAL(20,0)) * sab - CAST(sa AS DECIMAL(20,0)) * sb)"
+    return p.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        F.expr(
+            f"CASE WHEN {var_a} = 0 OR {var_b} = 0 THEN NULL"
+            f" ELSE ROUND(CAST({cov} AS DOUBLE)"
+            f" / SQRT(CAST({var_a} AS DOUBLE) * CAST({var_b} AS DOUBLE)), 4)"
+            " END"
+        ).alias("corr"),
+    ).orderBy("type_a", "type_b")

@@ -130,6 +130,10 @@ CURATED_FIRST: tuple[str, ...] = (
     # yields: green since r1, its family keeps 6 members in-window)
     "exact_percentiles_two_phase",
     "anomalous_hours_3sigma",
+    # stats band (r10): the Pearson correlation audit joins the 3-sigma
+    # gate (simhash_near_dups_portable yields: green since r5, X2 keeps
+    # 4 members in-window)
+    "event_type_correlation_matrix",
     # model filters: the r10 TRAINED pair replaces the linear sentinel
     # (same feature space; the hash-weight stand-in rotates out green)
     "quality_classifier_train_gd",
@@ -141,7 +145,6 @@ CURATED_FIRST: tuple[str, ...] = (
     # X2 near-dup: flagships + BOTH semdedup postures (fixed-k baseline
     # and the r10 auto-k scale-safe twin) + the returning full-lineage CC
     "minhash_near_dups",
-    "simhash_near_dups_portable",
     "semdedup_cluster_pairs",
     "semdedup_cluster_pairs_auto_k",
     "dedup_cluster_components",

@@ -280,3 +280,41 @@ def test_countmin_never_underestimates(spark, qs):
             r.exact_cnt,
             total,
         )
+
+
+def test_correlation_matrix_matches_numpy(spark, qs):
+    """event_type_correlation_matrix (r10): the exact-integer-moments
+    Pearson readout must match numpy.corrcoef on the same 0-filled dense
+    hourly series to the 4dp rounding, with |corr| <= 1 throughout."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    rows = qs["event_type_correlation_matrix"](spark, sf).collect()
+    assert rows
+    hourly = (
+        load(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.expr("CAST(ROUND(SUM(value) * 100) AS BIGINT)").alias("x"))
+        .collect()
+    )
+    hours = sorted({r.h for r in hourly})
+    import datetime as dt
+
+    h0, h1 = hours[0], hours[-1]
+    grid = []
+    t = h0
+    while t <= h1:
+        grid.append(t)
+        t = t + dt.timedelta(hours=1)
+    obs = {(r.event_type, r.h): r.x for r in hourly}
+    types = sorted({r.event_type for r in hourly})
+    series = {
+        ty: np.array([obs.get((ty, h), 0) for h in grid], dtype=np.float64)
+        for ty in types
+    }
+    for r in rows:
+        assert r.n_hours == len(grid)
+        want = np.corrcoef(series[r.type_a], series[r.type_b])[0, 1]
+        assert abs(r.corr - want) <= 2e-4, (r.type_a, r.type_b, r.corr, want)
+        assert -1.0 <= r.corr <= 1.0

@@ -40,7 +40,7 @@ FAMILY_SENTINELS = {
     # embedding_topk_pandas_udf rotated out (UDF surface stays pinned by
     # the pandas/JVM equivalence test); lang_id_heuristic rotated out
     # (X4 keeps four other members in-window)
-    "X2-near-dup": ["minhash_near_dups", "simhash_near_dups_portable",
+    "X2-near-dup": ["minhash_near_dups",
                     "semdedup_cluster_pairs", "dedup_cluster_components"],
     "X3-similarity": ["embedding_topk_bruteforce",
                       "tfidf_topk_similar_docs", "bm25_topk_docs"],
@@ -62,6 +62,7 @@ FAMILY_SENTINELS = {
                 "image_dhash_near_dups", "exact_percentiles_two_phase",
                 "anomalous_hours_3sigma", "gapfill_interpolate_hourly",
                 "audio_envelope_near_dups", "countmin_frequency_estimates",
+                "event_type_correlation_matrix",
                 "stream_psi_windowed_append"],
 }
 
