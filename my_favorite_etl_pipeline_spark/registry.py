@@ -92,7 +92,11 @@ CURATED_FIRST: tuple[str, ...] = (
     # re-check to clear them. lang_id_heuristic and embedding_topk_
     # pandas_udf complete the slot budget (X4 keeps 4 other members
     # in-window, X3 keeps 7; the UDF surface stays pinned by equivalence
-    # tests). 44 of 50 entries are returning.
+    # tests). Late-r10 additions (exact percentiles, 3-sigma gate,
+    # correlation audit, interpolation gapfill, audio envelope dedup,
+    # Count-Min) each entered day-one, displacing the longest-green
+    # non-critical returnee named at each insertion; final census:
+    # 18 r10 day-ones, 32 returning of 50.
     #
     # reference-parity pipeline anchors (SURVEY §2.1-§2.8): pinned always
     "incremental_extract",

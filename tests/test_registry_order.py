@@ -21,9 +21,10 @@ FAMILY_SENTINELS = {
     # r10 window (VERDICT r9 item 6): drift re-detection — the nine green
     # r9 day-ones rotated OUT, the five flagships they displaced RETURN
     # (q5/q18/pivot/asof/dedup_cluster_components), both r9 hash-red graph
-    # rows stay IN for the fix re-check, and the six r10 operators check
-    # from day one. 44 of the 50 slots are returning entries (>=10
-    # required).
+    # rows stay IN for the fix re-check, and every r10 operator checks
+    # from day one (18 by round end — the six late-r10 additions each
+    # displaced a named long-green returnee). 32 of the 50 slots are
+    # returning entries (>=10 required).
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
     "relational": ["q3_shipping_priority", "q1_pricing_summary", "q5_region_revenue",
                    "q18_large_orders", "pivot_status_by_segment",
