@@ -107,14 +107,19 @@ HEADLINE = [
 # sf0.1. The fixed-k flagship stays registered (oracle-replay baseline,
 # still timed by the sweeps).
 # leakage 4.7, dsir 4.6, graph_ann_search 4.3 (its FIRST run pays the
-# ~43 s session graph build the medians amortize — chosen over
+# session graph build the medians amortize — chosen over
 # dsir_gumbel_topk_sample's 4.5, which shares dsir_importance_resample's
 # scoring frame already in the tier, so the tier covers one more
-# distinct plan family at equal-within-noise cost). Displaced (still
-# timed by the sweeps): curation_funnel_report 3.7, semdedup_cluster_
-# pairs_top2 3.5, stream_stream_attribution_join 3.5, multimodal_audio_
-# features 2.7. The tier runs WITHOUT a separate warm pass — the median
-# of 3 absorbs the cold run.
+# distinct plan family at equal-within-noise cost).
+# r11 membership refresh (VERDICT r10 item 6): topic_cluster_cards — the
+# heaviest r10 operator, measured 6.0 s post-gate — enters; leakage_safe_
+# split (1.5 s at the same measurement) leaves. Displaced (still timed by
+# the sweeps): curation_funnel_report, semdedup_cluster_pairs_top2,
+# stream_stream_attribution_join, multimodal_audio_features,
+# leakage_safe_split. The tier runs WITHOUT a separate warm pass — the
+# median of 3 absorbs the cold run. NOTE r11: knn_graph_topk_auto_k and
+# graph_ann_search_topk now time the INTEGER quantized-cosine contract
+# over the 3-round NN-Descent graph (deeper build; see BASELINE.md r11).
 FULL = [
     "ngram_jaccard_pairs",
     "embedding_topk_ivf_pq",
@@ -123,7 +128,7 @@ FULL = [
     "knn_graph_topk_auto_k",
     "embedding_topk_pq_adc",
     "simhash_near_dups_portable",
-    "leakage_safe_split",
+    "topic_cluster_cards",
     "dsir_importance_resample",
     "graph_ann_search_topk",
 ]

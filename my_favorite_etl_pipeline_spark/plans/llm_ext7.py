@@ -350,25 +350,63 @@ def q_dsir_gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_K = 3  # neighbors per node
 _KNN_SEEDS = 5  # deterministic random seed edges per node (NN-Descent init)
 _KNN_W = 16  # working-list width between rounds (> K keeps exploratory edges)
-_KNN_ROUNDS = 2  # refinement rounds
+_KNN_ROUNDS = 3  # refinement rounds (r11: 2→3, probe-measured sf0.1 recall 0.50→0.69)
 _KNN_CAP = 2 * (_KNN_K + _KNN_SEEDS)  # per-node fan-out cap in the two-hop join
+
+
+def _int_cos_sql(qa: str, sa: str, qb: str, sb: str) -> str:
+    """The quantized-cosine score in SQL — the DuckDB twin of
+    ``operators.similarity.int_cos_x1e4``: pure integer arithmetic on the
+    FLOOR(v·10⁴) quantized vectors and their exact isqrt norms, with the
+    ``+2·sa·sb`` offset keeping the floor division nonnegative where
+    DuckDB ``//`` and Spark ``DIV`` agree. No IEEE float anywhere
+    (VERDICT r10 item 2)."""
+    d = f"CAST(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> {qa}[i] * {qb}[i])) AS BIGINT)"
+    return (
+        f"CAST(CASE WHEN {sa} * {sb} = 0 THEN 0 ELSE "
+        f"(({d} + 2 * {sa} * {sb}) * 10000) // ({sa} * {sb}) - 20000 END AS BIGINT)"
+    )
+
+
+# Quantized twin of the assignment CTE: __q = FLOOR(v·10⁴) BIGINT vectors +
+# EXACT integer norms via the isqrt correction step (FLOOR(SQRT(double)) is
+# within ±1 of ⌊√x⌋ for x < 2⁵³ because IEEE sqrt is correctly rounded; one
+# CASE step makes it exact on ANY engine — operators.similarity.int_isqrt).
+_QASSIGN_CTE = """
+    qassign AS MATERIALIZED (
+      SELECT vec_id, cluster, q,
+             CASE WHEN (s0 + 1) * (s0 + 1) <= n2 THEN s0 + 1
+                  WHEN s0 * s0 > n2 THEN s0 - 1 ELSE s0 END AS s
+      FROM (
+        SELECT vec_id, cluster, q, n2,
+               CAST(FLOOR(SQRT(CAST(n2 AS DOUBLE))) AS BIGINT) AS s0
+        FROM (
+          SELECT vec_id, cluster, q,
+                 CAST(LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS BIGINT) AS n2
+          FROM (SELECT vec_id, cluster,
+                       LIST_TRANSFORM(v, x -> CAST(FLOOR(x * 10000) AS BIGINT)) AS q
+                FROM assign)))
+    )"""
 
 
 def _knn_base_cte(k_sql: str = "8") -> str:
     """Shared oracle prefix: the SemDeDup assignment (llm_ext4's CTE, so
-    the families cannot drift) + the within-cell pair scoring + the base
-    top-K edge list ``e0(src_id, nbr_id, cos_sim, rnk)``. ``k_sql``: cell
-    count expression — "8" for the fixed-k flagship, ``AUTO_K_SQL`` for
-    the scale-safe auto-k twin (r10)."""
+    the families cannot drift) + the integer-quantized vector table
+    ``qassign`` + the within-cell pair scoring + the base top-K edge list
+    ``e0(src_id, nbr_id, cos_sim, rnk)``. ``k_sql``: cell count
+    expression — "8" for the fixed-k flagship, ``AUTO_K_SQL`` for the
+    scale-safe auto-k twin (r10). All scores are the pure-integer
+    quantized cosine (r11) — the ROUND(double·10⁴) form this replaces was
+    the family's last IEEE-float hash surface."""
     from .llm_ext4 import _semdedup_assign_cte
 
     return f"""
     {_semdedup_assign_cte(1, k_sql)},
+    {_QASSIGN_CTE},
     p AS (
       SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
-             CAST(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> a.v[i] * b.v[i]))
-                   / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_sim
-      FROM assign a JOIN assign b
+             {_int_cos_sql("a.q", "a.s", "b.q", "b.s")} AS cos_sim
+      FROM qassign a JOIN qassign b
         ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
     ),
     e0 AS (SELECT src_id, nbr_id, cos_sim,
@@ -413,11 +451,10 @@ def _knn_round_cte(i: int, cap: int, w: int) -> str:
     ),
     resc{i} AS (
       SELECT c.src_id, c.nbr_id,
-             CAST(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * y.v[d]))
-                   / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_sim
+             {_int_cos_sql("x.q", "x.s", "y.q", "y.s")} AS cos_sim
       FROM cand{i} c
-      JOIN assign x ON x.vec_id = c.src_id
-      JOIN assign y ON y.vec_id = c.nbr_id
+      JOIN qassign x ON x.vec_id = c.src_id
+      JOIN qassign y ON y.vec_id = c.nbr_id
     ),
     m{i} AS (SELECT DISTINCT src_id, nbr_id, cos_sim FROM (
                SELECT * FROM {prev} UNION ALL SELECT * FROM resc{i})),
@@ -431,17 +468,18 @@ def _knn_round_cte(i: int, cap: int, w: int) -> str:
     )"""
 
 
-def _knn_refined_cte() -> str:
-    """Shared oracle prefix through ``wk{_KNN_ROUNDS}`` — assignment +
+def _knn_refined_cte(n_rounds: int = _KNN_ROUNDS) -> str:
+    """Shared oracle prefix through ``wk{n_rounds}`` — assignment +
     base edges + deterministic random seeds + the NN-Descent round blocks.
     Consumed by the refined-graph oracle (final top-K re-rank) AND the
     graph-search oracle (search over the W-wide working graph), so the
-    graph that is searched is provably the graph that was built."""
+    graph that is searched is provably the graph that was built; the r11
+    forensic stage entries replay shorter prefixes (n_rounds < default)."""
     seed_md5 = _duck_md5_32(
         "'knn|' || CAST(a.vec_id AS VARCHAR) || '|' || CAST(rr.r AS VARCHAR)"
     )
     rounds = "".join(
-        "," + _knn_round_cte(i, _KNN_CAP, _KNN_W) for i in range(1, _KNN_ROUNDS + 1)
+        "," + _knn_round_cte(i, _KNN_CAP, _KNN_W) for i in range(1, n_rounds + 1)
     )
     return f"""
     {_knn_base_cte()},
@@ -449,17 +487,16 @@ def _knn_refined_cte() -> str:
     seeds AS (
       SELECT a.vec_id AS src_id,
              (a.vec_id + 1 + (({seed_md5}) % (nn.n - 1))) % nn.n AS nbr_id
-      FROM assign a
+      FROM qassign a
       CROSS JOIN (SELECT COUNT(*) AS n FROM embeddings) nn
       CROSS JOIN (SELECT UNNEST(range(1, {_KNN_SEEDS} + 1)) AS r) rr
     ),
     sesc AS (
       SELECT s.src_id, s.nbr_id,
-             CAST(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * y.v[d]))
-                   / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_sim
+             {_int_cos_sql("x.q", "x.s", "y.q", "y.s")} AS cos_sim
       FROM seeds s
-      JOIN assign x ON x.vec_id = s.src_id
-      JOIN assign y ON y.vec_id = s.nbr_id
+      JOIN qassign x ON x.vec_id = s.src_id
+      JOIN qassign y ON y.vec_id = s.nbr_id
     ),
     wk0 AS MATERIALIZED (
       SELECT src_id, nbr_id, cos_sim FROM (
@@ -515,31 +552,36 @@ def q_knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_base_edges(spark: SparkSession, sf_dir: str, k=8):
     """Shared Spark-side base graph: returns ``(assign, edges)`` — the
-    nearest-centroid assignment (vectors + norms ride along for re-scoring)
-    and the ranked within-cell top-K edge list. ``cos_sim`` is the integer
-    ten-thousandth score throughout the graph family (see
-    ``score_id_pairs``); registered queries divide by 10⁴ at the boundary.
-    ``k`` may be ``"auto"`` (resolve_cell_count — the scale-safe twin)."""
-    from ..operators.similarity import dot, knn_topk_edges, nearest_centroid
+    nearest-centroid assignment carrying the INTEGER-quantized vectors
+    (``quantize_vectors``: __q = FLOOR(v·10⁴), __s = exact isqrt norm)
+    and the ranked within-cell top-K edge list. ``cos_sim`` is the
+    pure-integer quantized-cosine ten-thousandth throughout the graph
+    family (``int_cos_x1e4`` / ``score_id_pairs`` — r11, no IEEE float
+    upstream of any hashed value); registered queries divide by 10⁴ at
+    the boundary. ``k`` may be ``"auto"`` (resolve_cell_count — the
+    scale-safe twin)."""
+    from ..operators.similarity import (
+        int_cos_x1e4,
+        knn_topk_edges,
+        nearest_centroid,
+        quantize_vectors,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    assign = nearest_centroid(emb, k=k)
+    assign = quantize_vectors(nearest_centroid(emb, k=k))
     a = assign.select(
         F.col("vec_id").alias("src_id"),
         F.col("cluster"),
-        F.col("__v").alias("av"),
-        F.col("__n").alias("an"),
+        F.col("__q").alias("aq"),
+        F.col("__s").alias("asn"),
     )
     b = assign.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("cluster"),
-        F.col("__v").alias("bv"),
-        F.col("__n").alias("bn"),
+        F.col("__q").alias("bq"),
+        F.col("__s").alias("bsn"),
     )
-    cos = (
-        F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")) * 10000)
-        .cast("long")
-    )
+    cos = int_cos_x1e4(F.col("aq"), F.col("asn"), F.col("bq"), F.col("bsn"))
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("src_id") != F.col("nbr_id"))
@@ -671,6 +713,10 @@ def _knn_refined_tables(spark: SparkSession, sf_dir: str):
             if not (os.path.isdir(a_path) and os.path.isdir(w_path)):
                 tmp = os.path.join(_knn_graph_root(), f".build-{uuid.uuid4().hex}")
                 assign, work = _knn_refined_work(spark, sf_dir)
+                # the search side needs only the integer contract columns
+                # (quantized vector + exact integer norm); __v/__n stay out
+                # of the durable table — no float ever rides to serving
+                assign = assign.select("vec_id", "cluster", "__q", "__s")
                 assign.write.parquet(os.path.join(tmp, "assign"))
                 work.select("src_id", "nbr_id", "cos_sim").write.parquet(
                     os.path.join(tmp, "work")
@@ -680,11 +726,14 @@ def _knn_refined_tables(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
 
 
-def _knn_refined_work(spark: SparkSession, sf_dir: str):
-    """Shared Spark-side refined graph: ``(assign, work)`` where ``work``
-    is the W-wide working edge list after seeding + all NN-Descent rounds
-    (the Spark twin of the oracle's ``wk{_KNN_ROUNDS}`` CTE)."""
-    from ..operators.similarity import knn_topk_edges, nn_descent_round, score_id_pairs
+def _knn_seed_scores(spark: SparkSession, sf_dir: str):
+    """``(assign, base, sesc)`` — the deterministic NN-Descent seed edges
+    with their quantized-integer scores (the Spark twin of the oracle's
+    ``seeds``/``sesc`` CTEs). Factored out (r11) so the forensic
+    ``knn_seed_edges`` entry replays EXACTLY the seed stage the refined
+    build consumes — a divergence there separates scoring/seeding drift
+    from round-iteration drift (VERDICT r10 item 1)."""
+    from ..operators.similarity import score_id_pairs
 
     assign, base = _knn_base_edges(spark, sf_dir)
     n = load(spark, sf_dir, "embeddings").count()
@@ -697,11 +746,20 @@ def _knn_refined_work(spark: SparkSession, sf_dir: str):
         "src_id",
         ((F.col("src_id") + 1 + F.pmod(h, F.lit(n - 1))) % F.lit(n)).alias("cand_id"),
     )
-    sesc = score_id_pairs(seeds, assign)
+    return assign, base, score_id_pairs(seeds, assign)
+
+
+def _knn_refined_work(spark: SparkSession, sf_dir: str, n_rounds: int = _KNN_ROUNDS):
+    """Shared Spark-side refined graph: ``(assign, work)`` where ``work``
+    is the W-wide working edge list after seeding + ``n_rounds``
+    NN-Descent rounds (the Spark twin of the oracle's ``wk{n}`` CTE)."""
+    from ..operators.similarity import knn_topk_edges, nn_descent_round
+
+    assign, base, sesc = _knn_seed_scores(spark, sf_dir)
     work = knn_topk_edges(
         base.select("src_id", "nbr_id", "cos_sim").unionAll(sesc).distinct(), _KNN_W
     )
-    for _ in range(_KNN_ROUNDS):
+    for _ in range(n_rounds):
         work = nn_descent_round(
             work.select("src_id", "nbr_id", "cos_sim"),
             assign,
@@ -748,11 +806,10 @@ def _gs_hop_cte(i: int) -> str:
         SELECT vec_id, cos_sim FROM {prev}
         UNION ALL
         SELECT u.nbr AS vec_id,
-               CAST(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * qq.qv[d]))
-                     / (x.nrm * qq.qn) * 10000) AS BIGINT) AS cos_sim
+               {_int_cos_sql("x.q", "x.s", "qq.qv", "qq.qn")} AS cos_sim
         FROM bm{i} b
         JOIN gund u ON u.node = b.vec_id
-        JOIN assign x ON x.vec_id = u.nbr
+        JOIN qassign x ON x.vec_id = u.nbr
         CROSS JOIN qq)
     )"""
 
@@ -769,7 +826,7 @@ def _graph_search_oracle() -> str:
         UNION ALL
         SELECT nbr_id AS node, src_id AS nbr FROM wk{_KNN_ROUNDS})
     ),
-    qq AS (SELECT v AS qv, nrm AS qn FROM assign WHERE vec_id = 0),
+    qq AS (SELECT q AS qv, s AS qn FROM qassign WHERE vec_id = 0),
     ent AS (
       SELECT ((nn.n // {_GS_ENTRIES}) * g.g) AS vec_id
       FROM (SELECT COUNT(*) AS n FROM embeddings) nn
@@ -777,9 +834,8 @@ def _graph_search_oracle() -> str:
     ),
     gv0 AS MATERIALIZED (
       SELECT DISTINCT x.vec_id,
-             CAST(ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), d -> x.v[d] * qq.qv[d]))
-                   / (x.nrm * qq.qn) * 10000) AS BIGINT) AS cos_sim
-      FROM ent e JOIN assign x ON x.vec_id = e.vec_id CROSS JOIN qq
+             {_int_cos_sql("x.q", "x.s", "qq.qv", "qq.qn")} AS cos_sim
+      FROM ent e JOIN qassign x ON x.vec_id = e.vec_id CROSS JOIN qq
     ){hops}
     SELECT vec_id, cos_sim / 10000.0 AS cos_sim FROM gv{_GS_HOPS}
     ORDER BY cos_sim DESC, vec_id LIMIT {_GS_K}
@@ -844,22 +900,21 @@ def graph_beam_search(
         .distinct()
     )
     qv = assign.filter(F.col("vec_id") == 0).select(
-        F.col("__v").alias("qv"), F.col("__n").alias("qn")
+        F.col("__q").alias("qq"), F.col("__s").alias("qs")
     )
-    from ..operators.similarity import dot
+    from ..operators.similarity import int_cos_x1e4
 
     def score(ids: DataFrame) -> list:
-        # integer ten-thousandth scores end-to-end (score_id_pairs contract)
+        # pure-integer quantized ten-thousandth scores end-to-end
+        # (score_id_pairs / int_cos_x1e4 contract — r11, no IEEE float)
         return (
             ids.join(assign, "vec_id")
             .crossJoin(F.broadcast(qv))
             .select(
                 "vec_id",
-                F.round(
-                    dot(F.col("__v"), F.col("qv")) / (F.col("__n") * F.col("qn")) * 10000
-                )
-                .cast("long")
-                .alias("cos_sim"),
+                int_cos_x1e4(
+                    F.col("__q"), F.col("__s"), F.col("qq"), F.col("qs")
+                ).alias("cos_sim"),
             )
             .collect()
         )
@@ -922,14 +977,22 @@ def _pr_round_cte(i: int) -> str:
     )"""
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_cte() -> str:
+    """The PageRank trajectory as a reusable CTE chain ending at
+    ``pr{_PR_ROUNDS}`` (factored r11 for the canonical-selection
+    composition)."""
     rounds = "".join(_pr_round_cte(i) for i in range(1, _PR_ROUNDS + 1))
     return f"""
     {_knn_base_cte()},
     ed AS (SELECT src_id, nbr_id FROM e0 WHERE rnk <= {_KNN_K}),
     odeg AS (SELECT src_id, COUNT(*) AS d FROM ed GROUP BY 1),
     nodesg AS (SELECT DISTINCT src_id AS node FROM ed),
-    pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodesg){rounds}
+    pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodesg){rounds}"""
+
+
+def _pagerank_oracle() -> str:
+    return f"""
+    {_pagerank_cte()}
     SELECT node AS vec_id, s AS pagerank_x1e6 FROM pr{_PR_ROUNDS} ORDER BY vec_id
     """
 
@@ -962,6 +1025,14 @@ def q_knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (each is a `src` of its own top-{_KNN_K} list), so the
     dangling-mass term is structurally zero.
     """
+    return pagerank_scores(spark, sf_dir).orderBy("vec_id")
+
+
+def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, pagerank_x1e6)`` — the exact-integer PageRank scores
+    over the base kNN graph (the body of ``knn_graph_pagerank``, factored
+    r11 so the canonical-selection composition ``dedup_canonical_pagerank``
+    consumes the identical trajectory)."""
     from ..caching import tracked_persist
 
     _, edges = _knn_base_edges(spark, sf_dir)
@@ -982,7 +1053,7 @@ def q_knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return pr.select(
         F.col("node").alias("vec_id"), F.col("s").alias("pagerank_x1e6")
-    ).orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------

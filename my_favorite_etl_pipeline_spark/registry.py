@@ -76,113 +76,97 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dataset-assembly, SCD2, and streaming. Names not yet registered are skipped,
 # so the list may lead the code; everything else follows in registration order.
 CURATED_FIRST: tuple[str, ...] = (
-    # R10 ROTATION (VERDICT r9 item 6): drift re-detection continues — the
-    # nine r9 day-ones that went driver-green rotate OUT (still verified by
-    # the full local harness + the end-of-round sf0.1 sweep + determinism),
-    # their slots RETURN the five flagships they displaced
-    # (q5/q18/pivot/asof/dedup_cluster_components), and the nine r10
-    # operators driver-check from day one: both auto-k scale-safe twins,
-    # the durable graph search, graph PageRank, the trained quality
-    # classifier pair, the unigram-LM trainer/encoder pair, and the
-    # watermarked append-mode PSI monitor (grouping_sets/cube re-greened
-    # in r9 and yield their slots; quality_classifier_linear yields to
-    # its own trained successors). BOTH r9 hash-red rows
-    # (knn_graph_nn_descent, graph_ann_search_topk) stay IN per VERDICT r9
-    # item 1 — the integer-cosine + lock/atomic-rename fix needs a driver
-    # re-check to clear them. lang_id_heuristic and embedding_topk_
-    # pandas_udf complete the slot budget (X4 keeps 4 other members
-    # in-window, X3 keeps 7; the UDF surface stays pinned by equivalence
-    # tests). Late-r10 additions (exact percentiles, 3-sigma gate,
-    # correlation audit, interpolation gapfill, audio envelope dedup,
-    # Count-Min) each entered day-one, displacing the longest-green
-    # non-critical returnee named at each insertion; final census:
-    # 18 r10 day-ones, 32 returning of 50.
+    # R11 ROTATION (VERDICT r10 items 1, 4, 5): this round's window is the
+    # DIVERGENCE-FORENSICS round. The 4 two-round driver-red rows stay IN,
+    # now re-scored under the pure-integer quantized-cosine contract
+    # (knn_graph_nn_descent, graph_ann_search_topk, graph_ann_search_durable)
+    # and the all-integer classifier (quality_classifier_train_gd, with its
+    # green scores twin kept for the train-vs-scores contrast). Joining
+    # them: 11 forensic entries — 6 trajectory stages (classifier feature
+    # checksum + epoch-1/epoch-8 weight prefixes; graph cell assignment +
+    # seed scores + round-1 working list) and 5 engine-behavior probes
+    # (input-data fingerprint, tokenize+md5, ROUND half-cases, float
+    # summation ORDER, and the RETIRED float-cosine contract replayed) —
+    # so CORRECTNESS_r11 localizes WHERE the driver diverges instead of
+    # reporting one opaque red per pipeline (plans/forensics.py). The
+    # whole graph family re-enters day-one because its VALUES changed this
+    # round (integer quantization + rounds 2→3): knn_graph_topk returns,
+    # auto-k + pagerank stay. The 18 green r10 day-ones rotate OUT (still
+    # verified by the full local harness + sf0.1 sweep + determinism +
+    # isolation matrix); the VERDICT-named displaced band RETURNS: q8,
+    # range_join, scd2, winnowing, simhash_portable, ivf_kmeans,
+    # grouping_sets, quality_classifier_linear, lang_id_heuristic, and the
+    # hll/pandas_udf sentinels. Long-green q5/q18/pivot/asof/variant/
+    # typed_struct/cube/q9 yield their slots this round (every family
+    # keeps ≥1 member in-window; 21 returning entries of 50).
     #
     # reference-parity pipeline anchors (SURVEY §2.1-§2.8): pinned always
     "incremental_extract",
     "merge_upsert",
     "dq_gate",
     "reconciliation",
-    # relational: flagships + the full returning tail (q5/q18/pivot/asof
-    # return after yielding their r9 slots)
+    # relational: flagships + the VERDICT-named returning band
     "q3_shipping_priority",
     "q1_pricing_summary",
-    "q5_region_revenue",
-    "q18_large_orders",
-    "pivot_status_by_segment",
-    "asof_last_click_before_purchase",
+    "q8_market_share",
+    "grouping_sets_revenue",
+    "range_join_ship_latency",
+    "scd2_status_history",
     # transform/flatten chains (F3/P/J families)
     "transform_chain",
-    "typed_struct_props_chain",
-    "variant_props_chain",
     # timeseries + sketches (continuous_aggregate_rollup carries the
-    # cross-engine rounding scar tissue — exactly where drift bites first)
+    # cross-engine rounding scar tissue; the hll rows-only sentinel
+    # returns per the VERDICT band)
     "continuous_aggregate_rollup",
-    # timeseries band (r10): the interpolation gapfill twin enters day-one
-    # (range_join_ship_latency yields — long-green, and the asof sentinel
-    # keeps the non-equi-join family in-window)
-    "gapfill_interpolate_hourly",
-    "theta_sketch_user_overlap",
-    # sketch band (r10): Count-Min point-frequency estimates join the KMV
-    # entry (winnowing_fingerprints yields: green since r2, X4 keeps 5
-    # members in-window)
-    "countmin_frequency_estimates",
-    # stats band (r10): exact two-phase quantiles — the no-global-sort
-    # exact twin of the approx percentile sketch (q8_market_share yields
-    # its slot; the relational family keeps 6 other members in-window) —
-    # and the exact-integer 3-sigma anomaly gate (scd2_status_history
-    # yields: green since r1, its family keeps 6 members in-window)
-    "exact_percentiles_two_phase",
-    "anomalous_hours_3sigma",
-    # stats band (r10): the Pearson correlation audit joins the 3-sigma
-    # gate (simhash_near_dups_portable yields: green since r5, X2 keeps
-    # 4 members in-window)
-    "event_type_correlation_matrix",
-    # model filters: the r10 TRAINED pair replaces the linear sentinel
-    # (same feature space; the hash-weight stand-in rotates out green)
-    "quality_classifier_train_gd",
-    "quality_classifier_gd_scores",
-    # X1 exact dedup + span arms
+    "hll_sketch_merge",
+    # X1 exact dedup + X2 near-dup returning band
     "dedup_exact_groups",
-    "dedup_fingerprint_groups",
-    "exact_span_dedup_20tok",
-    # X2 near-dup: flagships + BOTH semdedup postures (fixed-k baseline
-    # and the r10 auto-k scale-safe twin) + the returning full-lineage CC
+    "winnowing_fingerprints",
+    "simhash_near_dups_portable",
     "minhash_near_dups",
     "semdedup_cluster_pairs",
-    "semdedup_cluster_pairs_auto_k",
-    "dedup_cluster_components",
-    # X3 similarity: anchors + sparse retrieval + the graph family —
-    # auto-k base build (r10), both r9 REDS held in for re-check, and the
-    # durable serving posture (r10)
+    # X3 similarity: anchors + returning ivf_kmeans/pandas_udf sentinels
     "embedding_topk_bruteforce",
     "tfidf_topk_similar_docs",
-    "bm25_topk_docs",
+    "embedding_topk_ivf_kmeans",
+    "embedding_topk_pandas_udf",
+    # X3 graph family — ALL values changed r11 (integer contract +
+    # rounds 3): full family re-check + the 3 trajectory forensics
+    "knn_graph_topk",
     "knn_graph_topk_auto_k",
     "knn_graph_pagerank",
     "knn_graph_nn_descent",
     "graph_ann_search_topk",
     "graph_ann_search_durable",
-    # X4 text + the r10 unigram-LM (SentencePiece-style) tokenizer pair
+    "knn_assign_cells",
+    "knn_seed_edges",
+    "knn_nn_descent_round1",
+    # X4 text anchors + returning band + the classifier pair under
+    # forensic instrumentation (3 trajectory stages)
     "gopher_quality_flags",
     "contamination_13gram",
-    "unigram_lm_train_model",
-    "unigram_lm_encode_fertility",
-    "topic_cluster_cards",
-    # X5 multimodal: the resize sentinel + the r10 perceptual-hash dedup
-    # pair — image dHash and its audio envelope twin
-    # (embedding_topk_ivf_kmeans yields: X3 keeps 8 members in-window)
+    "lang_id_heuristic",
+    "quality_classifier_linear",
+    "quality_classifier_train_gd",
+    "quality_classifier_gd_scores",
+    "qc_features_checksum",
+    "qc_train_epoch1_weights",
+    "qc_train_epoch8_weights",
+    # engine-behavior probes (plans/forensics.py §2)
+    "oracle_probe_data_fingerprint",
+    "oracle_probe_tokenize_md5",
+    "oracle_probe_round_half",
+    "oracle_probe_float_sum_order",
+    "oracle_probe_float_cosine_x1e4",
+    # X5 multimodal sentinel
     "multimodal_resize_8x8",
-    "image_dhash_near_dups",
-    "audio_envelope_near_dups",
     # S1b docstore (sole family member, pinned)
     "docstore_lang_source_stats",
     # dataset assembly
     "training_data_prep",
-    # X6 streaming: both anchors + the r10 watermarked append-mode PSI
+    # X6 streaming anchors
     "stream_tumbling_hourly",
     "stream_stream_attribution_join",
-    "stream_psi_windowed_append",
 )
 
 

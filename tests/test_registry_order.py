@@ -18,53 +18,49 @@ DRIVER_CAP = 50
 # freezes (decimal_surface proved why: six rounds of local green, red on
 # first driver contact). r8 burned the never-checked backlog to zero.
 FAMILY_SENTINELS = {
-    # r10 window (VERDICT r9 item 6): drift re-detection — the nine green
-    # r9 day-ones rotated OUT, the five flagships they displaced RETURN
-    # (q5/q18/pivot/asof/dedup_cluster_components), both r9 hash-red graph
-    # rows stay IN for the fix re-check, and every r10 operator checks
-    # from day one (18 by round end — the six late-r10 additions each
-    # displaced a named long-green returnee). 32 of the 50 slots are
-    # returning entries (>=10 required).
+    # r11 window (VERDICT r10 items 1/4/5): the divergence-forensics
+    # round — all 4 two-round reds stay IN (now under the pure-integer
+    # quantized-cosine contract), the full graph family re-enters because
+    # its VALUES changed (quantization + rounds 2→3), and 11 forensic
+    # entries (6 trajectory stages + 5 engine-behavior probes) join them
+    # so CORRECTNESS_r11 localizes the driver divergence. The 18 green
+    # r10 day-ones rotate OUT; the VERDICT-named displaced band RETURNS
+    # (q8, range_join, scd2, winnowing, simhash_portable, ivf_kmeans,
+    # grouping_sets, quality_classifier_linear, lang_id_heuristic,
+    # hll/pandas_udf sentinels). 21 of 50 slots are returning entries.
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
-    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q5_region_revenue",
-                   "q18_large_orders", "pivot_status_by_segment",
-                   "asof_last_click_before_purchase"],
-    "transform-chains": ["transform_chain", "typed_struct_props_chain", "variant_props_chain"],
-    "timeseries": ["continuous_aggregate_rollup", "gapfill_interpolate_hourly"],
-    # r10: the sketch sentinel upgrades to the KMV theta entry — the
-    # family's first FULL value-hash oracle (HLL bytes are engine-specific,
-    # so hll_sketch_merge could only ever get the weaker rows-only check)
-    "sketch": ["theta_sketch_user_overlap", "countmin_frequency_estimates"],
-    "model-filters": ["quality_classifier_train_gd", "quality_classifier_gd_scores"],
-    "X1-exact-dedup": ["dedup_exact_groups", "dedup_fingerprint_groups",
-                       "exact_span_dedup_20tok"],
-    # embedding_topk_pandas_udf rotated out (UDF surface stays pinned by
-    # the pandas/JVM equivalence test); lang_id_heuristic rotated out
-    # (X4 keeps four other members in-window)
-    "X2-near-dup": ["minhash_near_dups",
-                    "semdedup_cluster_pairs", "dedup_cluster_components"],
-    "X3-similarity": ["embedding_topk_bruteforce",
-                      "tfidf_topk_similar_docs", "bm25_topk_docs"],
-    "X4-text": ["gopher_quality_flags", "contamination_13gram"],
-    "X5-multimodal": ["multimodal_resize_8x8", "image_dhash_near_dups",
-                      "audio_envelope_near_dups"],
+    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q8_market_share",
+                   "grouping_sets_revenue", "range_join_ship_latency",
+                   "scd2_status_history"],
+    "transform-chains": ["transform_chain"],
+    "timeseries": ["continuous_aggregate_rollup"],
+    "sketch": ["hll_sketch_merge"],
+    "model-filters": ["quality_classifier_linear", "quality_classifier_train_gd",
+                      "quality_classifier_gd_scores"],
+    "X1-exact-dedup": ["dedup_exact_groups", "winnowing_fingerprints"],
+    "X2-near-dup": ["minhash_near_dups", "simhash_near_dups_portable",
+                    "semdedup_cluster_pairs"],
+    "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs",
+                      "embedding_topk_ivf_kmeans", "embedding_topk_pandas_udf"],
+    "X4-text": ["gopher_quality_flags", "contamination_13gram", "lang_id_heuristic"],
+    "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
     "assembly": ["training_data_prep"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join"],
-    # the r9 REDS held in-window until CORRECTNESS_r10 shows them green
-    # (VERDICT r9 item 1)
-    "r9-reds-recheck": ["knn_graph_nn_descent", "graph_ann_search_topk"],
-    # brand-new r10 operators, driver-checked from day one
-    "r10-new": ["semdedup_cluster_pairs_auto_k", "knn_graph_topk_auto_k",
-                "graph_ann_search_durable", "knn_graph_pagerank",
-                "quality_classifier_train_gd", "quality_classifier_gd_scores",
-                "unigram_lm_train_model",
-                "unigram_lm_encode_fertility", "topic_cluster_cards", "theta_sketch_user_overlap",
-                "image_dhash_near_dups", "exact_percentiles_two_phase",
-                "anomalous_hours_3sigma", "gapfill_interpolate_hourly",
-                "audio_envelope_near_dups", "countmin_frequency_estimates",
-                "event_type_correlation_matrix",
-                "stream_psi_windowed_append"],
+    # the 4 two-round reds held in-window until driver-green (VERDICT r10)
+    "reds-recheck": ["knn_graph_nn_descent", "graph_ann_search_topk",
+                     "graph_ann_search_durable", "quality_classifier_train_gd"],
+    # the graph family re-checks in full — every value changed r11
+    "graph-integer-contract": ["knn_graph_topk", "knn_graph_topk_auto_k",
+                               "knn_graph_pagerank", "knn_graph_nn_descent",
+                               "graph_ann_search_topk", "graph_ann_search_durable"],
+    # r11 forensic instrumentation, driver-checked from day one
+    "r11-forensics": ["qc_features_checksum", "qc_train_epoch1_weights",
+                      "qc_train_epoch8_weights", "knn_assign_cells",
+                      "knn_seed_edges", "knn_nn_descent_round1",
+                      "oracle_probe_data_fingerprint", "oracle_probe_tokenize_md5",
+                      "oracle_probe_round_half", "oracle_probe_float_sum_order",
+                      "oracle_probe_float_cosine_x1e4"],
 }
 
 

@@ -78,6 +78,16 @@ def main() -> int:
         rc, log = _run("determinism", [sys.executable, "tools/determinism.py", SF001_DIR])
         results.append((f"determinism @ {SF001_DIR}", rc, _grep_tail(log, r"\d+ failures[^\n]*")))
 
+        # fresh-process-per-query × core-count matrix over the driver-red
+        # families and their forensic stage entries (VERDICT r10 item 4:
+        # the axes the in-process determinism sweep cannot vary)
+        rc, log = _run(
+            "isolation_matrix", [sys.executable, "tools/isolation_matrix.py", SF001_DIR]
+        )
+        results.append(
+            (f"isolation matrix @ {SF001_DIR}", rc, _grep_tail(log, r"\d+ failing cells[^\n]*"))
+        )
+
     # Count triple from a FRESH interpreter — the number BASELINE.md quotes.
     count_code = (
         "import __spark_entry__ as e; q=e.queries(); o=e.oracle_sql(); "
