@@ -218,9 +218,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact-Jaccard verify on the candidates only: the scale path, not
     the fixture-only all-pairs baseline ``ngram_jaccard_pairs`` keeps.
     """
+    docs = load(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_90(docs)
+    comp = connected_components(pairs, vertices=docs.select("doc_id"))
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+    ).orderBy("doc_id")
+
+
+def near_dup_pairs_90(docs: DataFrame) -> DataFrame:
+    """``(src, dst)`` ≥0.9-Jaccard near-dup pairs via the prefix-filtered
+    set-similarity join + exact verify — the edge generation of
+    ``dedup_cluster_components``, factored (r11) so the canonical-selection
+    composition ``dedup_canonical_pagerank`` consumes the identical graph."""
     from ..operators.dedup import prefix_filter_pairs
 
-    docs = load(spark, sf_dir, "documents")
     cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9)
     sh = tracked_persist(  # self-joined below: shingle once, not twice
         docs.select("doc_id", TX.shingles(F.col("text")).alias("sh"))
@@ -229,17 +242,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
         F.array_union(F.col("a.sh"), F.col("b.sh"))
     )
-    pairs = (
+    return (
         cand.join(a, cand.id_a == F.col("a.doc_id"))
         .join(b, cand.id_b == F.col("b.doc_id"))
         .filter(jac >= 0.9)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
-    comp = connected_components(pairs, vertices=docs.select("doc_id"))
-    return comp.select(
-        F.col("node").cast("long").alias("doc_id"),
-        F.col("comp").cast("long").alias("component"),
-    ).orderBy("doc_id")
 
 
 # Deterministic 1-in-10 doc subset for the SAMPLED cluster twins: the full

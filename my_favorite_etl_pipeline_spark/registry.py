@@ -114,22 +114,29 @@ CURATED_FIRST: tuple[str, ...] = (
     "scd2_status_history",
     # transform/flatten chains (F3/P/J families)
     "transform_chain",
-    # timeseries + sketches (continuous_aggregate_rollup carries the
-    # cross-engine rounding scar tissue; the hll rows-only sentinel
-    # returns per the VERDICT band)
+    # timeseries (continuous_aggregate_rollup carries the cross-engine
+    # rounding scar tissue)
     "continuous_aggregate_rollup",
-    "hll_sketch_merge",
-    # X1 exact dedup + X2 near-dup returning band
+    # X1 exact dedup + X2 near-dup returning band; the r11 canonical-
+    # selection composition enters day-one (hll_sketch_merge yields its
+    # returning slot: rows-only = the weakest driver check, and its
+    # oracle-checked twins theta/countmin stay sweep-verified)
     "dedup_exact_groups",
-    "winnowing_fingerprints",
     "simhash_near_dups_portable",
     "minhash_near_dups",
     "semdedup_cluster_pairs",
-    # X3 similarity: anchors + returning ivf_kmeans/pandas_udf sentinels
+    "dedup_canonical_pagerank",
+    # X3 similarity: anchors + the returning ivf_kmeans sentinel; r11's
+    # semantic decontamination (first new op on the integer contract)
+    # enters day-one (embedding_topk_pandas_udf yields — the UDF surface
+    # stays pinned by the pandas/JVM equivalence tests, the r10 precedent)
     "embedding_topk_bruteforce",
     "tfidf_topk_similar_docs",
     "embedding_topk_ivf_kmeans",
-    "embedding_topk_pandas_udf",
+    "semantic_decontaminate_topk",
+    # r11 token-budget selection enters day-one (winnowing_fingerprints
+    # yields — green since r2; X1 keeps dedup_exact_groups in-window)
+    "token_budget_select",
     # X3 graph family — ALL values changed r11 (integer contract +
     # rounds 3): full family re-check + the 3 trajectory forensics
     "knn_graph_topk",

@@ -34,14 +34,16 @@ FAMILY_SENTINELS = {
                    "scd2_status_history"],
     "transform-chains": ["transform_chain"],
     "timeseries": ["continuous_aggregate_rollup"],
-    "sketch": ["hll_sketch_merge"],
     "model-filters": ["quality_classifier_linear", "quality_classifier_train_gd",
                       "quality_classifier_gd_scores"],
-    "X1-exact-dedup": ["dedup_exact_groups", "winnowing_fingerprints"],
+    "X1-exact-dedup": ["dedup_exact_groups"],
     "X2-near-dup": ["minhash_near_dups", "simhash_near_dups_portable",
-                    "semdedup_cluster_pairs"],
+                    "semdedup_cluster_pairs", "dedup_canonical_pagerank"],
     "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs",
-                      "embedding_topk_ivf_kmeans", "embedding_topk_pandas_udf"],
+                      "embedding_topk_ivf_kmeans", "semantic_decontaminate_topk"],
+    # brand-new r11 operators, driver-checked from day one
+    "r11-new": ["semantic_decontaminate_topk", "token_budget_select",
+                "dedup_canonical_pagerank"],
     "X4-text": ["gopher_quality_flags", "contamination_13gram", "lang_id_heuristic"],
     "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
