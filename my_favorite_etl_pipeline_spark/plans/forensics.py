@@ -19,7 +19,7 @@ diverges, two ways:
 
 2. **Engine-behavior probes** — queries whose VALUE fingerprints a specific
    engine behavior both sides must share: input-data checksums, portable-md5
-   bucketing, whitespace tokenization, ROUND半-case semantics, float
+   bucketing, whitespace tokenization, ROUND half-case semantics, float
    summation ORDER (a cancellation residual that changes wildly under
    pairwise vs sequential summation), and the RETIRED r9/r10 float-cosine
    contract replayed verbatim. Each probe passes trivially when the
