@@ -104,6 +104,17 @@ def test_dedup_canonical_pagerank_composition(spark):
         assert r.keep_pagerank_x1e6 == pr.get(best, 0)
 
 
+def test_token_budget_select_plan_has_no_global_sort(spark):
+    """The SCALE.md claim, pinned: the selection logic runs with ZERO
+    single-partition exchanges — the cumsum window partitions on the
+    ratio key (hashpartitioning + partition-local sort) and the only
+    range partitioning is the final presentation orderBy."""
+    df = engine.queries()["token_budget_select"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(ratio" in plan
+
+
 def test_token_budget_ratio_is_integer_exact(spark):
     """ratio_x1e6 = (distinct·10⁶) div total must replay exactly (the
     portable integer key both engines rank on)."""
