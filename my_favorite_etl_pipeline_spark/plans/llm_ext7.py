@@ -789,26 +789,28 @@ _GS_HOPS = 4  # search hops
 _GS_ENTRIES = 4  # deterministic entry points
 
 
-def _gs_hop_cte(i: int) -> str:
-    """One beam-search hop as CTEs: visited ``gv{i-1}`` -> ``gv{i}``.
-    Beam = top-BEAM of ALL visited (best-first with bounded frontier);
-    expand the beam's undirected neighbors, score vs the query, merge."""
-    prev = f"gv{i - 1}"
+def _gs_hop_cte(i: int, graph: str = "gund", pfx: str = "gv", beam: int = _GS_BEAM) -> str:
+    """One beam-search hop as CTEs: visited ``{pfx}{i-1}`` -> ``{pfx}{i}``.
+    Beam = top-``beam`` of ALL visited (best-first with bounded frontier);
+    expand the beam's undirected neighbors in ``graph``, score vs the
+    query, merge. Parameterized (r11) so the HNSW upper layer replays the
+    same hop over its own edge table and visited chain."""
+    prev = f"{pfx}{i - 1}"
     return f""",
-    bm{i} AS (
+    {pfx}bm{i} AS (
       SELECT vec_id FROM (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
         FROM {prev})
-      WHERE rn <= {_GS_BEAM}
+      WHERE rn <= {beam}
     ),
-    gv{i} AS MATERIALIZED (
+    {pfx}{i} AS MATERIALIZED (
       SELECT DISTINCT vec_id, cos_sim FROM (
         SELECT vec_id, cos_sim FROM {prev}
         UNION ALL
         SELECT u.nbr AS vec_id,
                {_int_cos_sql("x.q", "x.s", "qq.qv", "qq.qn")} AS cos_sim
-        FROM bm{i} b
-        JOIN gund u ON u.node = b.vec_id
+        FROM {pfx}bm{i} b
+        JOIN {graph} u ON u.node = b.vec_id
         JOIN qassign x ON x.vec_id = u.nbr
         CROSS JOIN qq)
     )"""
@@ -876,12 +878,24 @@ def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_beam_search(
-    spark: SparkSession, assign: DataFrame, work: DataFrame, n: int
-) -> DataFrame:
+    spark: SparkSession,
+    assign: DataFrame,
+    work: DataFrame,
+    n: int,
+    *,
+    entry_ids: list[int] | None = None,
+    hops: int = _GS_HOPS,
+    beam: int = _GS_BEAM,
+    k: int = _GS_K,
+    raw: bool = False,
+):
     """The beam search proper, over any (assign, edges) pair — shared by
     the session-materialized (`graph_ann_search_topk`) and durable
     (`graph_ann_search_durable`) registered forms so the two postures
-    cannot diverge in search semantics.
+    cannot diverge in search semantics, and parameterized (r11) so the
+    HNSW-style two-layer router (`hnsw_two_layer_search`) runs the SAME
+    body on its sparse upper layer (own entries/hops/beam; ``raw=True``
+    returns the (id, integer score) list for layer chaining).
 
     The hop loop re-reads `assign` (vector fetches) and `gund` (edge
     expansion) ~2×HOPS times, and gund's self-union references the
@@ -927,16 +941,16 @@ def graph_beam_search(
     # the cached edge table, fetch + score the neighbor vectors. An
     # earlier DataFrame-looped variant (localCheckpoint per hop) OOMed a
     # default-1g driver on plan/lineage overhead for the same ~4k rows.
-    stride = n // _GS_ENTRIES
-    entries = spark.createDataFrame(
-        [(stride * g,) for g in range(_GS_ENTRIES)], "vec_id long"
-    )
+    if entry_ids is None:
+        stride = n // _GS_ENTRIES
+        entry_ids = [stride * g for g in range(_GS_ENTRIES)]
+    entries = spark.createDataFrame([(i,) for i in entry_ids], "vec_id long")
     visited: dict[int, int] = {
         r.vec_id: r.cos_sim for r in score(entries)
     }
-    for _ in range(_GS_HOPS):
-        beam = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:_GS_BEAM]
-        beam_df = spark.createDataFrame([(i,) for i, _ in beam], "node long")
+    for _ in range(hops):
+        bm = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:beam]
+        beam_df = spark.createDataFrame([(i,) for i, _ in bm], "node long")
         nbrs = (
             F.broadcast(beam_df)
             .join(gund, "node")
@@ -945,7 +959,9 @@ def graph_beam_search(
         )
         for r in score(nbrs):
             visited[r.vec_id] = r.cos_sim
-    top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:_GS_K]
+    top = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    if raw:
+        return top
     return spark.createDataFrame(
         [(i, s / 10000.0) for i, s in top], "vec_id long, cos_sim double"
     )
@@ -1127,3 +1143,158 @@ def q_graph_ann_search_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = VersionedMart(os.path.join(root, "edges")).read(spark)
     n = load(spark, sf_dir, "embeddings").count()
     return graph_beam_search(spark, assign, edges, n)
+
+
+# ---------------------------------------------------------------------------
+# hnsw_two_layer_search — hierarchical routing over the graph family (r11)
+
+_HN_MOD = 8  # 1-in-8 nodes promoted to the upper layer (portable md5)
+_HN_K = 3  # upper-layer neighbors per node
+_HN_HOPS = 2  # upper-layer hops (the router is shallow by design)
+_HN_BEAM = 8  # upper-layer beam
+_HN_FAN = 4  # upper results that seed the layer-0 search
+
+_HN_UP_SQL = f"({_duck_md5_32('CAST(vec_id AS VARCHAR)')}) % {_HN_MOD} = 0"
+
+
+def _hnsw_oracle() -> str:
+    """Both layers replayed in SQL over the SHARED refined-graph prefix:
+    upper-layer build (within-cell top-{_HN_K} among promoted nodes),
+    upper beam search from rank-strided entries, fan-out into the layer-0
+    beam search — the routed search is definitionally over the graphs
+    that were built."""
+    up_hops = "".join(
+        _gs_hop_cte(i, graph="uund", pfx="uv", beam=_HN_BEAM)
+        for i in range(1, _HN_HOPS + 1)
+    )
+    l0_hops = "".join(_gs_hop_cte(i) for i in range(1, _GS_HOPS + 1))
+    return f"""
+    {_knn_refined_cte()},
+    gund AS MATERIALIZED (
+      SELECT DISTINCT node, nbr FROM (
+        SELECT src_id AS node, nbr_id AS nbr FROM wk{_KNN_ROUNDS}
+        UNION ALL
+        SELECT nbr_id AS node, src_id AS nbr FROM wk{_KNN_ROUNDS})
+    ),
+    qq AS (SELECT q AS qv, s AS qn FROM qassign WHERE vec_id = 0),
+    up AS (SELECT * FROM qassign WHERE {_HN_UP_SQL}),
+    upairs AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+             {_int_cos_sql("a.q", "a.s", "b.q", "b.s")} AS cos_sim
+      FROM up a JOIN up b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+    ),
+    uedges AS (
+      SELECT src_id, nbr_id FROM (
+        SELECT src_id, nbr_id,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY cos_sim DESC, nbr_id) AS rn
+        FROM upairs) WHERE rn <= {_HN_K}
+    ),
+    uund AS MATERIALIZED (
+      SELECT DISTINCT node, nbr FROM (
+        SELECT src_id AS node, nbr_id AS nbr FROM uedges
+        UNION ALL
+        SELECT nbr_id AS node, src_id AS nbr FROM uedges)
+    ),
+    uent AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM up)
+      CROSS JOIN (SELECT COUNT(*) AS c FROM up)
+      WHERE rn IN (1, 1 + c // 4, 1 + (2 * c) // 4, 1 + (3 * c) // 4)
+    ),
+    uv0 AS MATERIALIZED (
+      SELECT DISTINCT x.vec_id,
+             {_int_cos_sql("x.q", "x.s", "qq.qv", "qq.qn")} AS cos_sim
+      FROM uent e JOIN qassign x ON x.vec_id = e.vec_id CROSS JOIN qq
+    ){up_hops},
+    l0ent AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM uv{_HN_HOPS}) WHERE rn <= {_HN_FAN}
+    ),
+    gv0 AS MATERIALIZED (
+      SELECT DISTINCT x.vec_id,
+             {_int_cos_sql("x.q", "x.s", "qq.qv", "qq.qn")} AS cos_sim
+      FROM l0ent e JOIN qassign x ON x.vec_id = e.vec_id CROSS JOIN qq
+    ){l0_hops}
+    SELECT vec_id, cos_sim / 10000.0 AS cos_sim FROM gv{_GS_HOPS}
+    ORDER BY cos_sim DESC, vec_id LIMIT {_GS_K}
+    """
+
+
+def _hn_upper_pred() -> F.Column:
+    return (
+        F.pmod(_spark_md5_32(F.col("vec_id").cast("string")), F.lit(_HN_MOD)) == 0
+    )
+
+
+@register("hnsw_two_layer_search", oracle=_hnsw_oracle())
+def q_hnsw_two_layer_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r11) — HNSW-style TWO-LAYER routed ANN search (Malkov &
+    Yashunin 2018's hierarchy, md5-deterministic instead of random level
+    draws): 1-in-{_HN_MOD} nodes promote to a sparse upper layer with its
+    own within-cell top-{_HN_K} graph; the query first routes {_HN_HOPS}
+    beam-{_HN_BEAM} hops across the upper layer from rank-strided
+    entries, then the top-{_HN_FAN} routed nodes seed the standard
+    layer-0 beam search over the NN-Descent graph. Versus the flat
+    search's FIXED strided entries, the router places the layer-0 entry
+    points near the query before the expensive walk starts — the reason
+    HNSW's hop count is logarithmic in corpus size.
+
+    Plan at 100 TB: the upper layer is n/{_HN_MOD} nodes (recursively
+    promotable — each extra layer divides by {_HN_MOD} again, the true
+    HNSW shape) and its build is the SAME bounded within-cell join as the
+    base graph on 1/{_HN_MOD} of the rows; search state stays
+    driver-sized (the HNSW invariant) with one distributed job per hop;
+    everything scores through the shared pure-integer quantized-cosine
+    contract, and both layers replay end-to-end in the oracle over the
+    shared refined-graph prefix. Entries are rank-strided over the upper
+    node list (deterministic, corpus-independent); recall@20 vs exact
+    brute force is floor-pinned at two scales alongside the flat search.
+    """
+    assign, work = _knn_refined_tables(spark, sf_dir)
+    from ..operators.similarity import int_cos_x1e4, knn_topk_edges
+
+    up = assign.filter(_hn_upper_pred())
+    a = up.select(
+        F.col("vec_id").alias("src_id"), "cluster",
+        F.col("__q").alias("aq"), F.col("__s").alias("asn"),
+    )
+    b = up.select(
+        F.col("vec_id").alias("nbr_id"), "cluster",
+        F.col("__q").alias("bq"), F.col("__s").alias("bsn"),
+    )
+    upairs = (
+        a.join(b, "cluster")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            "src_id", "nbr_id",
+            int_cos_x1e4(F.col("aq"), F.col("asn"), F.col("bq"), F.col("bsn"))
+            .alias("cos_sim"),
+        )
+    )
+    uedges = knn_topk_edges(upairs, _HN_K).select("src_id", "nbr_id", "cos_sim")
+    # rank-strided upper entries: rows 1, 1+c//4, 1+2c//4, 1+3c//4 of the
+    # id-ordered upper list (deterministic; the 4-id collect is the
+    # k-centroids-precedent parameter-sized driver traffic)
+    c = up.count()
+    ranks = {1, 1 + c // 4, 1 + (2 * c) // 4, 1 + (3 * c) // 4}
+    from pyspark.sql import Window as _W
+
+    uent = [
+        r.vec_id
+        for r in up.select(
+            "vec_id", F.row_number().over(_W.orderBy("vec_id")).alias("rn")
+        )
+        .filter(F.col("rn").isin(*ranks))
+        .collect()
+    ]
+    routed = graph_beam_search(
+        spark, assign, uedges, c,
+        entry_ids=uent, hops=_HN_HOPS, beam=_HN_BEAM, k=_HN_FAN, raw=True,
+    )
+    return graph_beam_search(
+        spark, assign, work.select("src_id", "nbr_id", "cos_sim"),
+        load(spark, sf_dir, "embeddings").count(),
+        entry_ids=[i for i, _ in routed],
+    )

@@ -132,7 +132,6 @@ CURATED_FIRST: tuple[str, ...] = (
     # stays pinned by the pandas/JVM equivalence tests, the r10 precedent)
     "embedding_topk_bruteforce",
     "tfidf_topk_similar_docs",
-    "embedding_topk_ivf_kmeans",
     "semantic_decontaminate_topk",
     # r11 token-budget selection enters day-one (winnowing_fingerprints
     # yields — green since r2; X1 keeps dedup_exact_groups in-window)
@@ -145,6 +144,11 @@ CURATED_FIRST: tuple[str, ...] = (
     "knn_graph_nn_descent",
     "graph_ann_search_topk",
     "graph_ann_search_durable",
+    # the r11 two-layer router enters day-one (embedding_topk_ivf_kmeans
+    # yields — the r10 precedent: the IVF family keeps ivf_pq/pq_adc
+    # local-O + sweep-verified, and hnsw extends the same X3 family the
+    # window is concentrating on this round)
+    "hnsw_two_layer_search",
     "knn_assign_cells",
     "knn_seed_edges",
     "knn_nn_descent_round1",

@@ -40,10 +40,10 @@ FAMILY_SENTINELS = {
     "X2-near-dup": ["minhash_near_dups", "simhash_near_dups_portable",
                     "semdedup_cluster_pairs", "dedup_canonical_pagerank"],
     "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs",
-                      "embedding_topk_ivf_kmeans", "semantic_decontaminate_topk"],
+                      "semantic_decontaminate_topk", "hnsw_two_layer_search"],
     # brand-new r11 operators, driver-checked from day one
     "r11-new": ["semantic_decontaminate_topk", "token_budget_select",
-                "dedup_canonical_pagerank"],
+                "dedup_canonical_pagerank", "hnsw_two_layer_search"],
     "X4-text": ["gopher_quality_flags", "contamination_13gram", "lang_id_heuristic"],
     "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
