@@ -87,14 +87,19 @@ def int_cos_x1e4(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
     """Quantized-cosine score in integer ten-thousandths, pure BIGINT:
     ``((Σ qaᵢ·qbᵢ + 2·sa·sb)·10⁴) div (sa·sb) − 2·10⁴``.
 
-    The ``+2·sa·sb`` offset keeps the dividend nonnegative (Cauchy-Schwarz
-    bounds |Σqa·qb| < (sa+1)(sb+1) ≤ 2·sa·sb for sa,sb ≥ 2), where Spark's
-    ``DIV`` (truncating) and DuckDB's ``//`` (flooring) agree — the shift
-    identity the classifier/pagerank entries already rely on. Bounds:
-    |q| ≤ 10⁴, so Σq² ≤ 64·10⁸ and the dividend ≤ ~2·10¹⁴ — comfortably
-    BIGINT. The score approximates cos·10⁴ to within quantization error
-    (~10⁻³ absolute on the fixture's unit-scale vectors) — an ANN ranking
-    key, exactly reproducible on both engines by construction.
+    The ``+2·sa·sb`` offset keeps the dividend nonnegative: Cauchy-Schwarz
+    bounds |Σqa·qb| < (sa+1)(sb+1), and (sa+1)(sb+1) ≤ 2·sa·sb holds for
+    sa,sb ≥ 2 — which the guard below ENFORCES by routing sa < 2 OR sb < 2
+    (vector magnitude < ~3·10⁻⁴, quantized norm 0 or 1) through the zero
+    branch on both engines (ADVICE r11: with sa=sb=1 the dividend could go
+    negative, exactly where the two division semantics split — Spark here
+    FLOORS via the pmod identity, DuckDB ``//`` TRUNCATES toward zero).
+    On nonnegative dividends floor and truncate coincide, so the guarded
+    score is bit-identical by construction. Bounds: |q| ≤ 10⁴, so
+    Σq² ≤ 64·10⁸ and the dividend ≤ ~2·10¹⁴ — comfortably BIGINT. The
+    score approximates cos·10⁴ to within quantization error (~10⁻³
+    absolute on the fixture's unit-scale vectors) — an ANN ranking key,
+    exactly reproducible on both engines by construction.
     """
     d = F.aggregate(
         F.zip_with(qa, qb, lambda x, y: x * y),
@@ -107,9 +112,9 @@ def int_cos_x1e4(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
     # exactly divisible by den, so the double division below is EXACT (the
     # quotient is an integer ≤ 3·10⁴ ≪ 2⁵³) — no rounding enters.
     quot = ((num - F.pmod(num, den)) / den).cast("long")
-    return F.when(den == F.lit(0), F.lit(0).cast("long")).otherwise(
-        quot - 2 * _QV_SCALE
-    )
+    return F.when(
+        (sa < F.lit(2)) | (sb < F.lit(2)), F.lit(0).cast("long")
+    ).otherwise(quot - 2 * _QV_SCALE)
 
 
 def unit_vec(a: Column) -> Column:

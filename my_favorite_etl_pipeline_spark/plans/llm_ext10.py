@@ -106,8 +106,8 @@ def _qc_epoch_cte(e: int) -> str:
     ),
     w{e} AS MATERIALIZED (
       SELECT w.b,
-             w.w - ((COALESCE(g.g, 0) + {_QC_S} * ({_QC_D} * nn.n))
-                    // ({_QC_D} * nn.n)) + {_QC_S} AS w
+             CAST(w.w - ((COALESCE(g.g, 0) + {_QC_S} * ({_QC_D} * nn.n))
+                    // ({_QC_D} * nn.n)) + {_QC_S} AS BIGINT) AS w
       FROM w{e - 1} w LEFT JOIN g{e} g ON w.b = g.b CROSS JOIN nn
     )"""
 

@@ -250,11 +250,11 @@ def _canonical_oracle() -> str:
     from .llm_ext import _DUCK_SHINGLES
     from .llm_ext7 import _PR_ROUNDS, _pagerank_cte
 
-    # one WITH block: the pagerank trajectory (whose text opens the WITH)
-    # gains the RECURSIVE keyword the reachability fixpoint needs, then
-    # the near-dup edge CTEs append after it (jp, not p — the graph
-    # prefix already binds p)
-    pr_cte = _pagerank_cte().replace("WITH", "WITH RECURSIVE", 1)
+    # one WITH block: the pagerank trajectory opens it with the RECURSIVE
+    # keyword the reachability fixpoint needs (threaded parameter, ADVICE
+    # r11), then the near-dup edge CTEs append after it (jp, not p — the
+    # graph prefix already binds p)
+    pr_cte = _pagerank_cte(recursive=True)
     return f"""
     {pr_cte},
     {_DUCK_SHINGLES},

@@ -310,16 +310,18 @@ AUTO_K_SQL = (
 )
 
 
-def _semdedup_assign_cte(assign_top: int, k_sql: str = "8") -> str:
+def _semdedup_assign_cte(assign_top: int, k_sql: str = "8", keyword: str = "WITH") -> str:
     """The shared CTE prefix — fixed-point hash centroids + top-m
     nearest-centroid assignment (mirrors operators.similarity
     build_hash_centroids / nearest_centroid). Factored (r8) so the
     SemDeDup pair oracles AND the kNN-graph oracle (llm_ext7) replay ONE
     assignment text and cannot drift. ``k_sql`` is the cell-count
     expression — a literal for the fixed-k flagships, ``AUTO_K_SQL`` for
-    the auto-k twins (r10)."""
+    the auto-k twins (r10). ``keyword`` lets a composition that appends a
+    recursive CTE open the block with ``WITH RECURSIVE`` (ADVICE r11: a
+    parameter instead of substring surgery on generated SQL)."""
     return f"""
-    WITH n AS (
+    {keyword} n AS (
       SELECT vec_id,
              LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
              SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm

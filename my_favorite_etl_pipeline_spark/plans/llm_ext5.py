@@ -48,10 +48,16 @@ from ..sources.tables import load
 #: (DuckDB has no CONV; hex digits via strpos arithmetic, the _DUCK_SIMHASH
 #: idiom from llm_ext.py.)
 def _duck_md5_32(expr: str) -> str:
+    # The outer CAST is load-bearing (r12): DuckDB silently promotes
+    # LIST_SUM(BIGINT[]) to HUGEINT, and the HUGEINT type then infects every
+    # arithmetic expression and UNION ALL branch downstream — invisible to a
+    # value-level comparison but rendered differently by the driver's
+    # harness (the r9–r11 graph/GD-family hash-red root cause, VERDICT r11
+    # "What's wrong" item 1). Values always fit: the md5 half is < 2^32.
     return (
-        "LIST_SUM(LIST_TRANSFORM(range(8), i -> "
+        "CAST(LIST_SUM(LIST_TRANSFORM(range(8), i -> "
         f"CAST(strpos('0123456789abcdef', substr(md5({expr}), i + 1, 1)) - 1 "
-        "AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (7 - i)))))"
+        "AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (7 - i))))) AS BIGINT)"
     )
 
 

@@ -358,12 +358,14 @@ def _int_cos_sql(qa: str, sa: str, qb: str, sb: str) -> str:
     """The quantized-cosine score in SQL — the DuckDB twin of
     ``operators.similarity.int_cos_x1e4``: pure integer arithmetic on the
     FLOOR(v·10⁴) quantized vectors and their exact isqrt norms, with the
-    ``+2·sa·sb`` offset keeping the floor division nonnegative where
-    DuckDB ``//`` and Spark ``DIV`` agree. No IEEE float anywhere
-    (VERDICT r10 item 2)."""
+    ``+2·sa·sb`` offset keeping the dividend nonnegative — the regime
+    where DuckDB ``//`` (truncating) and Spark's pmod-floor agree. The
+    offset only bounds the dividend when BOTH norms are ≥ 2, so the guard
+    routes sa < 2 OR sb < 2 through the zero branch, exactly like the
+    Spark twin (ADVICE r11). No IEEE float anywhere (VERDICT r10 item 2)."""
     d = f"CAST(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> {qa}[i] * {qb}[i])) AS BIGINT)"
     return (
-        f"CAST(CASE WHEN {sa} * {sb} = 0 THEN 0 ELSE "
+        f"CAST(CASE WHEN {sa} < 2 OR {sb} < 2 THEN 0 ELSE "
         f"(({d} + 2 * {sa} * {sb}) * 10000) // ({sa} * {sb}) - 20000 END AS BIGINT)"
     )
 
@@ -389,19 +391,20 @@ _QASSIGN_CTE = """
     )"""
 
 
-def _knn_base_cte(k_sql: str = "8") -> str:
+def _knn_base_cte(k_sql: str = "8", keyword: str = "WITH") -> str:
     """Shared oracle prefix: the SemDeDup assignment (llm_ext4's CTE, so
     the families cannot drift) + the integer-quantized vector table
     ``qassign`` + the within-cell pair scoring + the base top-K edge list
     ``e0(src_id, nbr_id, cos_sim, rnk)``. ``k_sql``: cell count
     expression — "8" for the fixed-k flagship, ``AUTO_K_SQL`` for the
-    scale-safe auto-k twin (r10). All scores are the pure-integer
-    quantized cosine (r11) — the ROUND(double·10⁴) form this replaces was
-    the family's last IEEE-float hash surface."""
+    scale-safe auto-k twin (r10); ``keyword`` threads ``WITH RECURSIVE``
+    through for recursive compositions (ADVICE r11). All scores are the
+    pure-integer quantized cosine (r11) — the ROUND(double·10⁴) form this
+    replaces was the family's last IEEE-float hash surface."""
     from .llm_ext4 import _semdedup_assign_cte
 
     return f"""
-    {_semdedup_assign_cte(1, k_sql)},
+    {_semdedup_assign_cte(1, k_sql, keyword)},
     {_QASSIGN_CTE},
     p AS (
       SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
@@ -993,13 +996,16 @@ def _pr_round_cte(i: int) -> str:
     )"""
 
 
-def _pagerank_cte() -> str:
+def _pagerank_cte(recursive: bool = False) -> str:
     """The PageRank trajectory as a reusable CTE chain ending at
     ``pr{_PR_ROUNDS}`` (factored r11 for the canonical-selection
-    composition)."""
+    composition). ``recursive=True`` opens the block with ``WITH
+    RECURSIVE`` for compositions that append a recursive CTE after it
+    (ADVICE r11: a threaded parameter, not substring surgery on generated
+    SQL)."""
     rounds = "".join(_pr_round_cte(i) for i in range(1, _PR_ROUNDS + 1))
     return f"""
-    {_knn_base_cte()},
+    {_knn_base_cte(keyword="WITH RECURSIVE" if recursive else "WITH")},
     ed AS (SELECT src_id, nbr_id FROM e0 WHERE rnk <= {_KNN_K}),
     odeg AS (SELECT src_id, COUNT(*) AS d FROM ed GROUP BY 1),
     nodesg AS (SELECT DISTINCT src_id AS node FROM ed),

@@ -494,3 +494,110 @@ def q_stream_psi_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_merge_into_mart — the production streaming SINK on the driver path
+# (VERDICT r11 item 7: pytest-covered since r8, never had a driver row)
+
+_SMM_ORDER_COLS = (
+    "o_orderkey o_custkey o_orderstatus o_totalprice o_orderdate o_orderpriority"
+).split()
+
+
+def _smm_oracle() -> str:
+    # merge_upsert semantics replayed in SQL over the same seed/update split:
+    # matched keys take the batch's update_cols and keep mart values
+    # elsewhere; batch-only keys insert whole; mart-only rows pass through.
+    upd_cols = {"o_orderstatus": "'U'", "o_orderpriority": "'0-STREAMED'"}
+    sel = []
+    for c in _SMM_ORDER_COLS:
+        if c == "o_orderkey":
+            sel.append("COALESCE(m.o_orderkey, u.o_orderkey) AS o_orderkey")
+        elif c in upd_cols:
+            sel.append(
+                f"CASE WHEN u.o_orderkey IS NOT NULL THEN u.{c} ELSE m.{c} END AS {c}"
+            )
+        else:
+            sel.append(f"COALESCE(m.{c}, u.{c}) AS {c}")
+    cols = ",\n           ".join(sel)
+    return f"""
+    WITH mart AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+             o_orderdate, '0-STREAMED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT {cols}
+    FROM mart m FULL OUTER JOIN upd u ON m.o_orderkey = u.o_orderkey
+    ORDER BY o_orderkey
+    """
+
+
+@register("stream_merge_into_mart", oracle=_smm_oracle())
+def q_stream_merge_into_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — the PRODUCTION streaming sink end-to-end on the oracle-checked
+    path: seed a :class:`VersionedMart` with half the orders table
+    (o_orderkey % 2 = 0), stream a disjointly-partitioned update batch
+    (o_orderkey % 3 = 0, o_orderstatus→'U', o_orderpriority→'0-STREAMED')
+    through a real file-source Structured Streaming query with
+    ``maxFilesPerTrigger=1`` — four micro-batches, each running
+    foreachBatch → ``merge_upsert`` → atomic mart commit
+    (``streaming.sink.stream_merge_into_mart``) — then read the final
+    committed snapshot back. The update files are hash-partitioned BY KEY
+    (``repartition(4, o_orderkey)``), so every key lands in exactly one
+    micro-batch and the final mart is independent of batch arrival order:
+    deterministic, and expressible as ONE SQL full-outer merge for the
+    oracle even though four sequential commits produced it.
+
+    Replay idempotency and checkpoint-recovery semantics are pinned in
+    tests/test_streaming_extras.py; what THIS entry adds is driver-side
+    visibility of the full sink path (stream → merge → manifest-swap
+    commit → time-travel-readable mart) against the DuckDB oracle.
+
+    Plan at 100 TB: each micro-batch's merge is one key-shuffle join of
+    batch-sized against mart-sized (AQE broadcasts the batch in the common
+    incremental case); the mart commit is an atomic manifest rename, cost
+    independent of data size; streaming state is the file-source log only
+    — the sink itself is stateless (state lives in the mart + checkpoint).
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.mart import VersionedMart
+    from ..streaming.sink import stream_merge_into_mart
+
+    orders = load(spark, sf_dir, "orders").select(*_SMM_ORDER_COLS)
+    root = tempfile.mkdtemp(prefix="mfe_smm_")
+    try:
+        mart_path = f"{root}/mart"
+        vm = VersionedMart(mart_path)
+        vm.commit(orders.filter(F.col("o_orderkey") % 2 == 0), "seed")
+        upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            F.lit("0-STREAMED").alias("o_orderpriority"),
+        )
+        upd.repartition(4, "o_orderkey").write.parquet(f"{root}/in")
+        stream = (
+            spark.readStream.schema(upd.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/in")
+        )
+        q = stream_merge_into_mart(
+            stream,
+            mart_path,
+            "o_orderkey",
+            ["o_orderstatus", "o_orderpriority"],
+            checkpoint_dir=f"{root}/ckpt",
+        )
+        q.awaitTermination()
+        # the final snapshot must leave the temp root before cleanup —
+        # localCheckpoint pins it executor-side (bounded: mart-sized here
+        # because the harness collects; production READS the mart in place)
+        return vm.read(spark).orderBy("o_orderkey").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -109,10 +109,16 @@ def test_token_budget_select_plan_has_no_global_sort(spark):
     single-partition exchanges — the cumsum window partitions on the
     ratio key (hashpartitioning + partition-local sort) and the only
     range partitioning is the final presentation orderBy."""
+    import re
+
     df = engine.queries()["token_budget_select"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
-    assert "hashpartitioning(ratio" in plan
+    # tolerant match (ADVICE r11): the cumsum window must hash-partition on
+    # the ratio key, but the exact rendering ("hashpartitioning(ratio#12L,
+    # 32)") is Spark-version-dependent formatting — accept any
+    # hashpartitioning whose first key is the ratio column.
+    assert re.search(r"hashpartitioning\(\s*ratio", plan), plan[:2000]
 
 
 def test_token_budget_ratio_is_integer_exact(spark):
