@@ -654,7 +654,7 @@ def q_knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_GRAPH_MEMO: dict[tuple[str, str], tuple[str, str]] = {}
+_KNN_GRAPH_MEMO: dict[tuple[str, str], str] = {}  # key -> mart root dir
 _KNN_GRAPH_ROOT: list[str] = []
 _KNN_GRAPH_LOCK = __import__("threading").Lock()
 
@@ -677,12 +677,16 @@ def _knn_graph_root() -> str:
 
 
 def _knn_refined_tables(spark: SparkSession, sf_dir: str):
-    """``(assign, work)`` as session-materialized parquet tables — the
-    production posture made literal: the NN-Descent graph is built ONCE
-    and searched/re-ranked many times (`knn_graph_nn_descent` and
-    `graph_ann_search_topk` consume the same build; a real deployment
-    writes these as durable tables). Materializing also truncates the
-    4^rounds NN-Descent lineage for every consumer at once.
+    """``(assign, work)`` read back from :class:`VersionedMart` COMMITS —
+    the durable production posture, PROMOTED to the default r12 (VERDICT
+    r11 item 4): the NN-Descent graph is built ONCE per (corpus,
+    partitioning), committed through the M4 atomic manifest swap, and
+    EVERY consumer — the top-K readout (`knn_graph_nn_descent`), the flat
+    and durable searches, the HNSW router — serves from the committed
+    snapshot. The pre-r12 raw-parquet session memo is gone; what
+    `graph_ann_search_durable` adds on top is the cross-process restart
+    semantics (fresh mart handles over a `materialize_knn_graph` root,
+    pinned in tests/test_graph_durable.py).
 
     The memo keys on (sf_dir, spark.sql.shuffle.partitions) so the
     partitioning-determinism harness — which re-runs every query under a
@@ -690,43 +694,43 @@ def _knn_refined_tables(spark: SparkSession, sf_dir: str):
     re-checks the graph per partitioning instead of reading the first
     build back; repeated same-config runs (bench medians, oracle sweeps)
     hit the memo. Values are identical either way: the build is
-    deterministic (rounded scores, id tie-breaks) and parquet round-trips
-    doubles exactly.
+    deterministic (integer scores, id tie-breaks) and parquet round-trips
+    the integer contract columns exactly.
     """
     import hashlib
     import os
-    import uuid
+
+    from ..sources.mart import VersionedMart
 
     parts = spark.conf.get("spark.sql.shuffle.partitions", "")
     key = (os.path.abspath(sf_dir), parts)
     # Lock held across check-build-publish: if a harness ever runs two
     # graph consumers concurrently (or re-enters after a timeout/retry),
-    # an unlocked memo lets two builders overwrite ONE path while a reader
+    # an unlocked memo lets two builders race one root while a reader
     # holds it open — mixed/partial tables with plausible row counts, the
     # exact unreproducible-divergence shape of CORRECTNESS_r09's red rows.
-    # The build itself writes to a fresh uuid temp dir and publishes with
-    # an atomic os.rename; a published path is never rewritten.
+    # The mart's own commit protocol (write-new-version, then atomic
+    # manifest rename) makes even a lost race an overwrite of identical
+    # data, never a torn table.
     with _KNN_GRAPH_LOCK:
-        paths = _KNN_GRAPH_MEMO.get(key)
-        if paths is None:
+        base = _KNN_GRAPH_MEMO.get(key)
+        if base is None:
             digest = hashlib.sha256(f"{key[0]}\x00{parts}".encode()).hexdigest()[:16]
             base = os.path.join(_knn_graph_root(), digest)
-            a_path = os.path.join(base, "assign")
-            w_path = os.path.join(base, "work")
-            if not (os.path.isdir(a_path) and os.path.isdir(w_path)):
-                tmp = os.path.join(_knn_graph_root(), f".build-{uuid.uuid4().hex}")
+            am = VersionedMart(os.path.join(base, "assign"))
+            em = VersionedMart(os.path.join(base, "edges"))
+            if am.current_version() is None or em.current_version() is None:
                 assign, work = _knn_refined_work(spark, sf_dir)
                 # the search side needs only the integer contract columns
                 # (quantized vector + exact integer norm); __v/__n stay out
                 # of the durable table — no float ever rides to serving
-                assign = assign.select("vec_id", "cluster", "__q", "__s")
-                assign.write.parquet(os.path.join(tmp, "assign"))
-                work.select("src_id", "nbr_id", "cos_sim").write.parquet(
-                    os.path.join(tmp, "work")
-                )
-                os.rename(tmp, base)
-            _KNN_GRAPH_MEMO[key] = paths = (a_path, w_path)
-    return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
+                am.commit(assign.select("vec_id", "cluster", "__q", "__s"), "v1")
+                em.commit(work.select("src_id", "nbr_id", "cos_sim"), "v1")
+            _KNN_GRAPH_MEMO[key] = base
+    return (
+        VersionedMart(os.path.join(base, "assign")).read(spark),
+        VersionedMart(os.path.join(base, "edges")).read(spark),
+    )
 
 
 def _knn_seed_scores(spark: SparkSession, sf_dir: str):
@@ -871,10 +875,11 @@ def q_graph_ann_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force top-{_GS_K} is floor-pinned at two scales in
     tests/test_recall_scales.py.
     """
-    # The graph-build is a session-materialized parquet table shared with
-    # knn_graph_nn_descent (_knn_refined_tables — build once, search
-    # many; graph_ann_search_durable is the same search over the
-    # manifest-committed DURABLE build).
+    # The graph-build is a VersionedMart-committed snapshot shared with
+    # knn_graph_nn_descent (_knn_refined_tables — build once, commit,
+    # search many; the durable posture IS the default since r12.
+    # graph_ann_search_durable adds the cross-process restart semantics:
+    # fresh mart handles over a materialize_knn_graph root).
     assign, work = _knn_refined_tables(spark, sf_dir)
     n = load(spark, sf_dir, "embeddings").count()
     return graph_beam_search(spark, assign, work, n)
