@@ -315,6 +315,40 @@ def test_hnsw_two_layer_recall_floor_across_scales(spark, scale_dir):
     assert r >= _HN_FLOORS[tag], f"{scale_dir}: recall {r:.3f}"
 
 
+# Floors for the three-layer router (r12): measured recall@20 = 1.0 @
+# sf0.01 / 0.85 @ sf0.1 — geometry-complete recursion proof, not a
+# recall win at fixture scale (layer 1 entered from 4 fan-in seeds vs
+# the two-layer router's 4 rank-strided entries; 36 layer-2 nodes).
+_HN3_FLOORS = {"sf0.01": 0.8, "sf0.1": 0.6}
+
+
+@pytest.mark.parametrize("scale_dir", SCALES)
+def test_hnsw_three_layer_recall_floor_across_scales(spark, scale_dir):
+    """Recall@20 of the r12 three-layer router vs exact brute-force
+    top-20 — the collapse detector for the recursive promotion rule (a
+    broken layer-2 build or fan-in chain would crater this to ~0.1)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    _need(scale_dir)
+    t = pq.read_table(os.path.join(scale_dir, "embeddings.parquet"))
+    ids = np.array(t["vec_id"])
+    V = np.array([np.array(x) for x in t["embedding"].to_pylist()], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    q = Vn[list(ids).index(0)]
+    s = np.round(Vn @ q, 4)
+    order = sorted(range(len(ids)), key=lambda j: (-s[j], ids[j]))[:20]
+    exact = {int(ids[j]) for j in order}
+    got = {
+        r.vec_id
+        for r in engine.queries()["hnsw_three_layer_search"](spark, scale_dir).collect()
+    }
+    r = len(exact & got) / 20
+    tag = os.path.basename(scale_dir)
+    print(f"\nhnsw_three_layer recall@20 @ {tag}: {r:.3f}")
+    assert r >= _HN3_FLOORS[tag], f"{scale_dir}: recall {r:.3f}"
+
+
 # Floors for the AUTO-k twins (r10, VERDICT r9 item 5). At sf0.01 the
 # resolve gives k = ceil(500/64) = 8 — identical to the fixed-k flagship,
 # so the floors coincide; at sf0.1 k = ceil(2000/64) = 32 and the smaller
