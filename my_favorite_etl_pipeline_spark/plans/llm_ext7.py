@@ -1157,6 +1157,168 @@ def q_graph_ann_search_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# graph_ann_search_batch — the serving shape: many queries, one plan (r12)
+
+_GB_K = 10  # results per query (matches embedding_topk_ivf_batch)
+
+
+def _gs_batch_hop_cte(i: int) -> str:
+    """One batched beam hop: the visited chain ``bv{i-1}`` -> ``bv{i}``
+    keyed by query_id — the flat search's hop CTE with every window and
+    join carrying the query key, so B queries replay as ONE chain."""
+    prev = f"bv{i - 1}"
+    return f""",
+    bbm{i} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM {prev})
+      WHERE rn <= {_GS_BEAM}
+    ),
+    bv{i} AS MATERIALIZED (
+      SELECT DISTINCT query_id, vec_id, cos_sim FROM (
+        SELECT query_id, vec_id, cos_sim FROM {prev}
+        UNION ALL
+        SELECT b.query_id, u.nbr AS vec_id,
+               {_int_cos_sql("x.q", "x.s", "qb.qv", "qb.qn")} AS cos_sim
+        FROM bbm{i} b
+        JOIN gund u ON u.node = b.vec_id
+        JOIN qassign x ON x.vec_id = u.nbr
+        JOIN qb ON qb.query_id = b.query_id)
+    )"""
+
+
+def _graph_search_batch_oracle() -> str:
+    hops = "".join(_gs_batch_hop_cte(i) for i in range(1, _GS_HOPS + 1))
+    return f"""
+    {_knn_refined_cte()},
+    gund AS MATERIALIZED (
+      SELECT DISTINCT node, nbr FROM (
+        SELECT src_id AS node, nbr_id AS nbr FROM wk{_KNN_ROUNDS}
+        UNION ALL
+        SELECT nbr_id AS node, src_id AS nbr FROM wk{_KNN_ROUNDS})
+    ),
+    qb AS (SELECT vec_id AS query_id, q AS qv, s AS qn FROM qassign
+           WHERE vec_id % 100 = 0),
+    ent AS (
+      SELECT ((nn.n // {_GS_ENTRIES}) * g.g) AS vec_id
+      FROM (SELECT COUNT(*) AS n FROM embeddings) nn
+      CROSS JOIN (SELECT UNNEST(range({_GS_ENTRIES})) AS g) g
+    ),
+    bv0 AS MATERIALIZED (
+      SELECT DISTINCT qb.query_id, x.vec_id,
+             {_int_cos_sql("x.q", "x.s", "qb.qv", "qb.qn")} AS cos_sim
+      FROM ent e JOIN qassign x ON x.vec_id = e.vec_id CROSS JOIN qb
+    ){hops}
+    SELECT query_id, CAST(rn AS INT) AS rank, vec_id,
+           cos_sim / 10000.0 AS cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM bv{_GS_HOPS})
+    WHERE rn <= {_GB_K} ORDER BY query_id, rank
+    """
+
+
+@register("graph_ann_search_batch", oracle=_graph_search_batch_oracle())
+def q_graph_ann_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r12) — graph ANN search in its SERVING shape (VERDICT r11
+    item 8): every query with vec_id % 100 == 0 (the
+    ``embedding_topk_ivf_batch`` batch convention — 5 at sf0.01, 20 at
+    sf0.1) beam-searched over the committed NN-Descent graph with ONE
+    distributed job per hop FOR THE WHOLE BATCH: the beam table carries
+    (query_id, node), expansion is one equi-join of the |Q|·{_GS_BEAM}-row
+    beam against the edge table, scoring joins each neighbor against its
+    own query's vector through the broadcast |Q|-row query table. Same
+    entries, hops, beam, and integer score contract as the single-query
+    flat search; top-{_GB_K} per query.
+
+    Plan at 100 TB: the per-query driver loop amortizes — B queries cost
+    {_GS_HOPS} jobs total, not {_GS_HOPS}·B, and per-hop work is
+    ≤ B·{_GS_BEAM}·2W candidate rows (corpus-independent, the HNSW search
+    invariant per query). Driver-held search state is
+    B·(ENTRIES + HOPS·BEAM·2W) (query_id, node, score) triples — batch
+    size is the knob that trades driver memory for job amortization, and
+    a serving tier shards the query stream into batches sized to that
+    bound. The full batched walk replays in SQL over the SHARED
+    refined-graph prefix with the visited chain keyed by query_id.
+    """
+    from ..caching import tracked_persist
+    from ..operators.similarity import int_cos_x1e4
+
+    assign, work = _knn_refined_tables(spark, sf_dir)
+    n = load(spark, sf_dir, "embeddings").count()
+    gund = tracked_persist(
+        work.select(F.col("src_id").alias("node"), F.col("nbr_id").alias("nbr"))
+        .unionAll(
+            work.select(F.col("nbr_id").alias("node"), F.col("src_id").alias("nbr"))
+        )
+        .distinct()
+    )
+    qb = (
+        assign.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("__q").alias("qv"),
+            F.col("__s").alias("qn"),
+        )
+    )
+
+    def score(pairs: DataFrame) -> list:
+        # (query_id, vec_id) -> integer ten-thousandth scores, one job
+        return (
+            pairs.join(assign, "vec_id")
+            .join(F.broadcast(qb), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                int_cos_x1e4(
+                    F.col("__q"), F.col("__s"), F.col("qv"), F.col("qn")
+                ).alias("cos_sim"),
+            )
+            .collect()
+        )
+
+    stride = n // _GS_ENTRIES
+    entries = spark.createDataFrame(
+        [(stride * g,) for g in range(_GS_ENTRIES)], "vec_id long"
+    ).crossJoin(qb.select("query_id"))
+    visited: dict[tuple[int, int], int] = {
+        (r.query_id, r.vec_id): r.cos_sim for r in score(entries)
+    }
+    for _ in range(_GS_HOPS):
+        beams: list[tuple[int, int]] = []
+        by_q: dict[int, list[tuple[int, int]]] = {}
+        for (qid, vid), s in visited.items():
+            by_q.setdefault(qid, []).append((vid, s))
+        for qid, items in by_q.items():
+            items.sort(key=lambda vs: (-vs[1], vs[0]))
+            beams.extend((qid, vid) for vid, _ in items[:_GS_BEAM])
+        beam_df = spark.createDataFrame(beams, "query_id long, node long")
+        nbrs = (
+            F.broadcast(beam_df)
+            .join(gund, "node")
+            .select("query_id", F.col("nbr").alias("vec_id"))
+            .distinct()
+        )
+        for r in score(nbrs):
+            visited[(r.query_id, r.vec_id)] = r.cos_sim
+    rows = []
+    by_q2: dict[int, list[tuple[int, int]]] = {}
+    for (qid, vid), s in visited.items():
+        by_q2.setdefault(qid, []).append((vid, s))
+    for qid in sorted(by_q2):
+        items = sorted(by_q2[qid], key=lambda vs: (-vs[1], vs[0]))[:_GB_K]
+        rows.extend(
+            (qid, rk + 1, vid, s / 10000.0) for rk, (vid, s) in enumerate(items)
+        )
+    return spark.createDataFrame(
+        rows, "query_id long, rank int, vec_id long, cos_sim double"
+    )
+
+
+# ---------------------------------------------------------------------------
 # hnsw_two_layer_search — hierarchical routing over the graph family (r11)
 
 _HN_MOD = 8  # 1-in-8 nodes promoted to the upper layer (portable md5)

@@ -1,0 +1,61 @@
+"""Batched graph ANN search (r12): the serving shape must be a pure
+re-keying of the flat search, never a different algorithm.
+
+``graph_ann_search_batch`` runs every vec_id % 100 == 0 query through the
+SAME entries, hops, beam, and integer score contract as the single-query
+``graph_ann_search_topk`` — so for query_id 0 (the flat search's query)
+the batch's top-10 must equal the flat search's first 10 rows exactly.
+A divergence here means the batching changed semantics (beam selection,
+tie-breaks, or state merging), which no amortization is allowed to do.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import my_favorite_etl_pipeline_spark as engine
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="fixture tables absent"
+)
+
+
+def test_batch_query0_equals_flat_search_prefix(spark):
+    qs = engine.queries()
+    flat = [
+        (r.vec_id, r.cos_sim)
+        for r in qs["graph_ann_search_topk"](spark, SF_DIR).collect()
+    ]
+    batch = [
+        (r.vec_id, r.cos_sim)
+        for r in qs["graph_ann_search_batch"](spark, SF_DIR)
+        .filter("query_id = 0")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(batch) == 10 and len(flat) >= 10
+    assert batch == flat[:10]
+
+
+def test_batch_covers_every_sampled_query(spark):
+    from pyspark.sql import functions as F
+
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    expected = {
+        r.vec_id
+        for r in load(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id")
+        .collect()
+    }
+    got = engine.queries()["graph_ann_search_batch"](spark, SF_DIR)
+    per_q = {
+        r.query_id: r.n for r in got.groupBy("query_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(per_q) == expected
+    assert all(n == 10 for n in per_q.values()), per_q
