@@ -76,108 +76,94 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dataset-assembly, SCD2, and streaming. Names not yet registered are skipped,
 # so the list may lead the code; everything else follows in registration order.
 CURATED_FIRST: tuple[str, ...] = (
-    # R11 ROTATION (VERDICT r10 items 1, 4, 5): this round's window is the
-    # DIVERGENCE-FORENSICS round. The 4 two-round driver-red rows stay IN,
-    # now re-scored under the pure-integer quantized-cosine contract
-    # (knn_graph_nn_descent, graph_ann_search_topk, graph_ann_search_durable)
-    # and the all-integer classifier (quality_classifier_train_gd, with its
-    # green scores twin kept for the train-vs-scores contrast). Joining
-    # them: 11 forensic entries — 6 trajectory stages (classifier feature
-    # checksum + epoch-1/epoch-8 weight prefixes; graph cell assignment +
-    # seed scores + round-1 working list) and 5 engine-behavior probes
-    # (input-data fingerprint, tokenize+md5, ROUND half-cases, float
-    # summation ORDER, and the RETIRED float-cosine contract replayed) —
-    # so CORRECTNESS_r11 localizes WHERE the driver diverges instead of
-    # reporting one opaque red per pipeline (plans/forensics.py). The
-    # whole graph family re-enters day-one because its VALUES changed this
-    # round (integer quantization + rounds 2→3): knn_graph_topk returns,
-    # auto-k + pagerank stay. The 18 green r10 day-ones rotate OUT (still
-    # verified by the full local harness + sf0.1 sweep + determinism +
-    # isolation matrix); the VERDICT-named displaced band RETURNS: q8,
-    # range_join, scd2, winnowing, simhash_portable, ivf_kmeans,
-    # grouping_sets, quality_classifier_linear, lang_id_heuristic, and the
-    # hll/pandas_udf sentinels. Long-green q5/q18/pivot/asof/variant/
-    # typed_struct/cube/q9 yield their slots this round (every family
-    # keeps ≥1 member in-window; 21 returning entries of 50).
+    # R12 ROTATION (VERDICT r11 items 1-2, 6-8): the HUGEINT-FIX
+    # CONFIRMATION round. The 5 red operator entries stay IN with their
+    # oracles re-typed (the _duck_md5_32 / GD-epoch CASTs — values
+    # unchanged, output types now BIGINT everywhere, lint-enforced by
+    # tests/test_oracle_types.py), flanked by the named regression
+    # detectors (knn_seed_edges, qc_train_epoch1_weights) and the
+    # SMOKING-GUN pair: oracle_probe_hugeint_passthrough (raw SUM(1) —
+    # HUGEINT by promotion, trivially equal values) and its CAST twin.
+    # Passthrough red + everything else green = root cause proven in one
+    # row. The other 9 r11 forensics/probes rotate OUT per the verdict
+    # (they taught what they could; all remain sweep-verified). Day-one
+    # r12 operators: hnsw_three_layer_search (recursive promotion),
+    # graph_ann_search_batch (the serving shape), stream_merge_into_mart
+    # (the production sink's first driver row — VERDICT item 7). The
+    # VERDICT-named displaced band RETURNS: q5/q18/pivot/asof/variant/
+    # typed_struct/cube/q9/winnowing/hll/pandas_udf. Yielding slots (all
+    # r11-green, families still represented, sweep-verified): q8,
+    # grouping_sets, range_join, scd2, simhash_portable,
+    # semantic_decontaminate_topk, token_budget_select.
     #
     # reference-parity pipeline anchors (SURVEY §2.1-§2.8): pinned always
     "incremental_extract",
     "merge_upsert",
     "dq_gate",
     "reconciliation",
-    # relational: flagships + the VERDICT-named returning band
+    # relational: flagships + the returning band
     "q3_shipping_priority",
     "q1_pricing_summary",
-    "q8_market_share",
-    "grouping_sets_revenue",
-    "range_join_ship_latency",
-    "scd2_status_history",
-    # transform/flatten chains (F3/P/J families)
+    "q5_region_revenue",
+    "q9_profit_by_nation_year",
+    "q18_large_orders",
+    "pivot_status_by_segment",
+    "cube_events",
+    "asof_last_click_before_purchase",
+    # transform/flatten chains (F3/P/J families) + returning typed twins
     "transform_chain",
+    "typed_struct_props_chain",
+    "variant_props_chain",
     # timeseries (continuous_aggregate_rollup carries the cross-engine
     # rounding scar tissue)
     "continuous_aggregate_rollup",
-    # X1 exact dedup + X2 near-dup returning band; the r11 canonical-
-    # selection composition enters day-one (hll_sketch_merge yields its
-    # returning slot: rows-only = the weakest driver check, and its
-    # oracle-checked twins theta/countmin stay sweep-verified)
+    # X1 exact dedup + X2 near-dup band + returning winnowing
     "dedup_exact_groups",
-    "simhash_near_dups_portable",
     "minhash_near_dups",
     "semdedup_cluster_pairs",
     "dedup_canonical_pagerank",
-    # X3 similarity: anchors + the returning ivf_kmeans sentinel; r11's
-    # semantic decontamination (first new op on the integer contract)
-    # enters day-one (embedding_topk_pandas_udf yields — the UDF surface
-    # stays pinned by the pandas/JVM equivalence tests, the r10 precedent)
+    "winnowing_fingerprints",
+    # X3 similarity anchors + the returning pandas_udf sentinel
     "embedding_topk_bruteforce",
     "tfidf_topk_similar_docs",
-    "semantic_decontaminate_topk",
-    # r11 token-budget selection enters day-one (winnowing_fingerprints
-    # yields — green since r2; X1 keeps dedup_exact_groups in-window)
-    "token_budget_select",
-    # X3 graph family — ALL values changed r11 (integer contract +
-    # rounds 3): full family re-check + the 3 trajectory forensics
+    "embedding_topk_pandas_udf",
+    # X3 graph family — the fix-confirmation block: every oracle's TEXT
+    # changed this round (md5 CAST + small-norm guard), the 4 reds must
+    # flip green, and the two r12 searches enter day-one
     "knn_graph_topk",
     "knn_graph_topk_auto_k",
     "knn_graph_pagerank",
     "knn_graph_nn_descent",
     "graph_ann_search_topk",
     "graph_ann_search_durable",
-    # the r11 two-layer router enters day-one (embedding_topk_ivf_kmeans
-    # yields — the r10 precedent: the IVF family keeps ivf_pq/pq_adc
-    # local-O + sweep-verified, and hnsw extends the same X3 family the
-    # window is concentrating on this round)
+    "graph_ann_search_batch",
     "hnsw_two_layer_search",
-    "knn_assign_cells",
+    "hnsw_three_layer_search",
     "knn_seed_edges",
-    "knn_nn_descent_round1",
-    # X4 text anchors + returning band + the classifier pair under
-    # forensic instrumentation (3 trajectory stages)
+    # X4 text anchors + the classifier block (2 reds + twin + detector)
     "gopher_quality_flags",
     "contamination_13gram",
     "lang_id_heuristic",
     "quality_classifier_linear",
     "quality_classifier_train_gd",
     "quality_classifier_gd_scores",
-    "qc_features_checksum",
     "qc_train_epoch1_weights",
-    "qc_train_epoch8_weights",
-    # engine-behavior probes (plans/forensics.py §2)
-    "oracle_probe_data_fingerprint",
-    "oracle_probe_tokenize_md5",
-    "oracle_probe_round_half",
-    "oracle_probe_float_sum_order",
-    "oracle_probe_float_cosine_x1e4",
+    # the r12 smoking-gun probe pair (plans/forensics.py)
+    "oracle_probe_hugeint_passthrough",
+    "oracle_probe_hugeint_cast",
+    # sketches sentinel returns (rows-only, weakest check — its slot was
+    # the first yielded r11; invariant tests + determinism cover it)
+    "hll_sketch_merge",
     # X5 multimodal sentinel
     "multimodal_resize_8x8",
     # S1b docstore (sole family member, pinned)
     "docstore_lang_source_stats",
     # dataset assembly
     "training_data_prep",
-    # X6 streaming anchors
+    # X6 streaming anchors + the production sink's first driver row
     "stream_tumbling_hourly",
     "stream_stream_attribution_join",
+    "stream_merge_into_mart",
 )
 
 

@@ -18,51 +18,52 @@ DRIVER_CAP = 50
 # freezes (decimal_surface proved why: six rounds of local green, red on
 # first driver contact). r8 burned the never-checked backlog to zero.
 FAMILY_SENTINELS = {
-    # r11 window (VERDICT r10 items 1/4/5): the divergence-forensics
-    # round — all 4 two-round reds stay IN (now under the pure-integer
-    # quantized-cosine contract), the full graph family re-enters because
-    # its VALUES changed (quantization + rounds 2→3), and 11 forensic
-    # entries (6 trajectory stages + 5 engine-behavior probes) join them
-    # so CORRECTNESS_r11 localizes the driver divergence. The 18 green
-    # r10 day-ones rotate OUT; the VERDICT-named displaced band RETURNS
-    # (q8, range_join, scd2, winnowing, simhash_portable, ivf_kmeans,
-    # grouping_sets, quality_classifier_linear, lang_id_heuristic,
-    # hll/pandas_udf sentinels). 21 of 50 slots are returning entries.
+    # r12 window (VERDICT r11 items 1-2/6-8): the HUGEINT-fix confirmation
+    # round — the 5 red operator entries stay IN under re-typed oracles,
+    # the two named regression detectors and the smoking-gun probe pair
+    # join them, the other 9 r11 forensics rotate OUT, the displaced band
+    # returns (q5/q18/pivot/asof/variant/typed_struct/cube/q9/winnowing/
+    # hll/pandas_udf), and the three r12 operators enter day-one.
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
-    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q8_market_share",
-                   "grouping_sets_revenue", "range_join_ship_latency",
-                   "scd2_status_history"],
-    "transform-chains": ["transform_chain"],
+    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q5_region_revenue",
+                   "q9_profit_by_nation_year", "q18_large_orders",
+                   "pivot_status_by_segment", "cube_events",
+                   "asof_last_click_before_purchase"],
+    "transform-chains": ["transform_chain", "typed_struct_props_chain",
+                         "variant_props_chain"],
     "timeseries": ["continuous_aggregate_rollup"],
     "model-filters": ["quality_classifier_linear", "quality_classifier_train_gd",
                       "quality_classifier_gd_scores"],
     "X1-exact-dedup": ["dedup_exact_groups"],
-    "X2-near-dup": ["minhash_near_dups", "simhash_near_dups_portable",
-                    "semdedup_cluster_pairs", "dedup_canonical_pagerank"],
+    "X2-near-dup": ["minhash_near_dups", "semdedup_cluster_pairs",
+                    "dedup_canonical_pagerank", "winnowing_fingerprints"],
     "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs",
-                      "semantic_decontaminate_topk", "hnsw_two_layer_search"],
-    # brand-new r11 operators, driver-checked from day one
-    "r11-new": ["semantic_decontaminate_topk", "token_budget_select",
-                "dedup_canonical_pagerank", "hnsw_two_layer_search"],
+                      "embedding_topk_pandas_udf", "hnsw_two_layer_search"],
+    # brand-new r12 operators, driver-checked from day one
+    "r12-new": ["hnsw_three_layer_search", "graph_ann_search_batch",
+                "stream_merge_into_mart"],
     "X4-text": ["gopher_quality_flags", "contamination_13gram", "lang_id_heuristic"],
     "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
     "assembly": ["training_data_prep"],
-    "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join"],
-    # the 4 two-round reds held in-window until driver-green (VERDICT r10)
+    "sketches": ["hll_sketch_merge"],
+    "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join",
+                     "stream_merge_into_mart"],
+    # the r9-r11 reds held in-window until driver-green (VERDICT r11 item 1)
     "reds-recheck": ["knn_graph_nn_descent", "graph_ann_search_topk",
-                     "graph_ann_search_durable", "quality_classifier_train_gd"],
-    # the graph family re-checks in full — every value changed r11
+                     "graph_ann_search_durable", "hnsw_two_layer_search",
+                     "quality_classifier_train_gd"],
+    # the graph family re-checks in full — every oracle's TEXT changed r12
+    # (md5 CAST + small-norm guard)
     "graph-integer-contract": ["knn_graph_topk", "knn_graph_topk_auto_k",
                                "knn_graph_pagerank", "knn_graph_nn_descent",
-                               "graph_ann_search_topk", "graph_ann_search_durable"],
-    # r11 forensic instrumentation, driver-checked from day one
-    "r11-forensics": ["qc_features_checksum", "qc_train_epoch1_weights",
-                      "qc_train_epoch8_weights", "knn_assign_cells",
-                      "knn_seed_edges", "knn_nn_descent_round1",
-                      "oracle_probe_data_fingerprint", "oracle_probe_tokenize_md5",
-                      "oracle_probe_round_half", "oracle_probe_float_sum_order",
-                      "oracle_probe_float_cosine_x1e4"],
+                               "graph_ann_search_topk", "graph_ann_search_durable",
+                               "graph_ann_search_batch", "hnsw_three_layer_search"],
+    # r12 divergence instrumentation: the named regression detectors +
+    # the HUGEINT smoking-gun pair (VERDICT r11 items 2 and 6)
+    "r12-forensics": ["knn_seed_edges", "qc_train_epoch1_weights",
+                      "oracle_probe_hugeint_passthrough",
+                      "oracle_probe_hugeint_cast"],
 }
 
 
