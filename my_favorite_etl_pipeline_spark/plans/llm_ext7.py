@@ -1162,28 +1162,32 @@ def q_graph_ann_search_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GB_K = 10  # results per query (matches embedding_topk_ivf_batch)
 
 
-def _gs_batch_hop_cte(i: int) -> str:
-    """One batched beam hop: the visited chain ``bv{i-1}`` -> ``bv{i}``
-    keyed by query_id — the flat search's hop CTE with every window and
-    join carrying the query key, so B queries replay as ONE chain."""
-    prev = f"bv{i - 1}"
+def _gs_batch_hop_cte(
+    i: int, graph: str = "gund", pfx: str = "bv", beam: int = _GS_BEAM
+) -> str:
+    """One batched beam hop: the visited chain ``{pfx}{i-1}`` ->
+    ``{pfx}{i}`` keyed by query_id — the flat search's hop CTE with every
+    window and join carrying the query key, so B queries replay as ONE
+    chain. Parameterized (r12) exactly like the single-query hop, so the
+    batched HNSW router replays its upper layer through the same text."""
+    prev = f"{pfx}{i - 1}"
     return f""",
-    bbm{i} AS (
+    {pfx}bm{i} AS (
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, vec_id) AS rn
         FROM {prev})
-      WHERE rn <= {_GS_BEAM}
+      WHERE rn <= {beam}
     ),
-    bv{i} AS MATERIALIZED (
+    {pfx}{i} AS MATERIALIZED (
       SELECT DISTINCT query_id, vec_id, cos_sim FROM (
         SELECT query_id, vec_id, cos_sim FROM {prev}
         UNION ALL
         SELECT b.query_id, u.nbr AS vec_id,
                {_int_cos_sql("x.q", "x.s", "qb.qv", "qb.qn")} AS cos_sim
-        FROM bbm{i} b
-        JOIN gund u ON u.node = b.vec_id
+        FROM {pfx}bm{i} b
+        JOIN {graph} u ON u.node = b.vec_id
         JOIN qassign x ON x.vec_id = u.nbr
         JOIN qb ON qb.query_id = b.query_id)
     )"""
@@ -1244,25 +1248,58 @@ def q_graph_ann_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound. The full batched walk replays in SQL over the SHARED
     refined-graph prefix with the visited chain keyed by query_id.
     """
+    assign, work = _knn_refined_tables(spark, sf_dir)
+    n = load(spark, sf_dir, "embeddings").count()
+    qb = _batch_queries(assign)
+    stride = n // _GS_ENTRIES
+    entries = spark.createDataFrame(
+        [(stride * g,) for g in range(_GS_ENTRIES)], "vec_id long"
+    ).crossJoin(qb.select("query_id"))
+    return graph_beam_search_batch(spark, assign, work, qb, entries)
+
+
+def _batch_queries(assign: DataFrame) -> DataFrame:
+    """The serving batch: every vec_id % 100 == 0 with its integer
+    contract columns (the ``embedding_topk_ivf_batch`` convention)."""
+    return assign.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__q").alias("qv"),
+        F.col("__s").alias("qn"),
+    )
+
+
+def graph_beam_search_batch(
+    spark: SparkSession,
+    assign: DataFrame,
+    work: DataFrame,
+    qb: DataFrame,
+    entries: DataFrame,
+    *,
+    hops: int = _GS_HOPS,
+    beam: int = _GS_BEAM,
+    k: int = _GB_K,
+    raw: bool = False,
+):
+    """The batched beam search proper — B queries through one plan, the
+    query-keyed twin of :func:`graph_beam_search` (shared by the flat
+    batch entry and the batched HNSW router so the two cannot drift).
+    ``entries`` is a (query_id, vec_id) frame; ``raw=True`` returns the
+    visited top-k as (query_id, vec_id, score) tuples for layer chaining.
+
+    Driver state is B·(|entries/query| + hops·beam·2W) triples — bounded
+    by batch size and search parameters, never by corpus size; each hop
+    is ONE distributed job for the whole batch (broadcast the ≤ B·beam
+    beam table against the cached edge table, fetch + score neighbors
+    against their own query via the broadcast B-row query table)."""
     from ..caching import tracked_persist
     from ..operators.similarity import int_cos_x1e4
 
-    assign, work = _knn_refined_tables(spark, sf_dir)
-    n = load(spark, sf_dir, "embeddings").count()
     gund = tracked_persist(
         work.select(F.col("src_id").alias("node"), F.col("nbr_id").alias("nbr"))
         .unionAll(
             work.select(F.col("nbr_id").alias("node"), F.col("src_id").alias("nbr"))
         )
         .distinct()
-    )
-    qb = (
-        assign.filter(F.col("vec_id") % 100 == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("__q").alias("qv"),
-            F.col("__s").alias("qn"),
-        )
     )
 
     def score(pairs: DataFrame) -> list:
@@ -1280,21 +1317,17 @@ def q_graph_ann_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
 
-    stride = n // _GS_ENTRIES
-    entries = spark.createDataFrame(
-        [(stride * g,) for g in range(_GS_ENTRIES)], "vec_id long"
-    ).crossJoin(qb.select("query_id"))
     visited: dict[tuple[int, int], int] = {
         (r.query_id, r.vec_id): r.cos_sim for r in score(entries)
     }
-    for _ in range(_GS_HOPS):
+    for _ in range(hops):
         beams: list[tuple[int, int]] = []
         by_q: dict[int, list[tuple[int, int]]] = {}
         for (qid, vid), s in visited.items():
             by_q.setdefault(qid, []).append((vid, s))
         for qid, items in by_q.items():
             items.sort(key=lambda vs: (-vs[1], vs[0]))
-            beams.extend((qid, vid) for vid, _ in items[:_GS_BEAM])
+            beams.extend((qid, vid) for vid, _ in items[:beam])
         beam_df = spark.createDataFrame(beams, "query_id long, node long")
         nbrs = (
             F.broadcast(beam_df)
@@ -1304,15 +1337,22 @@ def q_graph_ann_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in score(nbrs):
             visited[(r.query_id, r.vec_id)] = r.cos_sim
-    rows = []
     by_q2: dict[int, list[tuple[int, int]]] = {}
     for (qid, vid), s in visited.items():
         by_q2.setdefault(qid, []).append((vid, s))
+    top: list[tuple[int, int, int]] = []
     for qid in sorted(by_q2):
-        items = sorted(by_q2[qid], key=lambda vs: (-vs[1], vs[0]))[:_GB_K]
-        rows.extend(
-            (qid, rk + 1, vid, s / 10000.0) for rk, (vid, s) in enumerate(items)
-        )
+        items = sorted(by_q2[qid], key=lambda vs: (-vs[1], vs[0]))[:k]
+        top.extend((qid, vid, s) for vid, s in items)
+    if raw:
+        return top
+    rows = []
+    rk = 0
+    prev_q = None
+    for qid, vid, s in top:
+        rk = rk + 1 if qid == prev_q else 1
+        prev_q = qid
+        rows.append((qid, rk, vid, s / 10000.0))
     return spark.createDataFrame(
         rows, "query_id long, rank int, vec_id long, cos_sim double"
     )
@@ -1331,21 +1371,15 @@ def _hn_up_sql(mod: int) -> str:
     return f"({_duck_md5_32('CAST(vec_id AS VARCHAR)')}) % {mod} = 0"
 
 
-def _hnsw_oracle(levels: int = 2) -> str:
-    """ALL layers replayed in SQL over the SHARED refined-graph prefix.
-    Upper layers are numbered ℓ = levels−1 (sparsest, promotion modulus
-    {_HN_MOD}^ℓ — the true HNSW geometric level rule, md5-deterministic)
-    down to 1; each gets its own within-cell top-{_HN_K} graph build
-    (``hu{{ℓ}}``/``he{{ℓ}}``/``hg{{ℓ}}``), its own visited chain
-    (``h{{ℓ}}v*`` via the shared hop CTE), rank-strided entries at the
-    TOP layer and top-{_HN_FAN} fan-in from the layer above elsewhere;
-    the layer-1 result seeds the standard layer-0 beam search. The routed
-    search is definitionally over the graphs that were built."""
-    parts: list[str] = []
-    top = levels - 1
-    for lvl in range(top, 0, -1):
-        mod = _HN_MOD**lvl
-        parts.append(f""",
+def _hn_layer_sql(lvl: int) -> str:
+    """The upper-layer build at level ``lvl`` as CTE text: promoted node
+    set ``hu{lvl}`` (md5 % {_HN_MOD}^lvl), within-cell scored pairs,
+    top-{_HN_K} directed edges, undirected adjacency ``hg{lvl}``. Shared
+    by the single-query HNSW oracles AND the batched router's oracle, so
+    the layer that routes a batch is textually the layer the single-query
+    entries search."""
+    mod = _HN_MOD**lvl
+    return f""",
     hu{lvl} AS (SELECT * FROM qassign WHERE {_hn_up_sql(mod)}),
     hp{lvl} AS (
       SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
@@ -1365,7 +1399,23 @@ def _hnsw_oracle(levels: int = 2) -> str:
         SELECT src_id AS node, nbr_id AS nbr FROM he{lvl}
         UNION ALL
         SELECT nbr_id AS node, src_id AS nbr FROM he{lvl})
-    )""")
+    )"""
+
+
+def _hnsw_oracle(levels: int = 2) -> str:
+    """ALL layers replayed in SQL over the SHARED refined-graph prefix.
+    Upper layers are numbered ℓ = levels−1 (sparsest, promotion modulus
+    {_HN_MOD}^ℓ — the true HNSW geometric level rule, md5-deterministic)
+    down to 1; each gets its own within-cell top-{_HN_K} graph build
+    (``hu{{ℓ}}``/``he{{ℓ}}``/``hg{{ℓ}}``), its own visited chain
+    (``h{{ℓ}}v*`` via the shared hop CTE), rank-strided entries at the
+    TOP layer and top-{_HN_FAN} fan-in from the layer above elsewhere;
+    the layer-1 result seeds the standard layer-0 beam search. The routed
+    search is definitionally over the graphs that were built."""
+    parts: list[str] = []
+    top = levels - 1
+    for lvl in range(top, 0, -1):
+        parts.append(_hn_layer_sql(lvl))
         if lvl == top:
             parts.append(f""",
     h{lvl}ent AS (
@@ -1558,3 +1608,102 @@ def q_hnsw_three_layer_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings").count(),
         entry_ids=[i for i, _ in routed1],
     )
+
+
+# ---------------------------------------------------------------------------
+# hnsw_batch_routed_search — the router × the batch: the true serving shape
+
+
+def _hnsw_batch_oracle() -> str:
+    """The batched walk with per-query HNSW routing, all in SQL: the
+    layer-1 build (shared ``_hn_layer_sql`` text), the batch routed
+    across it from the same strided entries (query-keyed hop chain
+    ``ub*``), each query's top-{_HN_FAN} routed nodes seeding ITS OWN
+    layer-0 chain (``bv*``)."""
+    up_hops = "".join(
+        _gs_batch_hop_cte(i, graph="hg1", pfx="ub", beam=_HN_BEAM)
+        for i in range(1, _HN_HOPS + 1)
+    )
+    l0_hops = "".join(_gs_batch_hop_cte(i) for i in range(1, _GS_HOPS + 1))
+    return f"""
+    {_knn_refined_cte()},
+    gund AS MATERIALIZED (
+      SELECT DISTINCT node, nbr FROM (
+        SELECT src_id AS node, nbr_id AS nbr FROM wk{_KNN_ROUNDS}
+        UNION ALL
+        SELECT nbr_id AS node, src_id AS nbr FROM wk{_KNN_ROUNDS})
+    ),
+    qb AS (SELECT vec_id AS query_id, q AS qv, s AS qn FROM qassign
+           WHERE vec_id % 100 = 0){_hn_layer_sql(1)},
+    h1ent AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM hu1)
+      CROSS JOIN (SELECT COUNT(*) AS c FROM hu1)
+      WHERE rn IN (1, 1 + c // 4, 1 + (2 * c) // 4, 1 + (3 * c) // 4)
+    ),
+    ub0 AS MATERIALIZED (
+      SELECT DISTINCT qb.query_id, x.vec_id,
+             {_int_cos_sql("x.q", "x.s", "qb.qv", "qb.qn")} AS cos_sim
+      FROM h1ent e JOIN qassign x ON x.vec_id = e.vec_id CROSS JOIN qb
+    ){up_hops},
+    bl0 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM ub{_HN_HOPS}) WHERE rn <= {_HN_FAN}
+    ),
+    bv0 AS MATERIALIZED (
+      SELECT DISTINCT b.query_id, x.vec_id,
+             {_int_cos_sql("x.q", "x.s", "qb.qv", "qb.qn")} AS cos_sim
+      FROM bl0 b JOIN qassign x ON x.vec_id = b.vec_id
+      JOIN qb ON qb.query_id = b.query_id
+    ){l0_hops}
+    SELECT query_id, CAST(rn AS INT) AS rank, vec_id,
+           cos_sim / 10000.0 AS cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM bv{_GS_HOPS})
+    WHERE rn <= {_GB_K} ORDER BY query_id, rank
+    """
+
+
+@register("hnsw_batch_routed_search", oracle=_hnsw_batch_oracle())
+def q_hnsw_batch_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r12) — the TRUE serving shape: the query batch (vec_id % 100
+    == 0) routed through the HNSW upper layer PER QUERY, then batch
+    beam-searched over layer 0 from each query's own routed entries.
+    ``graph_ann_search_batch`` amortizes jobs but enters every query at
+    the same fixed strides; this entry gives each query the router's
+    personalized entry points at batch cost: upper routing adds
+    {_HN_HOPS} jobs for the WHOLE batch (the layer-1 graph is 1/{_HN_MOD}
+    of the corpus), layer 0 runs the identical batched walk. Composition
+    of two already-checked bodies — ``_hn_layer`` (shared with the
+    single-query routers) and ``graph_beam_search_batch`` (shared with
+    the flat batch) — plus one fan-in between them; the oracle replays
+    both stages query-keyed over the shared refined-graph prefix.
+
+    Plan at 100 TB: per batch, {_HN_HOPS} + {_GS_HOPS} distributed jobs
+    TOTAL regardless of batch size B; per-hop candidate volume ≤
+    B·beam·2W rows; driver state B·(layer visited bounds) — the batch
+    knob trades driver memory for amortization exactly as the flat batch
+    documents, and the router's per-query entries are what keep layer-0
+    hop counts flat as the corpus grows (the HNSW argument, now available
+    at serving batch size).
+    """
+    assign, work = _knn_refined_tables(spark, sf_dir)
+    qb = _batch_queries(assign)
+    up1, e1 = _hn_layer(assign, _HN_MOD)
+    ent1, _ = _hn_strided_entries(up1)
+    entries1 = spark.createDataFrame(
+        [(v,) for v in ent1], "vec_id long"
+    ).crossJoin(qb.select("query_id"))
+    routed = graph_beam_search_batch(
+        spark, assign, e1, qb, entries1,
+        hops=_HN_HOPS, beam=_HN_BEAM, k=_HN_FAN, raw=True,
+    )
+    entries0 = spark.createDataFrame(
+        [(qid, vid) for qid, vid, _ in routed], "query_id long, vec_id long"
+    )
+    return graph_beam_search_batch(spark, assign, work, qb, entries0)

@@ -129,8 +129,11 @@ CURATED_FIRST: tuple[str, ...] = (
     "embedding_topk_pandas_udf",
     # X3 graph family — the fix-confirmation block: every oracle's TEXT
     # changed this round (md5 CAST + small-norm guard), the 4 reds must
-    # flip green, and the two r12 searches enter day-one
-    "knn_graph_topk",
+    # flip green, and the three r12 searches enter day-one
+    # (knn_graph_topk yields its slot to the late-r12
+    # hnsw_batch_routed_search: at the driver's sf0.01 the auto-k twin
+    # resolves to k=8 and returns the IDENTICAL answer — the fixed-k
+    # flagship's window slot was a duplicate check by construction)
     "knn_graph_topk_auto_k",
     "knn_graph_pagerank",
     "knn_graph_nn_descent",
@@ -139,6 +142,7 @@ CURATED_FIRST: tuple[str, ...] = (
     "graph_ann_search_batch",
     "hnsw_two_layer_search",
     "hnsw_three_layer_search",
+    "hnsw_batch_routed_search",
     "knn_seed_edges",
     # X4 text anchors + the classifier block (2 reds + twin + detector)
     "gopher_quality_flags",

@@ -59,3 +59,35 @@ def test_batch_covers_every_sampled_query(spark):
     }
     assert set(per_q) == expected
     assert all(n == 10 for n in per_q.values()), per_q
+
+
+# Measured mean recall@10 over the batch (r12): flat batch 0.96 @ sf0.01 /
+# 0.955 @ sf0.1; routed batch 0.96 / 0.965 — the router's per-query entries
+# recover the one thing fixed strides miss at the larger scale. Floors sit
+# well under the measurements: this is the collapse detector (a broken
+# layer build or fan-in chain craters to ~0.1), not a precision pin.
+_BATCH_FLOORS = {"graph_ann_search_batch": 0.8, "hnsw_batch_routed_search": 0.8}
+
+
+@pytest.mark.parametrize("name", sorted(_BATCH_FLOORS))
+def test_batch_mean_recall_floor(spark, name):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = list(t["vec_id"].to_pylist())
+    V = np.array([np.array(x) for x in t["embedding"].to_pylist()], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qids = [i for i in ids if i % 100 == 0]
+    exact = {}
+    for q in qids:
+        s = np.round(Vn @ Vn[ids.index(q)], 4)
+        order = sorted(range(len(ids)), key=lambda j: (-s[j], ids[j]))[:10]
+        exact[q] = {int(ids[j]) for j in order}
+    got: dict[int, set] = {}
+    for r in engine.queries()[name](spark, SF_DIR).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    rec = float(
+        np.mean([len(exact[q] & got.get(q, set())) / 10 for q in qids])
+    )
+    assert rec >= _BATCH_FLOORS[name], (name, rec)

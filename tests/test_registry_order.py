@@ -41,7 +41,7 @@ FAMILY_SENTINELS = {
                       "embedding_topk_pandas_udf", "hnsw_two_layer_search"],
     # brand-new r12 operators, driver-checked from day one
     "r12-new": ["hnsw_three_layer_search", "graph_ann_search_batch",
-                "stream_merge_into_mart"],
+                "hnsw_batch_routed_search", "stream_merge_into_mart"],
     "X4-text": ["gopher_quality_flags", "contamination_13gram", "lang_id_heuristic"],
     "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
@@ -54,11 +54,13 @@ FAMILY_SENTINELS = {
                      "graph_ann_search_durable", "hnsw_two_layer_search",
                      "quality_classifier_train_gd"],
     # the graph family re-checks in full — every oracle's TEXT changed r12
-    # (md5 CAST + small-norm guard)
-    "graph-integer-contract": ["knn_graph_topk", "knn_graph_topk_auto_k",
+    # (md5 CAST + small-norm guard); the fixed-k flagship yielded its slot
+    # to the batched router (auto-k ≡ flagship at the driver's sf0.01)
+    "graph-integer-contract": ["knn_graph_topk_auto_k",
                                "knn_graph_pagerank", "knn_graph_nn_descent",
                                "graph_ann_search_topk", "graph_ann_search_durable",
-                               "graph_ann_search_batch", "hnsw_three_layer_search"],
+                               "graph_ann_search_batch", "hnsw_three_layer_search",
+                               "hnsw_batch_routed_search"],
     # r12 divergence instrumentation: the named regression detectors +
     # the HUGEINT smoking-gun pair (VERDICT r11 items 2 and 6)
     "r12-forensics": ["knn_seed_edges", "qc_train_epoch1_weights",
