@@ -41,21 +41,24 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_QUERIES = (
-    # the two-round red family + its r11 forensic stages
+    # the r9-r11 red family (re-typed oracles, r12) + the kept stage
+    # detectors + the r12 searches built on the same committed graph
     "knn_graph_nn_descent",
     "graph_ann_search_topk",
     "graph_ann_search_durable",
-    "knn_assign_cells",
+    "graph_ann_search_batch",
+    "hnsw_three_layer_search",
+    "hnsw_batch_routed_search",
     "knn_seed_edges",
     "knn_nn_descent_round1",
-    # the classifier pair + its forensic stages
+    # the classifier pair + its kept stage detector
     "quality_classifier_train_gd",
     "quality_classifier_gd_scores",
-    "qc_features_checksum",
     "qc_train_epoch1_weights",
-    # engine-behavior probes (cheap; fingerprint DuckDB/Spark behavior)
-    "oracle_probe_data_fingerprint",
-    "oracle_probe_tokenize_md5",
+    # engine-behavior probes (cheap; fingerprint DuckDB/Spark behavior),
+    # incl. the r12 HUGEINT smoking-gun pair
+    "oracle_probe_hugeint_passthrough",
+    "oracle_probe_hugeint_cast",
     "oracle_probe_round_half",
     "oracle_probe_float_sum_order",
     "oracle_probe_float_cosine_x1e4",
