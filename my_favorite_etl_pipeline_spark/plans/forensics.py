@@ -440,3 +440,24 @@ def q_oracle_probe_float_cosine_x1e4(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "oracle_probe_duckdb_version",
+    oracle="SELECT CAST(version() AS VARCHAR) AS duckdb_version",
+)
+def q_oracle_probe_duckdb_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe (r12, registered for the r13 window if the HUGEINT pair
+    comes back ambiguous) — the one driver-environment axis no local
+    check can reach: the driver's DuckDB BUILD. The Spark side returns
+    the LOCAL wheel's version string, the oracle returns the DRIVER's
+    ``version()`` — so the row hashes green iff the two DuckDB builds
+    are the same version, and a red here (rows+schema matching, hash
+    differing) READS OUT as "the driver runs a different DuckDB than
+    the one every local oracle was validated against". Single row,
+    costs nothing."""
+    import duckdb
+
+    return spark.createDataFrame(
+        [(f"v{duckdb.__version__}",)], "duckdb_version string"
+    )
