@@ -626,3 +626,75 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@register(
+    "pack_efficiency_report",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                         - n_tokens) / 1024.0) AS BIGINT) AS seq_id
+      FROM toks
+    ), seqs AS (
+      SELECT source, seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+      FROM cum GROUP BY source, seq_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(seq_tokens) * 10000) // (COUNT(*) * 1024) AS BIGINT)
+             AS fill_x1e4,
+           CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens,
+           CAST(MIN(seq_tokens) AS BIGINT) AS min_seq_tokens,
+           CAST(COUNT(*) FILTER (WHERE seq_tokens > 1024) AS BIGINT)
+             AS n_overfull
+    FROM seqs GROUP BY source ORDER BY source
+    """,
+)
+def q_pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r12) — the PACKING-EFFICIENCY audit: per source shard, how
+    well the first-fit-in-order 1024-token packing fills its bins — bin
+    count, docs, total tokens, mean fill as an exact fixed-point ratio
+    ``(Σ tokens · 10⁴) // (bins · 1024)``, min/max bin load, and the
+    count of overfull bins (a doc straddling the boundary opens the next
+    bin, so a bin can exceed the budget — the trainer's truncation-vs-
+    padding tradeoff made visible). This is the report a pipeline owner
+    reads BEFORE a training run: fill → padding waste, overfull → how
+    much truncation the straddle policy costs, per-source skew → shard
+    imbalance.
+
+    Plan at 100 TB: one more hash aggregate over the SHARED ``_packed``
+    plan (same per-source window shuffle the packing itself rides — no
+    global sort, the registered packing contract), then a |sources|-row
+    readout. Everything is exact integer arithmetic; the fill ratio uses
+    the shift-free nonnegative floor division both engines agree on.
+    """
+    packed = _packed(spark, sf_dir)
+    seqs = packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+    return (
+        seqs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("seq_tokens").cast("long").alias("total_tokens"),
+            F.expr("CAST((SUM(seq_tokens) * 10000) DIV (COUNT(*) * 1024) AS BIGINT)")
+            .alias("fill_x1e4"),
+            F.max("seq_tokens").cast("long").alias("max_seq_tokens"),
+            F.min("seq_tokens").cast("long").alias("min_seq_tokens"),
+            F.sum((F.col("seq_tokens") > 1024).cast("long"))
+            .cast("long")
+            .alias("n_overfull"),
+        )
+        .orderBy("source")
+    )

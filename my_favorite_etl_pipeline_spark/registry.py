@@ -162,8 +162,10 @@ CURATED_FIRST: tuple[str, ...] = (
     "multimodal_resize_8x8",
     # S1b docstore (sole family member, pinned)
     "docstore_lang_source_stats",
-    # dataset assembly
-    "training_data_prep",
+    # dataset assembly — the late-r12 packing-efficiency audit enters
+    # day-one; training_data_prep (green every round since r1) yields
+    # the family slot and stays sweep-verified
+    "pack_efficiency_report",
     # X6 streaming anchors + the production sink's first driver row
     "stream_tumbling_hourly",
     "stream_stream_attribution_join",

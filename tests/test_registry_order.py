@@ -41,11 +41,12 @@ FAMILY_SENTINELS = {
                       "embedding_topk_pandas_udf", "hnsw_two_layer_search"],
     # brand-new r12 operators, driver-checked from day one
     "r12-new": ["hnsw_three_layer_search", "graph_ann_search_batch",
-                "hnsw_batch_routed_search", "stream_merge_into_mart"],
+                "hnsw_batch_routed_search", "stream_merge_into_mart",
+                "pack_efficiency_report"],
     "X4-text": ["gopher_quality_flags", "contamination_13gram", "lang_id_heuristic"],
     "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
-    "assembly": ["training_data_prep"],
+    "assembly": ["pack_efficiency_report"],
     "sketches": ["hll_sketch_merge"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join",
                      "stream_merge_into_mart"],
