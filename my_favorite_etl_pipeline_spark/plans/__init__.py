@@ -53,6 +53,7 @@ _import_or_warn("llm_ext8")
 _import_or_warn("llm_ext9")
 _import_or_warn("llm_ext10")
 _import_or_warn("llm_ext11")
+_import_or_warn("llm_ext12")
 _import_or_warn("forensics")
 _import_or_warn("streaming_queries")
 _import_or_warn("docstore_queries")

@@ -1,0 +1,495 @@
+"""[EXT] curation round 12 — character-level near-dup, embedding-dim
+truncation audit, shard release manifests, and the packing histogram
+(SURVEY.md §2.9 X2/X3/X4+; no reference citation exists — the citation is
+BASELINE.json's LLM-data mandate).
+
+Four operators a production training-data pipeline runs around the dedup /
+assembly boundary, each reusing machinery this repo already oracle-checks:
+
+- ``edit_distance_near_dups`` — CHARACTER-level near-duplicate pairs by
+  banded Levenshtein. The token-level families (MinHash/SimHash/PPJoin)
+  miss single-character noise that barely perturbs the shingle set's
+  complement — OCR artifacts, typo-injected spam variants; record-linkage
+  practice (and the fuzzy_join_part_names precedent on p_name) closes the
+  gap with blocking + count-filter + verified edit distance. Three-stage
+  funnel, every stage engine-portable: (1) BLOCK on (length band,
+  |Δlen| ≤ τ) — edit distance ≥ |Δlen| makes the band exact, adjacent
+  band union catches straddlers; (2) COUNT FILTER — edit distance ≥
+  L1(char histograms)/2 (Ukkonen's q-gram/count bound at q=1), 15 cheap
+  per-doc counters prune ~1000× before any O(L·τ) work; (3) VERIFY with
+  the threshold-bounded Levenshtein.
+- ``matryoshka_prefix_recall`` — the embedding-TRUNCATION audit: for a
+  deterministic query panel, top-k by full-dimension quantized-integer
+  cosine vs top-k using only the leading half of the dimensions
+  (Kusupati et al. 2022's Matryoshka evaluation). The overlap per query is
+  the exact number a platform reads before serving truncated vectors at
+  half the memory/bandwidth. Pure integer contract end to end (the graph
+  family's quantize → exact isqrt → guarded floor division).
+- ``shard_manifest_checksums`` — the RELEASE MANIFEST over the registered
+  training-order shuffle (training_shard_assignment's exact hash-bucket
+  shards): per shard, row count, byte mass, id range, and an
+  ORDER-INSENSITIVE content digest (sum of portable md5-half integers).
+  A consumer re-reading any shard in any order reproduces the digest —
+  the dataset-card integrity block next to documents_dataset_card.
+- ``pack_docs_histogram`` — docs-per-pack DISTRIBUTION over the shared
+  ``_packed`` plan (the SURVEY r13-queue stats item): how many bins hold
+  1 doc, 2 docs, … — the attention-boundary profile (more docs per pack
+  = more cross-document attention masking work) that the per-source
+  means in pack_efficiency_report cannot show.
+
+Determinism contract (registry header): every ranked/hashed value is
+integer (Levenshtein counts, quantized cosine, md5-half digests, token
+counts); ties break on ids; floor divisions ride nonnegative operands only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+from .llm_ext2 import _packed
+from .llm_ext5 import _duck_md5_32, _spark_md5_32
+from .llm_ext7 import _int_cos_sql
+
+# ---------------------------------------------------------------------------
+# edit_distance_near_dups
+
+_ED_TAU = 5  # max edit distance for a near-dup pair
+_ED_BAND = 8  # length-band width; τ < band ⇒ a pair spans ≤ 1 boundary
+#: count-filter alphabet: the 14 most frequent English letters + space.
+#: Any single edit changes at most 2 histogram cells by 1 each, so
+#: edit_distance ≥ L1/2 and pairs with L1 > 2·τ are provably > τ apart —
+#: the bound needs no alphabet completeness, only that counted chars count
+#: identically on both engines (ASCII ⇒ byte == codepoint == char).
+_ED_CHARS = "etaoinsrhldcum "
+
+
+def _ed_hist_sql() -> str:
+    return ", ".join(
+        f"(length(text) - length(replace(text, '{c}', ''))) AS c{i}"
+        for i, c in enumerate(_ED_CHARS)
+    )
+
+
+def _ed_l1_sql(a: str, b: str) -> str:
+    return " + ".join(f"abs({a}.c{i} - {b}.c{i})" for i in range(len(_ED_CHARS)))
+
+
+@register(
+    "edit_distance_near_dups",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) // {_ED_BAND} AS band, {_ed_hist_sql()}
+      FROM documents WHERE lang = 'en'
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+      FROM d a JOIN d b
+        ON a.band = b.band AND a.doc_id < b.doc_id
+       AND abs(a.n - b.n) <= {_ED_TAU}
+       AND ({_ed_l1_sql("a", "b")}) <= {2 * _ED_TAU}
+      UNION ALL
+      SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id),
+             a.text, b.text
+      FROM d a JOIN d b
+        ON b.band = a.band + 1
+       AND abs(a.n - b.n) <= {_ED_TAU}
+       AND ({_ed_l1_sql("a", "b")}) <= {2 * _ED_TAU}
+    )
+    SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(ta, tb) <= {_ED_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ (r12) — character-level near-dup pairs: English documents within
+    Levenshtein distance {tau}, found by the block → count-filter → verify
+    funnel (never all-pairs). Blocking is EXACT for the threshold: edit
+    distance ≥ |Δlen|, so a qualifying pair's lengths differ by ≤ τ < band
+    width, landing it in the same or adjacent band; the count filter is the
+    q=1 Ukkonen bound (edit ≥ L1(char histogram)/2), 15 integer counters
+    per doc, measured ~780× candidate cut at sf0.1 (57,653 → 74) before
+    any quadratic work; the verifier is the THRESHOLD-bounded Levenshtein
+    (Spark's 3-arg form walks the O(τ·L) diagonal band, not the O(L²)
+    matrix; survivors are so few the oracle's unbounded form is fine).
+
+    Scoped to lang='en' BY CONTRACT: Spark counts Levenshtein in
+    codepoints, DuckDB in bytes, so the cross-engine contract is pinned on
+    ASCII text where the two coincide (the fixture's en slice is verified
+    pure-ASCII; production multi-lang runs normalize or scope per-lang the
+    same way). Column semantics: (doc_a < doc_b, exact edit_dist ≤ τ).
+
+    Plan at 100 TB: the self-joins are hash equi-joins on the band key
+    (the +1 twin is a second equi-join, unioned — no inequality join, no
+    cartesian); per-band populations are length-distribution bounded, and
+    the L1 prune runs INSIDE the join condition so only true candidates
+    materialize. Levenshtein cost is O(τ·L) on the pruned stragglers —
+    the same funnel shape ssjoin_prefix_filter pins for token sets.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("n"),
+        F.floor(F.length("text") / _ED_BAND).cast("long").alias("band"),
+        *[
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(c)))
+            ).cast("long").alias(f"c{i}")
+            for i, c in enumerate(_ED_CHARS)
+        ],
+    )
+    a, b = d.alias("a"), d.alias("b")
+    l1 = sum(
+        F.abs(F.col(f"a.c{i}") - F.col(f"b.c{i}"))
+        for i in range(len(_ED_CHARS))
+    )
+    close = (F.abs(F.col("a.n") - F.col("b.n")) <= _ED_TAU) & (l1 <= 2 * _ED_TAU)
+    same_band = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & close,
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.text").alias("ta"),
+        F.col("b.text").alias("tb"),
+    )
+    next_band = a.join(
+        b, (F.col("b.band") == F.col("a.band") + 1) & close
+    ).select(
+        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        F.col("a.text").alias("ta"),
+        F.col("b.text").alias("tb"),
+    )
+    lev = F.levenshtein("ta", "tb", _ED_TAU)  # O(τ·L); -1 when > τ
+    return (
+        same_band.unionByName(next_band)
+        .withColumn("edit_dist", lev.cast("long"))
+        .filter(F.col("edit_dist") >= 0)
+        .select("doc_a", "doc_b", "edit_dist")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_prefix_recall
+
+_MAT_K = 10  # top-k panel depth
+_MAT_DIM = 64  # full embedding dimensionality (fixture contract)
+_MAT_PREFIX = 32  # leading dims kept by the truncation under audit
+_MAT_QMOD, _MAT_QREM = 100, 7  # deterministic query panel: vec_id % 100 = 7
+
+
+def _cos_sql_d(qa: str, sa: str, qb: str, sb: str, d: int) -> str:
+    """Dimension-parameterized twin of llm_ext7._int_cos_sql (that one is
+    pinned to the 64-dim full vectors); same guarded pure-integer form."""
+    dot = (
+        f"CAST(LIST_SUM(LIST_TRANSFORM(range(1, {d + 1}), "
+        f"i -> {qa}[i] * {qb}[i])) AS BIGINT)"
+    )
+    return (
+        f"CAST(CASE WHEN {sa} < 2 OR {sb} < 2 THEN 0 ELSE "
+        f"(({dot} + 2 * {sa} * {sb}) * 10000) // ({sa} * {sb}) - 20000 END "
+        "AS BIGINT)"
+    )
+
+
+#: quantize full + prefix vectors with EXACT integer norms (the isqrt
+#: correction step — operators.similarity.int_isqrt's SQL twin, extended to
+#: carry the prefix slice through the same three layers).
+_MAT_QV_CTE = f"""
+    qv AS MATERIALIZED (
+      SELECT vec_id, q, qp,
+             CASE WHEN (s0 + 1) * (s0 + 1) <= n2 THEN s0 + 1
+                  WHEN s0 * s0 > n2 THEN s0 - 1 ELSE s0 END AS s,
+             CASE WHEN (p0 + 1) * (p0 + 1) <= p2 THEN p0 + 1
+                  WHEN p0 * p0 > p2 THEN p0 - 1 ELSE p0 END AS sp
+      FROM (
+        SELECT vec_id, q, qp, n2, p2,
+               CAST(FLOOR(SQRT(CAST(n2 AS DOUBLE))) AS BIGINT) AS s0,
+               CAST(FLOOR(SQRT(CAST(p2 AS DOUBLE))) AS BIGINT) AS p0
+        FROM (
+          SELECT vec_id, q, qp,
+                 CAST(LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS BIGINT) AS n2,
+                 CAST(LIST_SUM(LIST_TRANSFORM(qp, x -> x * x)) AS BIGINT) AS p2
+          FROM (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding, x ->
+                     CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q,
+                   LIST_TRANSFORM(embedding[1:{_MAT_PREFIX}], x ->
+                     CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qp
+            FROM embeddings)))
+    )"""
+
+
+@register(
+    "matryoshka_prefix_recall",
+    oracle=f"""
+    WITH {_MAT_QV_CTE},
+    qq AS (SELECT * FROM qv WHERE vec_id % {_MAT_QMOD} = {_MAT_QREM}),
+    pairs AS (
+      SELECT qq.vec_id AS query_id, c.vec_id AS cand_id,
+             {_cos_sql_d("qq.q", "qq.s", "c.q", "c.s", _MAT_DIM)} AS fs,
+             {_cos_sql_d("qq.qp", "qq.sp", "c.qp", "c.sp", _MAT_PREFIX)} AS ps
+      FROM qq JOIN qv c ON c.vec_id <> qq.vec_id
+    ),
+    f10 AS (
+      SELECT * FROM (
+        SELECT query_id, cand_id, fs,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY fs DESC, cand_id) AS r
+        FROM pairs) WHERE r <= {_MAT_K}
+    ),
+    p10 AS (
+      SELECT * FROM (
+        SELECT query_id, cand_id, ps,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ps DESC, cand_id) AS r
+        FROM pairs) WHERE r <= {_MAT_K}
+    ),
+    ov AS (
+      SELECT f.query_id, CAST(COUNT(p.cand_id) AS BIGINT) AS n_common,
+             CAST(MIN(f.fs) AS BIGINT) AS full_floor
+      FROM f10 f LEFT JOIN p10 p
+        ON p.query_id = f.query_id AND p.cand_id = f.cand_id
+      GROUP BY f.query_id
+    ),
+    pf AS (SELECT query_id, CAST(MIN(ps) AS BIGINT) AS prefix_floor
+           FROM p10 GROUP BY query_id)
+    SELECT ov.query_id AS query_id, ov.n_common,
+           CAST(ov.n_common * {10_000 // _MAT_K} AS BIGINT) AS recall_x1e4,
+           ov.full_floor, pf.prefix_floor
+    FROM ov JOIN pf ON pf.query_id = ov.query_id
+    ORDER BY ov.query_id
+    """,
+)
+def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r12) — the embedding-truncation audit (Matryoshka evaluation,
+    Kusupati et al. 2022): per deterministic query (vec_id % 100 = 7),
+    exact top-10 neighbors by full 64-dim quantized-integer cosine vs
+    top-10 by the LEADING-32-dim prefix cosine, reporting the overlap
+    (``n_common``, ``recall_x1e4``) and both panels' score floors. This is
+    the number a platform reads before serving truncated vectors at half
+    the memory/bandwidth — prefix recall ≈ 1 ⇒ truncate; the floors show
+    the margin the truncation eats.
+
+    Pure integer contract end to end: the graph family's FLOOR(v·10⁴)
+    quantization, EXACT isqrt norms (computed independently for the
+    prefix — a prefix norm is NOT derivable from the full norm), and the
+    guarded nonnegative floor division (int_cos_x1e4). The prefix slice
+    happens AFTER float→double (exact) so both engines slice identical
+    values.
+
+    Plan at 100 TB: the query panel is corpus-fraction-thin (1/100 here)
+    and BROADCAST; scoring is one map-only pass over the corpus per panel
+    (no shuffle on the corpus side), then two per-query top-k windows over
+    |panel|·k rows. Like ngram_jaccard_pairs, the exact-brute-force arm is
+    the measurement instrument — production runs it over a sampled panel
+    to pick the truncation dim, then serves via the IVF/PQ/graph family.
+    """
+    from ..operators.similarity import _dbl, int_cos_x1e4, int_isqrt, quantize_vectors
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("__v")
+    )
+    qv = quantize_vectors(emb).withColumn(
+        "__qp", F.slice("__q", 1, _MAT_PREFIX)
+    )
+    qv = qv.withColumn(
+        "__sp",
+        int_isqrt(
+            F.aggregate(F.col("__qp"), F.lit(0).cast("long"), lambda s, x: s + x * x)
+        ),
+    ).select("vec_id", "__q", "__s", "__qp", "__sp")
+    queries = qv.filter(F.col("vec_id") % _MAT_QMOD == _MAT_QREM).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__q").alias("qq"),
+        F.col("__s").alias("qs"),
+        F.col("__qp").alias("qqp"),
+        F.col("__sp").alias("qsp"),
+    )
+    pairs = (
+        qv.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            int_cos_x1e4(F.col("qq"), F.col("qs"), F.col("__q"), F.col("__s")).alias("fs"),
+            int_cos_x1e4(F.col("qqp"), F.col("qsp"), F.col("__qp"), F.col("__sp")).alias("ps"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("fs").desc(), F.col("cand_id"))
+    wp = Window.partitionBy("query_id").orderBy(F.col("ps").desc(), F.col("cand_id"))
+    f10 = (
+        pairs.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= _MAT_K)
+        .select("query_id", "cand_id", "fs")
+    )
+    p10 = (
+        pairs.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= _MAT_K)
+        .select("query_id", "cand_id", "ps")
+    )
+    ov = (
+        f10.join(p10.withColumnRenamed("ps", "__ps"), ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__ps").cast("long").alias("n_common"),
+            F.min("fs").cast("long").alias("full_floor"),
+        )
+    )
+    pf = p10.groupBy("query_id").agg(F.min("ps").cast("long").alias("prefix_floor"))
+    return (
+        ov.join(pf, "query_id")
+        .select(
+            "query_id",
+            "n_common",
+            (F.col("n_common") * (10_000 // _MAT_K)).cast("long").alias("recall_x1e4"),
+            "full_floor",
+            "prefix_floor",
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest_checksums
+
+_MAN_SHARDS = 8  # must match training_shard_assignment's shard count
+_MAN_SEED = ":shuffle:42"  # and its seeded shuffle key
+
+
+@register(
+    "shard_manifest_checksums",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, text, n_chars,
+             md5(CAST(doc_id AS VARCHAR) || '{_MAN_SEED}') AS key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text, n_chars,
+             CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1)
+                  % {_MAN_SHARDS} AS INT) AS shard
+      FROM k
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(SUM({_duck_md5_32("CAST(doc_id AS VARCHAR) || ':' || text")})
+                AS BIGINT) AS content_digest
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def q_shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r12) — the RELEASE MANIFEST for the registered training-order
+    shuffle: per shard (training_shard_assignment's exact hash buckets —
+    same md5 key, same first-hex-digit bucket rule, so the manifest
+    describes the shards that operator writes), the row count, character
+    mass, doc-id range, and an ORDER-INSENSITIVE content digest: the
+    BIGINT sum of the portable md5-half integer of ``doc_id:text``. Any
+    consumer re-reading a shard — in any order, any partitioning —
+    reproduces the digest iff content is intact; a single flipped byte
+    moves it. This is the integrity block a dataset release ships beside
+    its card (documents_dataset_card), and what a 1000-executor re-read
+    verifies cheaply after a bulk copy.
+
+    Plan at 100 TB: map-only hashing (two md5s per row), then ONE hash
+    aggregate to |shards| rows — commutative sums only, so partial
+    aggregation collapses everything map-side; no window, no sort, no
+    skew (shards are md5-uniform by construction). Digest bound: each
+    term < 2³², so even 2⁴⁰ rows per shard stay < 2⁷² — beyond any
+    real shard; at fixture scale the sum is ≪ 2⁶³ with ~9 decimal
+    digits of headroom per million rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        _spark_md5_32(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+        ).alias("__h"),
+        (
+            (
+                F.expr(
+                    "locate(substr(md5(concat(CAST(doc_id AS STRING), "
+                    f"'{_MAN_SEED}')), 1, 1), '0123456789abcdef')"
+                )
+                - 1
+            )
+            % _MAN_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+            F.sum("__h").cast("long").alias("content_digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_docs_histogram
+
+@register(
+    "pack_docs_histogram",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                         - n_tokens) / 1024.0) AS BIGINT) AS seq_id
+      FROM toks
+    ), seqs AS (
+      SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS docs_in_pack
+      FROM cum GROUP BY source, seq_id
+    )
+    SELECT docs_in_pack, CAST(COUNT(*) AS BIGINT) AS n_packs
+    FROM seqs GROUP BY docs_in_pack ORDER BY docs_in_pack
+    """,
+)
+def q_pack_docs_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r12) — docs-per-pack DISTRIBUTION over the shared ``_packed``
+    first-fit packing (the SURVEY r13-queue "docs-per-pack stats" item):
+    how many 1024-token bins hold exactly 1, 2, … documents. Trainers
+    read this before enabling cross-document attention masking — the
+    histogram's mass above 1 is exactly the fraction of sequence
+    boundaries that need masks, and a heavy n=1 bar with low fill (see
+    pack_efficiency_report) means long docs are being straddled, i.e.
+    the truncation knob matters more than the packing order.
+
+    Plan at 100 TB: the same single per-source window shuffle the packing
+    contract already rides (no global sort), one hash aggregate to bins,
+    one more to the ≤max-docs-per-bin-row histogram — both collapse
+    map-side (counts are commutative); output is O(histogram support),
+    driver-safe at any corpus size.
+    """
+    bins = (
+        _packed(spark, sf_dir)
+        .groupBy("source", "seq_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_in_pack"))
+    )
+    return (
+        bins.groupBy("docs_in_pack")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_packs"))
+        .orderBy("docs_in_pack")
+    )

@@ -1,0 +1,174 @@
+"""Ground-truth tests for the r12 curation operators (plans/llm_ext12.py):
+character-level near-dup, matryoshka truncation audit, shard manifests, and
+the packing histogram. Each test recomputes the operator's contract from the
+raw fixture with an INDEPENDENT method (pure Python), the pattern the
+image-dHash and token-budget ops established."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+import my_favorite_etl_pipeline_spark as engine
+from tests.conftest import SF_DIR
+
+
+def _banded_levenshtein(a: str, b: str, tau: int) -> int:
+    """Exact edit distance if ≤ tau else tau+1 — O(tau·len) diagonal band."""
+    if abs(len(a) - len(b)) > tau:
+        return tau + 1
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j in range(1, len(b) + 1):
+        cur = [j] + [0] * len(a)
+        lo, hi = max(1, j - tau), min(len(a), j + tau)
+        if lo > 1:
+            cur[lo - 1] = tau + 1
+        for i in range(lo, hi + 1):
+            cur[i] = min(
+                prev[i] + 1,
+                cur[i - 1] + 1,
+                prev[i - 1] + (a[i - 1] != b[j - 1]),
+            )
+        if min(cur[lo : hi + 1]) > tau:
+            return tau + 1
+        prev = cur
+    return prev[len(a)] if prev[len(a)] <= tau else tau + 1
+
+
+def test_edit_distance_near_dups_matches_bruteforce(spark):
+    """The funnel (band blocking + count filter + threshold verify) must
+    return EXACTLY the brute-force all-en-pairs answer — i.e. the blocking
+    and the Ukkonen count bound lose no qualifying pair."""
+    docs = [
+        d
+        for d in pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+        if d["lang"] == "en"
+    ]
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            dist = _banded_levenshtein(a["text"], b["text"], 5)
+            if dist <= 5:
+                lo, hi = sorted((a["doc_id"], b["doc_id"]))
+                expected[(lo, hi)] = dist
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in engine.queries()["edit_distance_near_dups"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must contain at least one near-dup pair"
+
+
+def _quantize(vec):
+    return [math.floor(float(x) * 10_000) for x in vec]
+
+
+def _int_cos(qa, sa, qb, sb):
+    if sa < 2 or sb < 2:
+        return 0
+    d = sum(x * y for x, y in zip(qa, qb))
+    return ((d + 2 * sa * sb) * 10_000) // (sa * sb) - 20_000
+
+
+def test_matryoshka_prefix_recall_matches_pure_python(spark):
+    """Every output row replays from the raw parquet: quantize, exact
+    isqrt norms (full AND prefix — independently), guarded integer cosine,
+    two top-10 panels, overlap + floors."""
+    rows = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pylist()
+    qv = {}
+    for r in rows:
+        q = _quantize(r["embedding"])
+        qp = q[:32]
+        qv[r["vec_id"]] = (q, math.isqrt(sum(x * x for x in q)), qp,
+                           math.isqrt(sum(x * x for x in qp)))
+    expected = {}
+    for qid in sorted(v for v in qv if v % 100 == 7):
+        q, s, qp, sp = qv[qid]
+        full = sorted(
+            ((-_int_cos(q, s, c[0], c[1]), cid) for cid, c in qv.items() if cid != qid),
+        )[:10]
+        pre = sorted(
+            ((-_int_cos(qp, sp, c[2], c[3]), cid) for cid, c in qv.items() if cid != qid),
+        )[:10]
+        fset = {cid for _, cid in full}
+        pset = {cid for _, cid in pre}
+        n_common = len(fset & pset)
+        expected[qid] = (
+            n_common,
+            n_common * 1000,
+            -max(sc for sc, _ in full),
+            -max(sc for sc, _ in pre),
+        )
+    got = {
+        r.query_id: (r.n_common, r.recall_x1e4, r.full_floor, r.prefix_floor)
+        for r in engine.queries()["matryoshka_prefix_recall"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert expected, "query panel must be non-empty on the fixture"
+
+
+def _md5_32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_shard_manifest_checksums_matches_pure_python(spark):
+    """Shard membership must equal training_shard_assignment's bucket rule
+    and every digest must equal the pure-Python order-insensitive sum."""
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    agg = {}
+    for d in docs:
+        key = hashlib.md5(f"{d['doc_id']}:shuffle:42".encode()).hexdigest()
+        shard = ("0123456789abcdef".index(key[0])) % 8
+        h = _md5_32(f"{d['doc_id']}:{d['text']}")
+        cur = agg.setdefault(shard, [0, 0, None, None, 0])
+        cur[0] += 1
+        cur[1] += d["n_chars"]
+        cur[2] = d["doc_id"] if cur[2] is None else min(cur[2], d["doc_id"])
+        cur[3] = d["doc_id"] if cur[3] is None else max(cur[3], d["doc_id"])
+        cur[4] += h
+    got = {
+        r.shard: [r.n_docs, r.n_chars_total, r.min_doc_id, r.max_doc_id,
+                  r.content_digest]
+        for r in engine.queries()["shard_manifest_checksums"](spark, SF_DIR).collect()
+    }
+    assert got == agg
+    assert len(agg) == 8, "every shard must be populated on the fixture"
+
+
+def test_shard_manifest_digest_moves_on_any_content_change():
+    """One flipped character in one document must move its shard's digest
+    (the manifest's whole point)."""
+    base = _md5_32("7:hello world")
+    flipped = _md5_32("7:hello worle")
+    assert base != flipped
+
+
+def test_pack_docs_histogram_matches_pure_python(spark):
+    """The histogram replays from the raw parquet via the packing rule:
+    per source in doc_id order, bin = floor(tokens-before / 1024)."""
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    by_source: dict[str, list] = {}
+    for d in docs:
+        by_source.setdefault(d["source"], []).append(d)
+    bin_sizes: Counter = Counter()
+    for source, items in by_source.items():
+        cum = 0
+        per_bin: Counter = Counter()
+        for d in sorted(items, key=lambda x: x["doc_id"]):
+            n = len(d["text"].split(" "))
+            per_bin[cum // 1024] += 1
+            cum += n
+        bin_sizes.update(per_bin.values())
+    got = {
+        r.docs_in_pack: r.n_packs
+        for r in engine.queries()["pack_docs_histogram"](spark, SF_DIR).collect()
+    }
+    assert got == dict(bin_sizes)
+    assert len(got) > 1, "histogram must have non-trivial support"
