@@ -3,7 +3,7 @@ truncation audit, shard release manifests, and the packing histogram
 (SURVEY.md §2.9 X2/X3/X4+; no reference citation exists — the citation is
 BASELINE.json's LLM-data mandate).
 
-Four operators a production training-data pipeline runs around the dedup /
+Six operators a production training-data pipeline runs around the dedup /
 assembly boundary, each reusing machinery this repo already oracle-checks:
 
 - ``edit_distance_near_dups`` — CHARACTER-level near-duplicate pairs by
@@ -36,6 +36,14 @@ assembly boundary, each reusing machinery this repo already oracle-checks:
   1 doc, 2 docs, … — the attention-boundary profile (more docs per pack
   = more cross-document attention masking work) that the per-source
   means in pack_efficiency_report cannot show.
+- ``contamination_span_profile`` — contamination SEVERITY over the same
+  13-gram event set as the boolean flag: maximal contiguous contaminated
+  spans per train doc via gaps-and-islands on matched gram positions —
+  the drop-vs-redact decision input.
+- ``ann_cell_size_report`` — the cell-balance audit for the shared
+  auto-k assignment: per-cell population and exact pair-join work, making
+  the ANN/SemDeDup family's "linear in n" bound a driver-checkable
+  readout.
 
 Determinism contract (registry header): every ranked/hashed value is
 integer (Levenshtein counts, quantized cosine, md5-half digests, token
@@ -47,9 +55,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
 from ..registry import register
 from ..sources.tables import load
 from .llm_ext2 import _packed
+from .llm_ext3 import _BENCH_PRED_SQL, _bench_pred
+from .llm_ext4 import AUTO_K_SQL, _semdedup_assign_cte
 from .llm_ext5 import _duck_md5_32, _spark_md5_32
 from .llm_ext7 import _int_cos_sql
 
@@ -492,4 +503,139 @@ def q_pack_docs_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bins.groupBy("docs_in_pack")
         .agg(F.count(F.lit(1)).cast("long").alias("n_packs"))
         .orderBy("docs_in_pack")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contamination_span_profile
+
+@register(
+    "contamination_span_profile",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT DISTINCT array_to_string(t[pos + 1:pos + 13], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(len(t) - 12)) AS pos
+            FROM toks WHERE len(t) >= 13 AND {_BENCH_PRED_SQL})
+    ),
+    tp AS (
+      SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 13], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(len(t) - 12)) AS pos
+            FROM toks WHERE len(t) >= 13 AND NOT ({_BENCH_PRED_SQL}))
+    ),
+    hit AS (SELECT DISTINCT tp.doc_id, tp.pos FROM tp JOIN bg ON tp.g = bg.g),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hit
+    ),
+    runs AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+             FROM isl GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(run_len) AS BIGINT) AS n_hit_positions,
+           CAST(MAX(run_len) + 12 AS BIGINT) AS longest_span_tokens
+    FROM runs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_contamination_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r12) — contamination SEVERITY, not just the boolean flag: for
+    every training document that contamination_13gram would flag, the
+    number of maximal CONTIGUOUS contaminated spans, the total count of
+    contaminated 13-gram positions, and the LONGEST shared span in tokens
+    (= longest run of consecutive matched positions + 12). The boolean
+    flag treats one unlucky idiom and a wholesale-quoted benchmark answer
+    identically; the data recipes that redact rather than drop (the
+    excision arm, decontaminate_excise_13gram) need exactly this profile
+    to decide which — a 13-token span is an idiom, a 200-token span is a
+    leak.
+
+    Islands-and-gaps on matched gram POSITIONS: consecutive positions
+    share ``pos − row_number()`` (the standard gaps-and-islands key), so
+    one window + one agg turn the position set into maximal runs. Uses
+    the SAME md5-designated eval slice and positional-gram construction
+    as the whole 13-gram family (llm_ext3), so the profiles describe the
+    identical contamination event set.
+
+    Plan at 100 TB: the eval gram table is suite-sized — AQE broadcasts
+    it; the train side explodes positional grams map-side and equi-joins
+    on the gram string (no all-pairs); the islands window partitions by
+    doc_id over HIT positions only (corpus-sparse — contaminated docs'
+    matched grams, not the corpus), then two hash aggs. Nothing new
+    shuffles the full corpus beyond the gram join the boolean flag
+    already pays.
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.posexplode(TX.ngrams(F.col("text"), n=13)).alias("pos", "g")
+    )
+    bench = grams.filter(_bench_pred()).select("g").distinct()
+    hit = (
+        grams.filter(~_bench_pred())
+        .join(bench, "g")
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hit.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("run_len").cast("long").alias("n_hit_positions"),
+            (F.max("run_len") + 12).cast("long").alias("longest_span_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_cell_size_report
+
+@register(
+    "ann_cell_size_report",
+    oracle=f"""
+    {_semdedup_assign_cte(1, AUTO_K_SQL)}
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS cell_size,
+           CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) AS pair_work
+    FROM assign GROUP BY cluster ORDER BY cluster
+    """,
+)
+def q_ann_cell_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r12) — the CELL-BALANCE audit for the shared auto-k
+    nearest-centroid assignment (the machinery under SemDeDup, the kNN
+    graph, and semantic decontamination): per cell, its population and
+    its exact pair-join work ``|cell|·(|cell|−1)`` — the quantity the
+    family's "linear in n" scale argument bounds. Σ pair_work IS the
+    within-cell candidate count; the auto-k rule pins E[|cell|] ≈ 64, so
+    Σ pair_work ≈ 64·n grows linearly while a fixed k would go quadratic.
+    This report makes that bound a DRIVER-CHECKABLE readout instead of a
+    test-only assertion (tests/test_recall_scales.py pins the two-scale
+    growth; operations watches max(cell_size) for centroid-collapse skew
+    before launching the expensive pair pass).
+
+    Plan at 100 TB: the assignment is the already-audited broadcast-
+    centroids + max_by pass; this adds ONE hash aggregate to |cells| =
+    n/64 rows. Output is cell-count-sized — large, but linear and
+    writable; the operational summary (max, p99, Σ) is one more agg the
+    consumer runs on this frame.
+    """
+    from ..operators.similarity import nearest_centroid
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        nearest_centroid(emb, k="auto")
+        .groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_size"))
+        .select(
+            "cluster",
+            "cell_size",
+            (F.col("cell_size") * (F.col("cell_size") - 1)).cast("long").alias("pair_work"),
+        )
+        .orderBy("cluster")
     )

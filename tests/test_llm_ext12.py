@@ -66,6 +66,33 @@ def test_edit_distance_near_dups_matches_bruteforce(spark):
     assert expected, "fixture must contain at least one near-dup pair"
 
 
+def test_edit_distance_plan_has_no_cartesian(spark):
+    """Both blocking arms must run as hash equi-joins on the band key —
+    a cartesian/nested-loop product here means the blocking key fell out
+    of the join condition and the funnel went all-pairs."""
+    plan = (
+        engine.queries()["edit_distance_near_dups"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_matryoshka_plan_broadcasts_the_panel(spark):
+    """The query panel must reach the corpus as a broadcast (map-only
+    scoring pass) — a shuffle join here repartitions the corpus per panel."""
+    plan = (
+        engine.queries()["matryoshka_prefix_recall"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def _quantize(vec):
     return [math.floor(float(x) * 10_000) for x in vec]
 
@@ -148,6 +175,76 @@ def test_shard_manifest_digest_moves_on_any_content_change():
     base = _md5_32("7:hello world")
     flipped = _md5_32("7:hello worle")
     assert base != flipped
+
+
+def test_contamination_span_profile_matches_pure_python(spark):
+    """Every profile row replays from the raw parquet: positional 13-grams,
+    the md5 eval slice, matched-position islands."""
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+
+    def is_bench(doc_id: int) -> bool:
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[0] == "0"
+
+    bench_grams = set()
+    for d in docs:
+        if not is_bench(d["doc_id"]):
+            continue
+        t = d["text"].split(" ")
+        for i in range(len(t) - 12):
+            bench_grams.add(" ".join(t[i : i + 13]))
+    expected = {}
+    for d in docs:
+        if is_bench(d["doc_id"]):
+            continue
+        t = d["text"].split(" ")
+        hits = sorted(
+            i for i in range(len(t) - 12) if " ".join(t[i : i + 13]) in bench_grams
+        )
+        if not hits:
+            continue
+        runs, cur = [], 1
+        for prev, nxt in zip(hits, hits[1:]):
+            if nxt == prev + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        expected[d["doc_id"]] = (len(runs), sum(runs), max(runs) + 12)
+    got = {
+        r.doc_id: (r.n_spans, r.n_hit_positions, r.longest_span_tokens)
+        for r in engine.queries()["contamination_span_profile"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must contain contaminated docs"
+
+
+def test_contamination_span_profile_consistent_with_boolean_flag(spark):
+    """The profiled doc set must equal contamination_13gram's flag set —
+    same event universe, two readouts."""
+    flagged = {
+        r.doc_id
+        for r in engine.queries()["contamination_13gram"](spark, SF_DIR).collect()
+    }
+    profiled = {
+        r.doc_id
+        for r in engine.queries()["contamination_span_profile"](spark, SF_DIR).collect()
+    }
+    assert profiled == flagged
+
+
+def test_ann_cell_size_report_invariants(spark):
+    """Cells partition the corpus exactly; pair_work is the within-cell
+    join size; the auto-k target bounds the mean cell size."""
+    rows = engine.queries()["ann_cell_size_report"](spark, SF_DIR).collect()
+    n_vecs = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).num_rows
+    assert sum(r.cell_size for r in rows) == n_vecs
+    assert all(r.pair_work == r.cell_size * (r.cell_size - 1) for r in rows)
+    assert all(r.cell_size >= 1 for r in rows)
+    k = max(4, -(-n_vecs // 64))
+    assert len(rows) <= k
+    # Σ pair_work is the candidate count the SemDeDup join actually runs
+    assert sum(r.pair_work for r in rows) < n_vecs * 4 * 64  # linear-in-n bound
 
 
 def test_pack_docs_histogram_matches_pure_python(spark):

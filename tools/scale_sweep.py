@@ -1,0 +1,104 @@
+"""Measured scaling-factor sweep: time representative queries across the
+three fixture scale factors and report the sf0.01 → sf0.1 growth factor.
+
+The SCALE.md table argues each family's cost is linear (or better) in the
+corpus; this tool turns the argument into MEASURED evidence. The corpus
+grows 10× between sf0.01 and sf0.1, so on a warm session:
+
+- growth ≈ 1–4   → fixed overhead still dominates, or sublinear readout
+- growth ≈ 10    → linear data path (the claim for every production op)
+- growth ≈ 100   → quadratic — the blowup the funnels exist to prevent
+
+``ngram_jaccard_pairs`` (the labeled O(n²) exact-recall baseline) rides the
+set as the POSITIVE CONTROL: the methodology must read it as quadratic, or
+the sweep could not detect a real blowup.
+
+Usage: python tools/scale_sweep.py [--runs N] [name ...]
+Prints one JSON line per query plus a markdown table ready for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+#: one representative per scale-audited family (SCALE.md rows), plus the
+#: quadratic positive control and two relational anchors.
+DEFAULT_SET = [
+    "q1_pricing_summary",          # scan + hash agg anchor
+    "q3_shipping_priority",        # join + topk anchor
+    "dedup_exact_groups",          # digest shuffle
+    "minhash_near_dups",           # LSH band-bucket join
+    "ssjoin_prefix_filter",        # PPJoin prefix-filter funnel
+    "exact_span_dedup_20tok",      # gram-key span dedup
+    "semdedup_cluster_pairs_auto_k",  # auto-k within-cell join (linear claim)
+    "embedding_topk_ivf",          # coarse-probe ANN serving
+    "knn_graph_topk_auto_k",       # graph build, linear-in-n claim
+    "tfidf_topk_similar_docs",     # sparse cosine self-join
+    "token_budget_select",         # two-phase histogram walk
+    "pack_efficiency_report",      # per-source window + aggs
+    "edit_distance_near_dups",     # banded Levenshtein funnel (r12)
+    "matryoshka_prefix_recall",    # exact instrument: panel×corpus (n²/100)
+    "shard_manifest_checksums",    # map-only manifest (r12)
+    "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
+]
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    runs = 2
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        del args[i : i + 2]
+    names = args or DEFAULT_SET
+
+    import __spark_entry__ as entrymod
+    from my_favorite_etl_pipeline_spark.caching import materialized_scope
+    from my_favorite_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale-sweep")
+    qs = entrymod.queries()
+    missing = [n for n in names if n not in qs]
+    if missing:
+        print(f"unknown queries: {missing}", file=sys.stderr)
+        return 2
+
+    # warm the session so the first timed query doesn't pay JVM/codegen start
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    results: dict[str, dict[str, float]] = {}
+    for sf in SFS:
+        tag = sf.rsplit("sf", 1)[1]
+        for name in names:
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.time()
+                with materialized_scope():
+                    qs[name](spark, sf).collect()
+                best = min(best, time.time() - t0)
+            results.setdefault(name, {})[tag] = round(best, 3)
+            print(
+                json.dumps({"query": name, "sf": tag, "sec": round(best, 3)}),
+                flush=True,
+            )
+
+    print("\n| query | sf0.001 | sf0.01 | sf0.1 | growth 0.01→0.1 (10× data) |")
+    print("|---|---|---|---|---|")
+    for name in names:
+        r = results[name]
+        growth = r["0.1"] / r["0.01"] if r["0.01"] > 0 else float("nan")
+        print(
+            f"| `{name}` | {r['0.001']:.2f} | {r['0.01']:.2f} | {r['0.1']:.2f} "
+            f"| **{growth:.1f}×** |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
