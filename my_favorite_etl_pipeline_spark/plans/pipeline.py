@@ -502,3 +502,128 @@ def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.union(r)
     return rows.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# mart_snapshot_diff — M4's time travel as a driver-visible changelog
+
+_DIFF_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+@register(
+    "mart_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    u AS (
+      SELECT o_orderkey, 'U' AS st, '0-DIFF' AS pr
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    v2 AS (
+      SELECT COALESCE(m.o_orderkey, u.o_orderkey) AS o_orderkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.st
+                  ELSE m.o_orderstatus END AS o_orderstatus,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.pr
+                  ELSE m.o_orderpriority END AS o_orderpriority
+      FROM v1 m FULL OUTER JOIN u ON m.o_orderkey = u.o_orderkey
+      WHERE COALESCE(m.o_orderkey, u.o_orderkey) % 7 <> 1
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'deleted'
+                ELSE 'updated' END AS change,
+           a.o_orderstatus AS old_status, b.o_orderstatus AS new_status,
+           a.o_orderpriority AS old_priority, b.o_orderpriority AS new_priority
+    FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_orderstatus <> b.o_orderstatus
+       OR a.o_orderpriority <> b.o_orderpriority
+    ORDER BY o_orderkey
+    """,
+)
+def q_mart_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4+ (r12) — snapshot DIFF over the VersionedMart's time travel: the
+    CDC changelog between two committed versions, computed by reading BOTH
+    snapshots back through ``read(version=...)`` and classifying every key
+    as added / deleted / updated (on the tracked update columns). This is
+    the "what did last night's run change" audit a lakehouse table's
+    history view answers (Delta CDF / Iceberg changelog) — here exercised
+    against the mart's own manifest-committed versions, so the entry
+    drives commit → time travel → diff end-to-end on the oracle path
+    rather than in tests only.
+
+    Construction (deterministic, batch-arrival independent): v1 = even
+    order keys; one merge_upsert batch (keys % 3 = 0 → status 'U',
+    priority '0-DIFF') then a scoped delete (keys % 7 = 1) commits as v2.
+    The oracle replays both version DEFINITIONS in SQL — the diff of two
+    committed physical snapshots must equal the diff of their logical
+    definitions, which is exactly the atomicity+time-travel contract M4
+    claims (a torn or misresolved version would break the equality).
+
+    Plan at 100 TB: two snapshot scans + ONE full-outer key join, the
+    same shuffle class as the merge that produced v2; output is
+    changed-keys-sized. With Delta/Iceberg swapped in (see merge_upsert's
+    swap-in note) this query becomes the format's native changelog read
+    and the join disappears into file-level change metadata.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.mart import VersionedMart
+
+    orders = load(spark, sf_dir, "orders").select(*_DIFF_COLS)
+    root = tempfile.mkdtemp(prefix="mfe_diff_")
+    try:
+        vm = VersionedMart(f"{root}/mart")
+        # keep=2 retains v1 through v2's post-commit vacuum — the diff
+        # needs both snapshots time-travel-readable
+        vm.commit(orders.filter(F.col("o_orderkey") % 2 == 0), "v1", keep=2)
+        upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            F.lit("0-DIFF").alias("o_orderpriority"),
+        )
+        merged = merge_upsert(
+            vm.read(spark), upd, key="o_orderkey",
+            update_cols=["o_orderstatus", "o_orderpriority"],
+        )
+        vm.commit(merged.filter(F.col("o_orderkey") % 7 != 1), "v2", keep=2)
+
+        old = vm.read(spark, version="v1").alias("a")
+        new = vm.read(spark, version="v2").alias("b")
+        joined = old.join(
+            new, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+        )
+        diff = joined.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+            .when(F.col("b.o_orderkey").isNull(), F.lit("deleted"))
+            .otherwise(F.lit("updated"))
+            .alias("change"),
+            F.col("a.o_orderstatus").alias("old_status"),
+            F.col("b.o_orderstatus").alias("new_status"),
+            F.col("a.o_orderpriority").alias("old_priority"),
+            F.col("b.o_orderpriority").alias("new_priority"),
+        ).filter(
+            F.col("a.o_orderkey").isNull()
+            | F.col("b.o_orderkey").isNull()
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_orderpriority") != F.col("b.o_orderpriority"))
+        )
+        # the changelog must leave the temp root before cleanup (the
+        # stream_merge_into_mart precedent); changed-keys-sized here
+        return diff.orderBy("o_orderkey").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

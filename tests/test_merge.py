@@ -131,3 +131,47 @@ def test_vacuum_staging_retention(spark, tmp_path):
     assert read_staging_run(spark, path, runs[3]).count() == 10
     assert read_staging_run(spark, path, runs[0]).count() == 0
     assert vacuum_staging(path, keep_runs=2) == []
+
+
+def test_mart_snapshot_diff_matches_pure_python(spark):
+    """The committed-snapshot diff must equal the diff of the version
+    DEFINITIONS recomputed in pure Python from the raw parquet — the
+    atomicity + time-travel contract (a torn or misresolved version would
+    break this equality)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import my_favorite_etl_pipeline_spark as engine
+    from tests.conftest import SF_DIR
+
+    orders = pq.read_table(
+        os.path.join(SF_DIR, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    ).to_pylist()
+    v1 = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_orderpriority"])
+        for r in orders
+        if r["o_orderkey"] % 2 == 0
+    }
+    merged = dict(v1)
+    for r in orders:
+        if r["o_orderkey"] % 3 == 0:
+            merged[r["o_orderkey"]] = ("U", "0-DIFF")
+    v2 = {k: v for k, v in merged.items() if k % 7 != 1}
+    expected = {}
+    for k in sorted(set(v1) | set(v2)):
+        if k not in v1:
+            expected[k] = ("added", None, v2[k][0], None, v2[k][1])
+        elif k not in v2:
+            expected[k] = ("deleted", v1[k][0], None, v1[k][1], None)
+        elif v1[k] != v2[k]:
+            expected[k] = ("updated", v1[k][0], v2[k][0], v1[k][1], v2[k][1])
+    got = {
+        r.o_orderkey: (r.change, r.old_status, r.new_status,
+                       r.old_priority, r.new_priority)
+        for r in engine.queries()["mart_snapshot_diff"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    changes = {c for c, *_ in expected.values()}
+    assert changes == {"added", "deleted", "updated"}, "all three classes exercised"
