@@ -683,3 +683,83 @@ def excise_against_reference(
         .withColumn("__cut", F.lit(True))
     )
     return _reassemble_without(docs, removed, id_col=id_col, text_col=text_col)
+
+
+# ---------------------------------------------------------------------------
+# character-level near-dup (banded Levenshtein funnel, r12)
+
+EDIT_DISTANCE_CHARS = "etaoinsrhldcum "  # q=1 count-filter alphabet
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: int = 5,
+    band: int = 8,
+    chars: str = EDIT_DISTANCE_CHARS,
+) -> DataFrame:
+    """X2+ (r12) — CHARACTER-level near-dup pairs within Levenshtein
+    distance ``tau`` via the block → count-filter → verify funnel:
+
+    1. BLOCK on exact length bands (edit ≥ |Δlen|, so a qualifying pair's
+       lengths differ by ≤ τ; with τ < band width the pair lands in the
+       same or adjacent band — two hash equi-joins, never all-pairs);
+    2. COUNT FILTER — the q=1 Ukkonen bound: one edit moves at most two
+       character-histogram cells by 1, so edit ≥ L1(histograms)/2; the
+       ``len(chars)`` integer counters evaluate INSIDE the join condition
+       and prune before any quadratic work (needs no alphabet
+       completeness, only that counted chars count identically);
+    3. VERIFY with Spark's threshold-bounded Levenshtein (O(τ·L) diagonal
+       band; returns −1 above τ).
+
+    Caller contract: counts are per-CODEPOINT; for cross-engine replay
+    restrict to text where codepoints == bytes (ASCII) or normalize first.
+    Returns (doc_a < doc_b, edit_dist ≤ τ), one row per qualifying pair.
+    """
+    if tau >= band:
+        raise ValueError(f"tau ({tau}) must be < band width ({band})")
+    hist = [
+        (
+            F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit(c)))
+        ).cast("long").alias(f"__c{i}")
+        for i, c in enumerate(chars)
+    ]
+    d = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).cast("long").alias("__n"),
+        F.floor(F.length(text_col) / band).cast("long").alias("__band"),
+        *hist,
+    )
+    a, b = d.alias("a"), d.alias("b")
+    l1 = sum(
+        F.abs(F.col(f"a.__c{i}") - F.col(f"b.__c{i}")) for i in range(len(chars))
+    )
+    close = (F.abs(F.col("a.__n") - F.col("b.__n")) <= tau) & (l1 <= 2 * tau)
+    same_band = a.join(
+        b,
+        (F.col("a.__band") == F.col("b.__band"))
+        & (F.col("a.__id") < F.col("b.__id"))
+        & close,
+    ).select(
+        F.col("a.__id").alias("doc_a"),
+        F.col("b.__id").alias("doc_b"),
+        F.col("a.__t").alias("__ta"),
+        F.col("b.__t").alias("__tb"),
+    )
+    next_band = a.join(
+        b, (F.col("b.__band") == F.col("a.__band") + 1) & close
+    ).select(
+        F.least("a.__id", "b.__id").alias("doc_a"),
+        F.greatest("a.__id", "b.__id").alias("doc_b"),
+        F.col("a.__t").alias("__ta"),
+        F.col("b.__t").alias("__tb"),
+    )
+    lev = F.levenshtein("__ta", "__tb", tau)
+    return (
+        same_band.unionByName(next_band)
+        .withColumn("edit_dist", lev.cast("long"))
+        .filter(F.col("edit_dist") >= 0)
+        .select("doc_a", "doc_b", "edit_dist")
+    )

@@ -74,7 +74,8 @@ _ED_BAND = 8  # length-band width; τ < band ⇒ a pair spans ≤ 1 boundary
 #: edit_distance ≥ L1/2 and pairs with L1 > 2·τ are provably > τ apart —
 #: the bound needs no alphabet completeness, only that counted chars count
 #: identically on both engines (ASCII ⇒ byte == codepoint == char).
-_ED_CHARS = "etaoinsrhldcum "
+#: Shared with the engine operator so the oracle cannot drift from it.
+from ..operators.dedup import EDIT_DISTANCE_CHARS as _ED_CHARS  # noqa: E402
 
 
 def _ed_hist_sql() -> str:
@@ -141,53 +142,12 @@ def q_edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize. Levenshtein cost is O(τ·L) on the pruned stragglers —
     the same funnel shape ssjoin_prefix_filter pins for token sets.
     """
+    from ..operators.dedup import edit_distance_pairs
+
     docs = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    d = docs.select(
-        "doc_id",
-        "text",
-        F.length("text").cast("long").alias("n"),
-        F.floor(F.length("text") / _ED_BAND).cast("long").alias("band"),
-        *[
-            (
-                F.length("text")
-                - F.length(F.replace(F.col("text"), F.lit(c)))
-            ).cast("long").alias(f"c{i}")
-            for i, c in enumerate(_ED_CHARS)
-        ],
-    )
-    a, b = d.alias("a"), d.alias("b")
-    l1 = sum(
-        F.abs(F.col(f"a.c{i}") - F.col(f"b.c{i}"))
-        for i in range(len(_ED_CHARS))
-    )
-    close = (F.abs(F.col("a.n") - F.col("b.n")) <= _ED_TAU) & (l1 <= 2 * _ED_TAU)
-    same_band = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & close,
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.text").alias("ta"),
-        F.col("b.text").alias("tb"),
-    )
-    next_band = a.join(
-        b, (F.col("b.band") == F.col("a.band") + 1) & close
-    ).select(
-        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-        F.col("a.text").alias("ta"),
-        F.col("b.text").alias("tb"),
-    )
-    lev = F.levenshtein("ta", "tb", _ED_TAU)  # O(τ·L); -1 when > τ
-    return (
-        same_band.unionByName(next_band)
-        .withColumn("edit_dist", lev.cast("long"))
-        .filter(F.col("edit_dist") >= 0)
-        .select("doc_a", "doc_b", "edit_dist")
-        .orderBy("doc_a", "doc_b")
-    )
+    return edit_distance_pairs(
+        docs, "doc_id", "text", tau=_ED_TAU, band=_ED_BAND, chars=_ED_CHARS
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

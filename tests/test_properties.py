@@ -140,3 +140,62 @@ def test_star_cc_equals_propagation_property(spark, edge_list):
     a = {(r.node, r.comp) for r in connected_components(e, vertices=v, max_iter=40).collect()}
     b = {(r.node, r.comp) for r in connected_components_star(e, vertices=v).collect()}
     assert a == b
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (full DP) for the funnel property."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+# lowercase ASCII letters + space: the count-filter alphabet's home turf,
+# and codepoints == bytes so the cross-engine contract regime is exercised
+ASCII_TEXT = st.text(alphabet="abcdefghi etaoinsrhldcum", min_size=0, max_size=24)
+
+
+@settings(**SETTINGS)
+@given(st.lists(ASCII_TEXT, min_size=2, max_size=8, unique=True))
+def test_edit_distance_funnel_complete_vs_bruteforce(spark, texts):
+    """The banded funnel (length-band blocking + Ukkonen count filter +
+    threshold verify) must return EXACTLY the brute-force all-pairs
+    answer on arbitrary ASCII inputs — no pair lost to a band boundary or
+    an over-tight count bound, no spurious pair admitted."""
+    from my_favorite_etl_pipeline_spark.operators.dedup import edit_distance_pairs
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in edit_distance_pairs(df, "doc_id", "text", tau=3, band=4).collect()
+    }
+    expected = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = _lev(texts[i], texts[j])
+            if d <= 3:
+                expected[(i, j)] = d
+    assert got == expected
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**53 - 1), min_size=1, max_size=16
+    )
+)
+def test_int_isqrt_exact_property(spark, values):
+    """int_isqrt must equal math.isqrt for ANY nonnegative BIGINT < 2^53 —
+    the keystone exactness claim under the graph family's integer norm
+    contract (FLOOR(SQRT(double)) ± 1 correction)."""
+    import math
+
+    from my_favorite_etl_pipeline_spark.operators.similarity import int_isqrt
+
+    df = spark.createDataFrame([Row(x=v) for v in values])
+    got = {r.x: r.s for r in df.select("x", int_isqrt(F.col("x")).alias("s")).collect()}
+    assert got == {v: math.isqrt(v) for v in values}
