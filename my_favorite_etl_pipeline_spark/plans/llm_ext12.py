@@ -61,7 +61,7 @@ from ..sources.tables import load
 from .llm_ext2 import _packed
 from .llm_ext3 import _BENCH_PRED_SQL, _bench_pred
 from .llm_ext4 import AUTO_K_SQL, _semdedup_assign_cte
-from .llm_ext5 import _duck_md5_32, _spark_md5_32
+from .llm_ext5 import _CCNET_CTES, _duck_md5_32, _spark_md5_32
 from .llm_ext7 import _int_cos_sql
 
 # ---------------------------------------------------------------------------
@@ -598,4 +598,151 @@ def q_ann_cell_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell_size") * (F.col("cell_size") - 1)).cast("long").alias("pair_work"),
         )
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# epoch_repeat_plan
+
+#: data-constrained repeat schedule per CCNet tercile: the head (lowest
+#: perplexity) repeats most, the tail is seen once. Values model the
+#: up-to-4-epochs regime where repeated tokens still pay ~full value.
+_REPEATS = {"head": 4, "middle": 2, "tail": 1}
+
+
+@register(
+    "epoch_repeat_plan",
+    oracle=f"""
+    WITH {_CCNET_CTES},
+    tk AS (SELECT doc_id,
+                  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents)
+    SELECT b.doc_id, b.ppl_bucket, tk.n_tokens,
+           CAST(CASE b.ppl_bucket WHEN 'head' THEN {_REPEATS['head']}
+                WHEN 'middle' THEN {_REPEATS['middle']}
+                ELSE {_REPEATS['tail']} END AS BIGINT) AS n_repeats,
+           CAST(tk.n_tokens * CASE b.ppl_bucket
+                WHEN 'head' THEN {_REPEATS['head']}
+                WHEN 'middle' THEN {_REPEATS['middle']}
+                ELSE {_REPEATS['tail']} END AS BIGINT) AS effective_tokens
+    FROM bucketed b JOIN tk ON tk.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r12) — the DATA-CONSTRAINED repeat schedule (Muennighoff et
+    al. 2023, "Scaling Data-Constrained Language Models"): when the
+    corpus is smaller than the compute-optimal token budget, repeat the
+    best data — up to ~4 epochs repeated tokens are worth nearly as much
+    as fresh ones, then decay sharply. Per document: its CCNet tercile
+    (the SAME bucket assignment as perplexity_buckets_ccnet — shared CTE
+    text on the oracle side, the registered query's own frame on the
+    Spark side, so the two entries cannot disagree), the repeat count
+    (head 4 / middle 2 / tail 1), and the effective token contribution.
+    Σ effective_tokens is the epoch-expanded budget the trainer plans
+    against; downstream the plan feeds training_shard_assignment with
+    doc_id × copy as the shuffle unit.
+
+    Plan at 100 TB: one broadcast-joined map pass over the bucket frame
+    (itself the audited histogram-walk plan — no corpus sort); the repeat
+    expansion stays VIRTUAL (a count column, exploded only at shard-write
+    time), so the plan costs one corpus scan regardless of repeat factors.
+    """
+    from .llm_ext5 import q_perplexity_buckets_ccnet
+
+    buckets = q_perplexity_buckets_ccnet(spark, sf_dir).select(
+        "doc_id", "ppl_bucket"
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    rep = (
+        F.when(F.col("ppl_bucket") == "head", _REPEATS["head"])
+        .when(F.col("ppl_bucket") == "middle", _REPEATS["middle"])
+        .otherwise(_REPEATS["tail"])
+        .cast("long")
+    )
+    return (
+        buckets.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "ppl_bucket",
+            "n_tokens",
+            rep.alias("n_repeats"),
+            (F.col("n_tokens") * rep).cast("long").alias("effective_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic_packing_order
+
+@register(
+    "semantic_packing_order",
+    oracle=f"""
+    {_semdedup_assign_cte(1, "8")},
+    tk AS (
+      SELECT d.doc_id, d.source,
+             CAST(LEN(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(a.cluster AS BIGINT) AS cluster
+      FROM documents d JOIN assign a ON a.vec_id = d.doc_id
+    ),
+    cum AS (
+      SELECT doc_id, source, cluster, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY cluster, doc_id)
+                  - n_tokens) / 1024.0) AS BIGINT) AS seq_id
+      FROM tk
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+    FROM cum GROUP BY source, seq_id ORDER BY source, seq_id
+    """,
+)
+def q_semantic_packing_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r12) — SEMANTIC packing (the in-context-pretraining recipe,
+    Shi et al. 2023: fill each training sequence with RELATED documents so
+    long-range attention sees coherent context instead of random
+    concatenation). Same first-fit 1024-token packing as the registered
+    ``_packed`` contract, but the within-source order is (cluster,
+    doc_id) — documents grouped by their shared nearest-centroid cell
+    (the audited SemDeDup assignment, embeddings joined on the shared
+    id space) before packing. The ``n_clusters`` column per bin is the
+    COHERENCE readout: doc_id-ordered packing mixes ~n_docs clusters per
+    bin, cluster-ordered packing approaches 1 — measurable, not asserted
+    (the full greedy nearest-neighbor chain the paper uses is a TSP
+    heuristic; cluster-grouping is its scalable first-order term and
+    keeps the plan one window + one agg).
+
+    Plan at 100 TB: the assignment is the broadcast-centroid map pass;
+    packing rides ONE per-source window (ordered by cluster, doc_id — no
+    global sort, the packing family's standing argument); output is
+    bin-count-sized.
+    """
+    from ..operators.similarity import nearest_centroid
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = nearest_centroid(emb, k=8).select(
+        F.col("vec_id").alias("doc_id"), F.col("cluster").cast("long").alias("cluster")
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    tk = docs.join(assign, "doc_id")
+    w = Window.partitionBy("source").orderBy("cluster", "doc_id")
+    cum = tk.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 1024.0).cast("long"),
+    )
+    return (
+        cum.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+            F.countDistinct("cluster").cast("long").alias("n_clusters"),
+        )
+        .orderBy("source", "seq_id")
     )

@@ -168,11 +168,12 @@ def q_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # perplexity_buckets_ccnet
 
-@register(
-    "perplexity_buckets_ccnet",
-    oracle="""
-    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                  FROM documents),
+# Shared CTE chain: per-doc unigram-NLP scores + per-lang tercile
+# thresholds. Factored (late r12) so epoch_repeat_plan (llm_ext12) replays
+# the IDENTICAL bucket assignment — one text, two consumers, no drift.
+_CCNET_CTES = """
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
     freq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY w),
     tot AS (SELECT SUM(c) AS t FROM freq),
     sc AS (SELECT doc_id, ROUND(AVG(-ln(c / t)), 4) AS s
@@ -187,12 +188,22 @@ def q_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     th AS (SELECT cum.lang,
                   MIN(CASE WHEN cle * 3 >= n THEN s END) AS t1,
                   MIN(CASE WHEN cle * 3 >= 2 * n THEN s END) AS t2
-           FROM cum JOIN nl USING (lang) GROUP BY 1)
-    SELECT dl.doc_id, dl.lang, dl.s AS unigram_nlp,
-           CASE WHEN dl.s <= th.t1 THEN 'head'
-                WHEN dl.s <= th.t2 THEN 'middle'
-                ELSE 'tail' END AS ppl_bucket
-    FROM dl JOIN th USING (lang) ORDER BY dl.doc_id
+           FROM cum JOIN nl USING (lang) GROUP BY 1),
+    bucketed AS (
+      SELECT dl.doc_id, dl.lang, dl.s AS unigram_nlp,
+             CASE WHEN dl.s <= th.t1 THEN 'head'
+                  WHEN dl.s <= th.t2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM dl JOIN th USING (lang)
+    )"""
+
+
+@register(
+    "perplexity_buckets_ccnet",
+    oracle=f"""
+    WITH {_CCNET_CTES}
+    SELECT doc_id, lang, unigram_nlp, ppl_bucket
+    FROM bucketed ORDER BY doc_id
     """,
 )
 def q_perplexity_buckets_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -269,3 +269,71 @@ def test_pack_docs_histogram_matches_pure_python(spark):
     }
     assert got == dict(bin_sizes)
     assert len(got) > 1, "histogram must have non-trivial support"
+
+
+def test_epoch_repeat_plan_consistent_with_buckets(spark):
+    """Every row must carry the registered CCNet bucket, the fixed
+    tercile→repeat mapping, and the exact token arithmetic."""
+    plan = {
+        r.doc_id: (r.ppl_bucket, r.n_tokens, r.n_repeats, r.effective_tokens)
+        for r in engine.queries()["epoch_repeat_plan"](spark, SF_DIR).collect()
+    }
+    buckets = {
+        r.doc_id: r.ppl_bucket
+        for r in engine.queries()["perplexity_buckets_ccnet"](spark, SF_DIR).collect()
+    }
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    ntok = {d["doc_id"]: len(d["text"].split(" ")) for d in docs}
+    rep_of = {"head": 4, "middle": 2, "tail": 1}
+    assert set(plan) == set(buckets)
+    for doc_id, (bucket, n, rep, eff) in plan.items():
+        assert bucket == buckets[doc_id]
+        assert n == ntok[doc_id]
+        assert rep == rep_of[bucket]
+        assert eff == n * rep
+    assert {b for b, *_ in plan.values()} == {"head", "middle", "tail"}
+
+
+def test_semantic_packing_is_more_coherent_than_id_order(spark):
+    """The point of the operator: cluster-ordered packing must produce
+    bins spanning no more clusters ON AVERAGE than doc_id-ordered packing
+    of the same corpus (strictly fewer on any non-degenerate fixture),
+    while partitioning exactly the same documents and tokens."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from my_favorite_etl_pipeline_spark.operators.similarity import nearest_centroid
+    from my_favorite_etl_pipeline_spark.functions import text as TX
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    sem = engine.queries()["semantic_packing_order"](spark, SF_DIR).collect()
+
+    emb = load(spark, SF_DIR, "embeddings")
+    assign = nearest_centroid(emb, k=8).select(
+        F.col("vec_id").alias("doc_id"), F.col("cluster").cast("long").alias("cluster")
+    )
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", "source", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    tk = docs.join(assign, "doc_id")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    baseline = (
+        tk.withColumn(
+            "seq_id",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 1024.0).cast("long"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .collect()
+    )
+    # identical partition of the corpus (docs and tokens conserved)
+    assert sum(r.n_docs for r in sem) == sum(r.n_docs for r in baseline)
+    assert sum(r.seq_tokens for r in sem) == sum(r.seq_tokens for r in baseline)
+    # coherence: fewer clusters per bin on average, strictly on this fixture
+    mean_sem = sum(r.n_clusters for r in sem) / len(sem)
+    mean_base = sum(r.n_clusters for r in baseline) / len(baseline)
+    assert mean_sem < mean_base
