@@ -3,7 +3,7 @@ truncation audit, shard release manifests, and the packing histogram
 (SURVEY.md §2.9 X2/X3/X4+; no reference citation exists — the citation is
 BASELINE.json's LLM-data mandate).
 
-Six operators a production training-data pipeline runs around the dedup /
+Eight operators a production training-data pipeline runs around the dedup /
 assembly boundary, each reusing machinery this repo already oracle-checks:
 
 - ``edit_distance_near_dups`` — CHARACTER-level near-duplicate pairs by
@@ -44,6 +44,13 @@ assembly boundary, each reusing machinery this repo already oracle-checks:
   auto-k assignment: per-cell population and exact pair-join work, making
   the ANN/SemDeDup family's "linear in n" bound a driver-checkable
   readout.
+- ``epoch_repeat_plan`` — the data-constrained repeat schedule
+  (Muennighoff et al. 2023): per-doc repeat counts from the shared CCNet
+  tercile, effective token totals, expansion kept virtual.
+- ``semantic_packing_order`` — in-context-pretraining packing (Shi et
+  al. 2023): the registered first-fit packing with (cluster, doc_id)
+  within-source order; per-bin cluster count is the measured coherence
+  readout.
 
 Determinism contract (registry header): every ranked/hashed value is
 integer (Levenshtein counts, quantized cosine, md5-half digests, token
@@ -62,7 +69,6 @@ from .llm_ext2 import _packed
 from .llm_ext3 import _BENCH_PRED_SQL, _bench_pred
 from .llm_ext4 import AUTO_K_SQL, _semdedup_assign_cte
 from .llm_ext5 import _CCNET_CTES, _duck_md5_32, _spark_md5_32
-from .llm_ext7 import _int_cos_sql
 
 # ---------------------------------------------------------------------------
 # edit_distance_near_dups
