@@ -342,10 +342,10 @@ def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAN_SHARDS = 8  # must match training_shard_assignment's shard count
 _MAN_SEED = ":shuffle:42"  # and its seeded shuffle key
 
-
-@register(
-    "shard_manifest_checksums",
-    oracle=f"""
+#: shared oracle text — the batch entry and the streaming twin
+#: (plans.streaming_queries.stream_shard_manifest) check against ONE SQL,
+#: which is the whole claim: the digest design is arrival-order-free.
+MANIFEST_ORACLE = f"""
     WITH k AS (
       SELECT doc_id, text, n_chars,
              md5(CAST(doc_id AS VARCHAR) || '{_MAN_SEED}') AS key
@@ -365,7 +365,46 @@ _MAN_SEED = ":shuffle:42"  # and its seeded shuffle key
            CAST(SUM({_duck_md5_32("CAST(doc_id AS VARCHAR) || ':' || text")})
                 AS BIGINT) AS content_digest
     FROM s GROUP BY shard ORDER BY shard
-    """,
+    """
+
+
+def manifest_shard_agg(docs: DataFrame) -> DataFrame:
+    """Shared manifest body (batch entry + streaming twin): key every doc
+    with its portable content hash and shard bucket, then ONE hash agg to
+    |shards| rows. Works identically on a batch frame and a streaming
+    frame — every aggregate is commutative (count/sum/min/max), which is
+    the design property the streaming twin proves."""
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        _spark_md5_32(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+        ).alias("__h"),
+        (
+            (
+                F.expr(
+                    "locate(substr(md5(concat(CAST(doc_id AS STRING), "
+                    f"'{_MAN_SEED}')), 1, 1), '0123456789abcdef')"
+                )
+                - 1
+            )
+            % _MAN_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    return keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.sum("__h").cast("long").alias("content_digest"),
+    )
+
+
+@register(
+    "shard_manifest_checksums",
+    oracle=MANIFEST_ORACLE,
 )
 def q_shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4+ (r12) — the RELEASE MANIFEST for the registered training-order
@@ -389,36 +428,7 @@ def q_shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits of headroom per million rows.
     """
     docs = load(spark, sf_dir, "documents")
-    keyed = docs.select(
-        "doc_id",
-        "n_chars",
-        _spark_md5_32(
-            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
-        ).alias("__h"),
-        (
-            (
-                F.expr(
-                    "locate(substr(md5(concat(CAST(doc_id AS STRING), "
-                    f"'{_MAN_SEED}')), 1, 1), '0123456789abcdef')"
-                )
-                - 1
-            )
-            % _MAN_SHARDS
-        )
-        .cast("int")
-        .alias("shard"),
-    )
-    return (
-        keyed.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("n_chars_total"),
-            F.min("doc_id").cast("long").alias("min_doc_id"),
-            F.max("doc_id").cast("long").alias("max_doc_id"),
-            F.sum("__h").cast("long").alias("content_digest"),
-        )
-        .orderBy("shard")
-    )
+    return manifest_shard_agg(docs).orderBy("shard")
 
 
 # ---------------------------------------------------------------------------

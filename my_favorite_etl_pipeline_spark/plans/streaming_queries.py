@@ -601,3 +601,68 @@ def q_stream_merge_into_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         return vm.read(spark).orderBy("o_orderkey").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# stream_shard_manifest — the release manifest maintained AT INGEST TIME
+
+from .llm_ext12 import MANIFEST_ORACLE as _MANIFEST_ORACLE  # noqa: E402
+
+
+@register("stream_shard_manifest", oracle=_MANIFEST_ORACLE)
+def q_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 × X4+ (r12) — the shard RELEASE MANIFEST maintained incrementally
+    by the streaming engine: the documents corpus arrives as FOUR
+    key-disjoint micro-batches (``maxFilesPerTrigger=1`` over a 4-way
+    hash-partitioned copy) and the per-shard digests accumulate in
+    streaming aggregation state across batches. Every manifest aggregate
+    is COMMUTATIVE (count / sum / min / max / digest-sum), so the final
+    complete-mode state must equal the batch manifest bit-for-bit no
+    matter how arrival split the corpus — that arrival-order freedom is
+    the design property ``shard_manifest_checksums`` claims, here PROVEN
+    through the real engine (shared ``manifest_shard_agg`` body, shared
+    oracle text — one SQL, two execution engines).
+
+    Carries the IDENTICAL oracle text as the batch twin, so the driver
+    value-hashes the streaming engine's accumulated state directly
+    against DuckDB's one-shot aggregation.
+
+    Plan at 100 TB-rate ingest: per-micro-batch cost is map-only hashing
+    + a partial agg into |shards| state rows — state is manifest-sized
+    FOREVER (8 rows here), the streaming-state ideal; a restart resumes
+    from the checkpoint and re-derives identical digests (hash of
+    content, not of arrival).
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.windows import stream_shuffle_scope
+    from .llm_ext12 import manifest_shard_agg
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="mfe_manifest_")
+    try:
+        docs.repartition(4, "doc_id").write.parquet(f"{root}/in")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/in")
+        )
+        agg = manifest_shard_agg(stream)
+        import time as _time
+
+        name = f"stream_manifest_{int(_time.time() * 1000) % 10_000_000}"
+        with stream_shuffle_scope(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        # the memory-sink table lives in driver memory, but materialize
+        # before the input directory disappears (lazy reads re-plan)
+        return spark.table(name).orderBy("shard").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

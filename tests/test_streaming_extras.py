@@ -412,3 +412,24 @@ def test_windowed_psi_histograms_respect_watermark(spark, tmp_path):
     assert w1 == [(0, 1), (1, 1)]
     # the straggler's window never re-emits; open tail windows never emit
     assert TS(2024, 1, 1, 7, 0) not in by_window
+
+
+def test_stream_shard_manifest_equals_batch_manifest(spark):
+    """The streaming-accumulated manifest (4 key-disjoint micro-batches,
+    complete mode) must equal the batch manifest row-for-row — the
+    arrival-order-free digest design proven through the real engine."""
+    import my_favorite_etl_pipeline_spark as engine
+    from tests.conftest import SF_DIR
+
+    batch = {
+        r.shard: (r.n_docs, r.n_chars_total, r.min_doc_id, r.max_doc_id,
+                  r.content_digest)
+        for r in engine.queries()["shard_manifest_checksums"](spark, SF_DIR).collect()
+    }
+    streamed = {
+        r.shard: (r.n_docs, r.n_chars_total, r.min_doc_id, r.max_doc_id,
+                  r.content_digest)
+        for r in engine.queries()["stream_shard_manifest"](spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(batch) == 8
