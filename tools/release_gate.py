@@ -88,6 +88,16 @@ def main() -> int:
             (f"isolation matrix @ {SF001_DIR}", rc, _grep_tail(log, r"\d+ failing cells[^\n]*"))
         )
 
+        # registry-wide physical-plan census: every batch plan must build
+        # and contain zero CartesianProduct nodes (late r12 — the
+        # "no all-pairs on a data path" claim as an enforced invariant)
+        rc, log = _run(
+            "plan_census", [sys.executable, "tools/plan_census.py", "--assert"]
+        )
+        results.append(
+            ("plan census (no cartesian)", rc, _grep_tail(log, r"\d+ cartesians[^\n]*"))
+        )
+
     # Count triple from a FRESH interpreter — the number BASELINE.md quotes.
     count_code = (
         "import __spark_entry__ as e; q=e.queries(); o=e.oracle_sql(); "
