@@ -87,9 +87,11 @@ def int_cos_x1e4(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
     """Quantized-cosine score in integer ten-thousandths, pure BIGINT:
     ``((Σ qaᵢ·qbᵢ + 2·sa·sb)·10⁴) div (sa·sb) − 2·10⁴``.
 
-    The ``+2·sa·sb`` offset keeps the dividend nonnegative: Cauchy-Schwarz
-    bounds |Σqa·qb| < (sa+1)(sb+1), and (sa+1)(sb+1) ≤ 2·sa·sb holds for
-    sa,sb ≥ 2 — which the guard below ENFORCES by routing sa < 2 OR sb < 2
+    The ``+2·sa·sb`` offset keeps the dividend nonnegative: exact isqrt
+    gives Σq² ≤ s² + 2s per side, so Cauchy-Schwarz bounds |Σqa·qb| ≤
+    √((sa²+2sa)(sb²+2sb)) = sa·sb·√((1+2/sa)(1+2/sb)) ≤ 2·sa·sb for
+    sa,sb ≥ 2 (the radicand is ≤ 4 there, equality exactly at sa=sb=2)
+    — which the guard below ENFORCES by routing sa < 2 OR sb < 2
     (vector magnitude < ~3·10⁻⁴, quantized norm 0 or 1) through the zero
     branch on both engines (ADVICE r11: with sa=sb=1 the dividend could go
     negative, exactly where the two division semantics split — Spark here

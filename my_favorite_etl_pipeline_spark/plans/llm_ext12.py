@@ -65,7 +65,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..registry import register
 from ..sources.tables import load
-from .llm_ext2 import _packed
+from .llm_ext2 import _PACK_CTES, _packed
 from .llm_ext3 import _BENCH_PRED_SQL, _bench_pred
 from .llm_ext4 import AUTO_K_SQL, _semdedup_assign_cte
 from .llm_ext5 import _CCNET_CTES, _duck_md5_32, _spark_md5_32
@@ -293,7 +293,13 @@ def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__qp").alias("qqp"),
         F.col("__sp").alias("qsp"),
     )
-    pairs = (
+    from ..caching import tracked_persist
+
+    # persisted: the scored frame feeds THREE consumers (both top-k
+    # windows and the prefix-floor agg) — without it the panel×corpus
+    # scoring pass recomputes per physical reference (no shuffle exists
+    # here, so ReuseExchange can't deduplicate it)
+    pairs = tracked_persist(
         qv.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -423,9 +429,13 @@ def q_shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate to |shards| rows — commutative sums only, so partial
     aggregation collapses everything map-side; no window, no sort, no
     skew (shards are md5-uniform by construction). Digest bound: each
-    term < 2³², so even 2⁴⁰ rows per shard stay < 2⁷² — beyond any
-    real shard; at fixture scale the sum is ≪ 2⁶³ with ~9 decimal
-    digits of headroom per million rows.
+    term < 2³² and the OUTPUT contract is BIGINT on both engines, so the
+    sum is safe up to ~2³¹ rows PER SHARD (≈ 2.1 B docs/shard — far past
+    any real shard manifest; a 100 TB corpus at 4 KB/doc is ~3 B docs
+    TOTAL across all shards). Past that the two engines would diverge in
+    behavior (DuckDB raises on the CAST, Spark wraps), so a larger-shard
+    deployment switches the digest to a modular sum (SUM(h) % 2⁶¹ on
+    both sides) rather than widening the type.
     """
     docs = load(spark, sf_dir, "documents")
     return manifest_shard_agg(docs).orderBy("shard")
@@ -436,17 +446,8 @@ def q_shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_docs_histogram",
-    oracle="""
-    WITH toks AS (
-      SELECT source, doc_id,
-             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents
-    ), cum AS (
-      SELECT source, doc_id, n_tokens,
-             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
-                         - n_tokens) / 1024.0) AS BIGINT) AS seq_id
-      FROM toks
-    ), seqs AS (
+    oracle=f"""
+    WITH {_PACK_CTES}, seqs AS (
       SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS docs_in_pack
       FROM cum GROUP BY source, seq_id
     )
@@ -652,8 +653,9 @@ def q_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     best data — up to ~4 epochs repeated tokens are worth nearly as much
     as fresh ones, then decay sharply. Per document: its CCNet tercile
     (the SAME bucket assignment as perplexity_buckets_ccnet — shared CTE
-    text on the oracle side, the registered query's own frame on the
-    Spark side, so the two entries cannot disagree), the repeat count
+    text on the oracle side, the shared unordered ``ccnet_bucketed``
+    frame on the Spark side, so the two entries cannot disagree), the
+    repeat count
     (head 4 / middle 2 / tail 1), and the effective token contribution.
     Σ effective_tokens is the epoch-expanded budget the trainer plans
     against; downstream the plan feeds training_shard_assignment with
@@ -664,11 +666,11 @@ def q_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion stays VIRTUAL (a count column, exploded only at shard-write
     time), so the plan costs one corpus scan regardless of repeat factors.
     """
-    from .llm_ext5 import q_perplexity_buckets_ccnet
+    from .llm_ext5 import ccnet_bucketed
 
-    buckets = q_perplexity_buckets_ccnet(spark, sf_dir).select(
-        "doc_id", "ppl_bucket"
-    )
+    # the UNORDERED shared frame: composing on the registered query would
+    # pay a corpus-scale presentation sort the join immediately destroys
+    buckets = ccnet_bucketed(spark, sf_dir).select("doc_id", "ppl_bucket")
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
     )

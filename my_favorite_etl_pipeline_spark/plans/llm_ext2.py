@@ -487,22 +487,30 @@ def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pack_sequences_1024",
-    oracle="""
-    WITH toks AS (
-      SELECT source, doc_id,
+#: shared packing CTE text — ONE definition of the first-fit 1024-token
+#: rule for every packing oracle (pack_sequences_1024 / _materialize /
+#: pack_efficiency_report here, pack_docs_histogram in llm_ext12), the
+#: twin of the Spark-side ``_packed`` helper. The _CCNET_CTES lesson
+#: (llm_ext5): a packing-rule change edits exactly two places — this
+#: string and ``_packed`` — instead of five hand-synchronized copies.
+_PACK_CTES = """
+    toks AS (
+      SELECT source, doc_id, text,
              CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
       FROM documents
     ), cum AS (
-      SELECT source, doc_id, n_tokens,
-             CAST(SUM(n_tokens) OVER (
-               PARTITION BY source ORDER BY doc_id
-             ) AS BIGINT) AS cum_tokens
+      SELECT source, doc_id, text, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                         - n_tokens) / 1024.0) AS BIGINT) AS seq_id
       FROM toks
-    )
-    SELECT source, doc_id, n_tokens,
-           CAST(FLOOR((cum_tokens - n_tokens) / 1024.0) AS BIGINT) AS seq_id
+    )"""
+
+
+@register(
+    "pack_sequences_1024",
+    oracle=f"""
+    WITH {_PACK_CTES}
+    SELECT source, doc_id, n_tokens, seq_id
     FROM cum ORDER BY source, doc_id
     """,
 )
@@ -526,17 +534,8 @@ def pack_sequences_1024(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_sequences_materialize",
-    oracle="""
-    WITH toks AS (
-      SELECT source, doc_id, text,
-             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents
-    ), cum AS (
-      SELECT source, doc_id, text, n_tokens,
-             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
-                         - n_tokens) / 1024.0) AS BIGINT) AS seq_id
-      FROM toks
-    )
+    oracle=f"""
+    WITH {_PACK_CTES}
     SELECT source, seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
@@ -630,17 +629,8 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_efficiency_report",
-    oracle="""
-    WITH toks AS (
-      SELECT source, doc_id,
-             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents
-    ), cum AS (
-      SELECT source, doc_id, n_tokens,
-             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
-                         - n_tokens) / 1024.0) AS BIGINT) AS seq_id
-      FROM toks
-    ), seqs AS (
+    oracle=f"""
+    WITH {_PACK_CTES}, seqs AS (
       SELECT source, seq_id,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens

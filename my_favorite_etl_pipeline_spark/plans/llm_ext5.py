@@ -198,6 +198,47 @@ _CCNET_CTES = """
     )"""
 
 
+def ccnet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED shared bucket frame (doc_id, lang, unigram_nlp,
+    ppl_bucket) — the Spark twin of the shared ``_CCNET_CTES`` text.
+    Composing consumers (epoch_repeat_plan) join on this frame; only the
+    registered presentation query pays the final sort (a composed join
+    would immediately destroy the ordering a sort here produced)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    sc = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias("s"))
+    )
+    dl = docs.select("doc_id", "lang").join(sc, "doc_id")
+    hist = dl.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cle", F.sum("c").over(Window.partitionBy("lang").orderBy("s"))
+    )
+    nl = dl.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        cum.join(nl, "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("cle") * 3 >= F.col("n"), F.col("s"))).alias("t1"),
+            F.min(F.when(F.col("cle") * 3 >= 2 * F.col("n"), F.col("s"))).alias("t2"),
+        )
+    )
+    return dl.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("s").alias("unigram_nlp"),
+        F.when(F.col("s") <= F.col("t1"), F.lit("head"))
+        .when(F.col("s") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
 @register(
     "perplexity_buckets_ccnet",
     oracle=f"""
@@ -224,43 +265,7 @@ def q_perplexity_buckets_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; a row_number tiebreak would be order-stable too but
     keeps the corpus-scale sort this shape exists to avoid).
     """
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
-    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    tot = freq.agg(F.sum("c").alias("t"))
-    sc = (
-        toks.join(freq, "w")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias("s"))
-    )
-    dl = docs.select("doc_id", "lang").join(sc, "doc_id")
-    hist = dl.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("c"))
-    cum = hist.withColumn(
-        "cle", F.sum("c").over(Window.partitionBy("lang").orderBy("s"))
-    )
-    nl = dl.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    th = (
-        cum.join(nl, "lang")
-        .groupBy("lang")
-        .agg(
-            F.min(F.when(F.col("cle") * 3 >= F.col("n"), F.col("s"))).alias("t1"),
-            F.min(F.when(F.col("cle") * 3 >= 2 * F.col("n"), F.col("s"))).alias("t2"),
-        )
-    )
-    return (
-        dl.join(F.broadcast(th), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            F.col("s").alias("unigram_nlp"),
-            F.when(F.col("s") <= F.col("t1"), F.lit("head"))
-            .when(F.col("s") <= F.col("t2"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("ppl_bucket"),
-        )
-        .orderBy("doc_id")
-    )
+    return ccnet_bucketed(spark, sf_dir).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

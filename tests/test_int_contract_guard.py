@@ -1,8 +1,9 @@
 """The integer-cosine contract's small-norm guard (ADVICE r11).
 
 ``int_cos_x1e4``'s ``+2·sa·sb`` offset only keeps the dividend nonnegative
-when both quantized norms are ≥ 2 (Cauchy-Schwarz gives |Σqa·qb| <
-(sa+1)(sb+1), and (sa+1)(sb+1) ≤ 2·sa·sb needs sa,sb ≥ 2). With sa = sb = 1
+when both quantized norms are ≥ 2 (exact isqrt gives Σq² ≤ s²+2s, so
+Cauchy-Schwarz bounds |Σqa·qb| ≤ √((sa²+2sa)(sb²+2sb)) ≤ 2·sa·sb for
+sa,sb ≥ 2 — tight at sa=sb=2). With sa = sb = 1
 a negative dot of −3 makes the dividend −10⁴ — the regime where Spark's
 pmod-floor and DuckDB's truncating ``//`` can split, and where the score
 could leave [−10⁴, 10⁴]. Both implementations now route sa < 2 OR sb < 2
