@@ -715,6 +715,12 @@ def edit_distance_pairs(
 
     Caller contract: counts are per-CODEPOINT; for cross-engine replay
     restrict to text where codepoints == bytes (ASCII) or normalize first.
+    ``id_col`` must be UNIQUE: pairs are identified and ordered by id
+    (``doc_a < doc_b``), so two distinct rows sharing an id would collapse
+    to one identity and their pair would be dropped (same-band arm) —
+    dedupe or synthesize a surrogate key first. The adjacent-band arm
+    additionally guards ``__id != __id`` so equal-id rows can never emit a
+    degenerate ``doc_a == doc_b`` row.
     Returns (doc_a < doc_b, edit_dist ≤ τ), one row per qualifying pair.
     """
     if tau >= band:
@@ -749,7 +755,10 @@ def edit_distance_pairs(
         F.col("b.__t").alias("__tb"),
     )
     next_band = a.join(
-        b, (F.col("b.__band") == F.col("a.__band") + 1) & close
+        b,
+        (F.col("b.__band") == F.col("a.__band") + 1)
+        & (F.col("a.__id") != F.col("b.__id"))
+        & close,
     ).select(
         F.least("a.__id", "b.__id").alias("doc_a"),
         F.greatest("a.__id", "b.__id").alias("doc_b"),

@@ -234,6 +234,7 @@ _MAT_QV_CTE = f"""
     ),
     ov AS (
       SELECT f.query_id, CAST(COUNT(p.cand_id) AS BIGINT) AS n_common,
+             CAST(COUNT(*) AS BIGINT) AS n_full,
              CAST(MIN(f.fs) AS BIGINT) AS full_floor
       FROM f10 f LEFT JOIN p10 p
         ON p.query_id = f.query_id AND p.cand_id = f.cand_id
@@ -242,7 +243,7 @@ _MAT_QV_CTE = f"""
     pf AS (SELECT query_id, CAST(MIN(ps) AS BIGINT) AS prefix_floor
            FROM p10 GROUP BY query_id)
     SELECT ov.query_id AS query_id, ov.n_common,
-           CAST(ov.n_common * {10_000 // _MAT_K} AS BIGINT) AS recall_x1e4,
+           CAST(ov.n_common * 10000 // ov.n_full AS BIGINT) AS recall_x1e4,
            ov.full_floor, pf.prefix_floor
     FROM ov JOIN pf ON pf.query_id = ov.query_id
     ORDER BY ov.query_id
@@ -325,6 +326,10 @@ def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(
             F.count("__ps").cast("long").alias("n_common"),
+            # recall denominator = the ACTUAL full-panel size, not the
+            # constant K: on a corpus smaller than K+1 the panel is
+            # shorter and n_common/K would understate recall (ADVICE r12)
+            F.count(F.lit(1)).cast("long").alias("__nf"),
             F.min("fs").cast("long").alias("full_floor"),
         )
     )
@@ -334,7 +339,7 @@ def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "n_common",
-            (F.col("n_common") * (10_000 // _MAT_K)).cast("long").alias("recall_x1e4"),
+            F.expr("CAST(n_common * 10000 div __nf AS BIGINT)").alias("recall_x1e4"),
             "full_floor",
             "prefix_floor",
         )
@@ -420,8 +425,12 @@ def q_shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass, doc-id range, and an ORDER-INSENSITIVE content digest: the
     BIGINT sum of the portable md5-half integer of ``doc_id:text``. Any
     consumer re-reading a shard — in any order, any partitioning —
-    reproduces the digest iff content is intact; a single flipped byte
-    moves it. This is the integrity block a dataset release ships beside
+    reproduces the digest when content is intact, and any single flipped
+    byte moves it (the md5-half of that row changes). This is CORRUPTION
+    detection, not adversarial tamper EVIDENCE: offsetting edits across
+    two docs in the same shard could cancel in the sum — an attacker model
+    needs a keyed or Merkle-tree hash instead (ADVICE r12). It is the
+    integrity block a dataset release ships beside
     its card (documents_dataset_card), and what a 1000-executor re-read
     verifies cheaply after a bulk copy.
 

@@ -350,7 +350,9 @@ def q_dsir_gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_K = 3  # neighbors per node
 _KNN_SEEDS = 5  # deterministic random seed edges per node (NN-Descent init)
 _KNN_W = 16  # working-list width between rounds (> K keeps exploratory edges)
-_KNN_ROUNDS = 3  # refinement rounds (r11: 2→3, probe-measured sf0.1 recall 0.50→0.69)
+_KNN_ROUNDS = 4  # refinement rounds (r13: 3→4 per the measured payoff curve in
+# BASELINE.md — sf0.1 edge recall 0.690→0.796 for ~+20% build; flip armed on
+# the family's r12 all-green driver row, VERDICT r12 item 2)
 _KNN_CAP = 2 * (_KNN_K + _KNN_SEEDS)  # per-node fan-out cap in the two-hop join
 
 
@@ -1425,11 +1427,22 @@ def _hnsw_oracle(levels: int = 2) -> str:
       WHERE rn IN (1, 1 + c // 4, 1 + (2 * c) // 4, 1 + (3 * c) // 4)
     )""")
         else:
+            # fan-in from the layer above, FALLING BACK to rank-strided
+            # entries over THIS layer's node set when the layer above
+            # promoted nothing (corpora ≲ mod^(lvl+1) vectors — VERDICT
+            # r12 item 3: without the fallback the router seeds from
+            # nothing and the whole search silently returns empty)
             parts.append(f""",
     h{lvl}ent AS (
       SELECT vec_id FROM (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
         FROM h{lvl + 1}v{_HN_HOPS}) WHERE rn <= {_HN_FAN}
+      UNION ALL
+      SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM hu{lvl})
+      CROSS JOIN (SELECT COUNT(*) AS c FROM hu{lvl})
+      WHERE rn IN (1, 1 + c // 4, 1 + (2 * c) // 4, 1 + (3 * c) // 4)
+        AND NOT EXISTS (SELECT 1 FROM hu{lvl + 1})
     )""")
         parts.append(f""",
     h{lvl}v0 AS MATERIALIZED (
@@ -1594,13 +1607,25 @@ def q_hnsw_three_layer_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     up2, e2 = _hn_layer(assign, _HN_MOD * _HN_MOD)
     up1, e1 = _hn_layer(assign, _HN_MOD)
     ent2, c2 = _hn_strided_entries(up2)
-    routed2 = graph_beam_search(
-        spark, assign, e2, c2,
-        entry_ids=ent2, hops=_HN_HOPS, beam=_HN_BEAM, k=_HN_FAN, raw=True,
-    )
+    if ent2:
+        routed2 = graph_beam_search(
+            spark, assign, e2, c2,
+            entry_ids=ent2, hops=_HN_HOPS, beam=_HN_BEAM, k=_HN_FAN, raw=True,
+        )
+        l1_entries = [i for i, _ in routed2]
+    else:
+        # SMALL-CORPUS FALLBACK (VERDICT r12 item 3): corpora ≲ _HN_MOD²
+        # vectors can promote NOTHING to layer 2; seeding layer 1 from
+        # the empty routed set made the whole search silently return
+        # empty (and the oracle agreed — a masked-green spec bug). Route
+        # layer 1 from its own rank-strided entries instead, i.e. the
+        # degraded hierarchy IS the two-layer router. Mirrored in the
+        # oracle (_hnsw_oracle's NOT EXISTS arm) and pinned by the
+        # 50-vector fixture test.
+        l1_entries, _ = _hn_strided_entries(up1)
     routed1 = graph_beam_search(
         spark, assign, e1, up1.count(),
-        entry_ids=[i for i, _ in routed2],
+        entry_ids=l1_entries,
         hops=_HN_HOPS, beam=_HN_BEAM, k=_HN_FAN, raw=True,
     )
     return graph_beam_search(

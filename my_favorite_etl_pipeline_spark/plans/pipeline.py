@@ -517,6 +517,63 @@ _DIFF_COLS = [
 ]
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """The CDC changelog between two snapshots sharing the diff schema:
+    one full-outer key join, every key classified added/deleted/updated on
+    the tracked columns. Pure plan construction — no actions, no mart —
+    so the census can audit the diff join's physical shape directly
+    (ADVICE r12: the join is the 100 TB cost of this operator, and it must
+    not be excluded from the zero-cartesian gate)."""
+    a, b = old.alias("a"), new.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("updated"))
+        .alias("change"),
+        F.col("a.o_orderstatus").alias("old_status"),
+        F.col("b.o_orderstatus").alias("new_status"),
+        F.col("a.o_orderpriority").alias("old_priority"),
+        F.col("b.o_orderpriority").alias("new_priority"),
+    ).filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_orderpriority") != F.col("b.o_orderpriority"))
+    )
+
+
+def _diff_version_defs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The v1/v2 logical version DEFINITIONS (shared by the physical entry
+    and the census substitute, so the two cannot drift)."""
+    orders = load(spark, sf_dir, "orders").select(*_DIFF_COLS)
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        F.lit("0-DIFF").alias("o_orderpriority"),
+    )
+    return v1, upd
+
+
+def mart_snapshot_diff_plan_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census substitute for ``mart_snapshot_diff``: the IDENTICAL diff
+    plan built over the logical version definitions instead of committed
+    mart snapshots (committing runs jobs; planning must not). The physical
+    entry's only divergence is that v1/v2 arrive as mart parquet scans —
+    same join keys, same shape class."""
+    v1, upd = _diff_version_defs(spark, sf_dir)
+    merged = merge_upsert(
+        v1, upd, key="o_orderkey", update_cols=["o_orderstatus", "o_orderpriority"]
+    )
+    v2 = merged.filter(F.col("o_orderkey") % 7 != 1)
+    return snapshot_diff(v1, v2).orderBy("o_orderkey")
+
+
 @register(
     "mart_snapshot_diff",
     oracle="""
@@ -580,47 +637,21 @@ def q_mart_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.mart import VersionedMart
 
-    orders = load(spark, sf_dir, "orders").select(*_DIFF_COLS)
     root = tempfile.mkdtemp(prefix="mfe_diff_")
     try:
         vm = VersionedMart(f"{root}/mart")
+        v1, upd = _diff_version_defs(spark, sf_dir)
         # keep=2 retains v1 through v2's post-commit vacuum — the diff
         # needs both snapshots time-travel-readable
-        vm.commit(orders.filter(F.col("o_orderkey") % 2 == 0), "v1", keep=2)
-        upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
-            "o_orderkey",
-            "o_custkey",
-            F.lit("U").alias("o_orderstatus"),
-            "o_totalprice",
-            "o_orderdate",
-            F.lit("0-DIFF").alias("o_orderpriority"),
-        )
+        vm.commit(v1, "v1", keep=2)
         merged = merge_upsert(
             vm.read(spark), upd, key="o_orderkey",
             update_cols=["o_orderstatus", "o_orderpriority"],
         )
         vm.commit(merged.filter(F.col("o_orderkey") % 7 != 1), "v2", keep=2)
 
-        old = vm.read(spark, version="v1").alias("a")
-        new = vm.read(spark, version="v2").alias("b")
-        joined = old.join(
-            new, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
-        )
-        diff = joined.select(
-            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
-            F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
-            .when(F.col("b.o_orderkey").isNull(), F.lit("deleted"))
-            .otherwise(F.lit("updated"))
-            .alias("change"),
-            F.col("a.o_orderstatus").alias("old_status"),
-            F.col("b.o_orderstatus").alias("new_status"),
-            F.col("a.o_orderpriority").alias("old_priority"),
-            F.col("b.o_orderpriority").alias("new_priority"),
-        ).filter(
-            F.col("a.o_orderkey").isNull()
-            | F.col("b.o_orderkey").isNull()
-            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
-            | (F.col("a.o_orderpriority") != F.col("b.o_orderpriority"))
+        diff = snapshot_diff(
+            vm.read(spark, version="v1"), vm.read(spark, version="v2")
         )
         # the changelog must leave the temp root before cleanup (the
         # stream_merge_into_mart precedent); changed-keys-sized here

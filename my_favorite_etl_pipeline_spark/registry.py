@@ -76,100 +76,90 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dataset-assembly, SCD2, and streaming. Names not yet registered are skipped,
 # so the list may lead the code; everything else follows in registration order.
 CURATED_FIRST: tuple[str, ...] = (
-    # R12 ROTATION (VERDICT r11 items 1-2, 6-8): the HUGEINT-FIX
-    # CONFIRMATION round. The 5 red operator entries stay IN with their
-    # oracles re-typed (the _duck_md5_32 / GD-epoch CASTs — values
-    # unchanged, output types now BIGINT everywhere, lint-enforced by
-    # tests/test_oracle_types.py), flanked by the named regression
-    # detectors (knn_seed_edges, qc_train_epoch1_weights) and the
-    # SMOKING-GUN pair: oracle_probe_hugeint_passthrough (raw SUM(1) —
-    # HUGEINT by promotion, trivially equal values) and its CAST twin.
-    # Passthrough red + everything else green = root cause proven in one
-    # row. The other 9 r11 forensics/probes rotate OUT per the verdict
-    # (they taught what they could; all remain sweep-verified). Day-one
-    # r12 operators: hnsw_three_layer_search (recursive promotion),
-    # graph_ann_search_batch (the serving shape), stream_merge_into_mart
-    # (the production sink's first driver row — VERDICT item 7). The
-    # VERDICT-named displaced band RETURNS: q5/q18/pivot/asof/variant/
-    # typed_struct/cube/q9/winnowing/hll/pandas_udf. Yielding slots (all
-    # r11-green, families still represented, sweep-verified): q8,
-    # grouping_sets, range_join, scd2, simhash_portable,
-    # semantic_decontaminate_topk, token_budget_select.
+    # R13 ROTATION (VERDICT r12 items 1 and 4): seat the 10 late-r12
+    # operators that were deliberately kept OUT of the frozen r12
+    # fix-confirmation window (edit_distance / matryoshka / manifests /
+    # packing trio / span-profile / cell-report / snapshot-diff /
+    # epoch-repeat / stream-manifest — all sweep-verified at 3 SFs, zero
+    # driver rows yet), and return the displaced band with no row since
+    # r11 (q8, grouping_sets, range_join, scd2, simhash_portable,
+    # semantic_decontaminate_topk, token_budget_select). OUT: the spent
+    # HUGEINT experiment (oracle_probe_hugeint_passthrough/_cast,
+    # knn_seed_edges, qc_train_epoch1_weights — diagnosis driver-PROVEN
+    # r12, recorded CLOSED in BASELINE.md; the passthrough probe would
+    # sit permanently red by design if left in) and 13 r12-green
+    # veterans whose families stay represented (q5/q9/q18/pivot/cube/
+    # asof/typed_struct/variant/winnowing/pandas_udf/durable/two_layer/
+    # hll). hnsw_three_layer_search STAYS: its small-corpus router
+    # fallback changed this round and must re-prove green.
+    # Every one of the 50 entries below is oracle-checked (no rows-only
+    # rows in this window; hll's invariant tests cover it out-of-window).
     #
     # reference-parity pipeline anchors (SURVEY §2.1-§2.8): pinned always
     "incremental_extract",
     "merge_upsert",
     "dq_gate",
     "reconciliation",
-    # relational: flagships + the returning band
+    # relational: flagships + the returning r11 band
     "q3_shipping_priority",
     "q1_pricing_summary",
-    "q5_region_revenue",
-    "q9_profit_by_nation_year",
-    "q18_large_orders",
-    "pivot_status_by_segment",
-    "cube_events",
-    "asof_last_click_before_purchase",
-    # transform/flatten chains (F3/P/J families) + returning typed twins
+    "q8_market_share",
+    "grouping_sets_revenue",
+    "range_join_ship_latency",
+    "scd2_status_history",
+    # transform/flatten chains (F3/P/J families)
     "transform_chain",
-    "typed_struct_props_chain",
-    "variant_props_chain",
     # timeseries (continuous_aggregate_rollup carries the cross-engine
     # rounding scar tissue)
     "continuous_aggregate_rollup",
-    # X1 exact dedup + X2 near-dup band + returning winnowing
+    # X1 exact dedup + X2 near-dup band + the character-level newcomer
     "dedup_exact_groups",
     "minhash_near_dups",
     "semdedup_cluster_pairs",
     "dedup_canonical_pagerank",
-    "winnowing_fingerprints",
-    # X3 similarity anchors + the returning pandas_udf sentinel
+    "simhash_near_dups_portable",
+    "edit_distance_near_dups",
+    # X3 similarity anchors + the truncation/cell audits (new)
     "embedding_topk_bruteforce",
     "tfidf_topk_similar_docs",
-    "embedding_topk_pandas_udf",
-    # X3 graph family — the fix-confirmation block: every oracle's TEXT
-    # changed this round (md5 CAST + small-norm guard), the 4 reds must
-    # flip green, and the three r12 searches enter day-one
-    # (knn_graph_topk yields its slot to the late-r12
-    # hnsw_batch_routed_search: at the driver's sf0.01 the auto-k twin
-    # resolves to k=8 and returns the IDENTICAL answer — the fixed-k
-    # flagship's window slot was a duplicate check by construction)
+    "matryoshka_prefix_recall",
+    "ann_cell_size_report",
+    # X3 graph family — rounds=4 flip + the three-layer router fallback
+    # both land this round, so the whole serving chain re-proves
     "knn_graph_topk_auto_k",
     "knn_graph_pagerank",
     "knn_graph_nn_descent",
     "graph_ann_search_topk",
-    "graph_ann_search_durable",
     "graph_ann_search_batch",
-    "hnsw_two_layer_search",
     "hnsw_three_layer_search",
     "hnsw_batch_routed_search",
-    "knn_seed_edges",
-    # X4 text anchors + the classifier block (2 reds + twin + detector)
+    # X4 text anchors + contamination severity (new) + returning band
     "gopher_quality_flags",
     "contamination_13gram",
+    "contamination_span_profile",
+    "semantic_decontaminate_topk",
     "lang_id_heuristic",
     "quality_classifier_linear",
     "quality_classifier_train_gd",
     "quality_classifier_gd_scores",
-    "qc_train_epoch1_weights",
-    # the r12 smoking-gun probe pair (plans/forensics.py)
-    "oracle_probe_hugeint_passthrough",
-    "oracle_probe_hugeint_cast",
-    # sketches sentinel returns (rows-only, weakest check — its slot was
-    # the first yielded r11; invariant tests + determinism cover it)
-    "hll_sketch_merge",
+    # mixture/sampling + dataset assembly: the late-r12 block enters
+    "token_budget_select",
+    "epoch_repeat_plan",
+    "semantic_packing_order",
+    "pack_docs_histogram",
+    "pack_efficiency_report",
+    "shard_manifest_checksums",
+    # M4 time travel on the oracle path (new)
+    "mart_snapshot_diff",
     # X5 multimodal sentinel
     "multimodal_resize_8x8",
     # S1b docstore (sole family member, pinned)
     "docstore_lang_source_stats",
-    # dataset assembly — the late-r12 packing-efficiency audit enters
-    # day-one; training_data_prep (green every round since r1) yields
-    # the family slot and stays sweep-verified
-    "pack_efficiency_report",
-    # X6 streaming anchors + the production sink's first driver row
+    # X6 streaming anchors + the 8-row streaming-state manifest (new)
     "stream_tumbling_hourly",
     "stream_stream_attribution_join",
     "stream_merge_into_mart",
+    "stream_shard_manifest",
 )
 
 
