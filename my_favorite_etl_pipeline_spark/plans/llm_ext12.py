@@ -675,10 +675,16 @@ def q_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion stays VIRTUAL (a count column, exploded only at shard-write
     time), so the plan costs one corpus scan regardless of repeat factors.
     """
+    return repeat_plan_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def repeat_plan_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNORDERED repeat-plan frame shared by the registered readout
+    and the shard-boundary composition (epoch_repeat_shard_assignment):
+    composing on the registered query would pay a corpus-scale
+    presentation sort the downstream join immediately destroys."""
     from .llm_ext5 import ccnet_bucketed
 
-    # the UNORDERED shared frame: composing on the registered query would
-    # pay a corpus-scale presentation sort the join immediately destroys
     buckets = ccnet_bucketed(spark, sf_dir).select("doc_id", "ppl_bucket")
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
@@ -689,16 +695,12 @@ def q_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(_REPEATS["tail"])
         .cast("long")
     )
-    return (
-        buckets.join(docs, "doc_id")
-        .select(
-            "doc_id",
-            "ppl_bucket",
-            "n_tokens",
-            rep.alias("n_repeats"),
-            (F.col("n_tokens") * rep).cast("long").alias("effective_tokens"),
-        )
-        .orderBy("doc_id")
+    return buckets.join(docs, "doc_id").select(
+        "doc_id",
+        "ppl_bucket",
+        "n_tokens",
+        rep.alias("n_repeats"),
+        (F.col("n_tokens") * rep).cast("long").alias("effective_tokens"),
     )
 
 
@@ -773,3 +775,105 @@ def q_semantic_packing_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch_repeat_shard_assignment — the assembly seam: repeats × shard shuffle
+
+#: distinct seed-space from the base shuffle (":shuffle:42") so copy 1 of a
+#: doc does NOT inherit the unrepeated corpus's placement — every copy is an
+#: independent draw.
+_REP_SEED = ":epoch:42"
+
+
+@register(
+    "epoch_repeat_shard_assignment",
+    oracle=f"""
+    WITH {_CCNET_CTES},
+    plan AS (
+      SELECT doc_id,
+             CAST(CASE ppl_bucket WHEN 'head' THEN {_REPEATS['head']}
+                  WHEN 'middle' THEN {_REPEATS['middle']}
+                  ELSE {_REPEATS['tail']} END AS BIGINT) AS n_repeats
+      FROM bucketed
+    ),
+    copies AS (
+      SELECT doc_id, UNNEST(range(1, n_repeats + 1)) AS copy FROM plan
+    ),
+    k AS (
+      SELECT doc_id, CAST(copy AS BIGINT) AS copy,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)
+                 || '{_REP_SEED}') AS key
+      FROM copies
+    ),
+    s AS (
+      SELECT doc_id, copy, key,
+             CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1)
+                  % {_MAN_SHARDS} AS INT) AS shard
+      FROM k
+    )
+    SELECT doc_id, copy, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id,
+                copy) AS BIGINT) AS pos
+    FROM s ORDER BY shard, pos
+    """,
+)
+def q_epoch_repeat_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r13) — the assembly seam VERDICT r12 item 7 named: compose
+    ``epoch_repeat_plan``'s VIRTUAL repeat schedule with
+    ``training_shard_assignment``'s seeded hash shuffle, materializing the
+    repeat expansion ONLY at the shard boundary. Per (doc, copy): its
+    shard and within-shard training position. Until this operator runs,
+    repeats exist as a count column (one corpus scan regardless of repeat
+    factors); here each copy becomes one physical row exactly where the
+    shard writer needs it — never earlier.
+
+    Design properties the tests pin: (1) CONSERVATION — output rows ==
+    Σ n_repeats, effective tokens preserved per doc; (2) COPY SCATTER —
+    the shuffle key is md5(doc_id:copy:seed) in a seed-space disjoint from
+    the unrepeated corpus's, so the copies of one doc are independent
+    draws landing in different shards w.h.p. (a trainer must not see the
+    same doc twice in one stream position) and the head docs do NOT clump
+    in any shard; (3) DETERMINISM — same seed, same plan, any
+    partitioning.
+
+    Plan at 100 TB: one broadcast-joined map pass over the audited bucket
+    frame, ``explode(sequence(1, n_repeats))`` (map-side, ≤4× row growth
+    by the Muennighoff regime), then the shard family's standing dataflow:
+    hash-bucket membership map-only, within-shard order one window
+    partitioned BY shard (parallel, no global sort) — at scale
+    repartition(shard) + sortWithinPartitions(key) + partitioned write.
+    Cites the same public recipes as its parents (Muennighoff et al. 2023
+    repeat schedule; seeded-hash shard shuffle per the composable-data
+    -pipeline practice in PAPERS.md).
+    """
+    copies = repeat_plan_frame(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_repeats"))).alias(
+            "copy"
+        ),
+    )
+    keyed = copies.withColumn(
+        "key",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("copy").cast("string"),
+                F.lit(_REP_SEED),
+            )
+        ),
+    ).withColumn(
+        "shard",
+        (
+            (F.expr("locate(substr(key, 1, 1), '0123456789abcdef')") - 1)
+            % _MAN_SHARDS
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("key", "doc_id", "copy")
+    return keyed.select(
+        "doc_id",
+        "copy",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    ).orderBy("shard", "pos")

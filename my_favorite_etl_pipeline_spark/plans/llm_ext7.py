@@ -1593,15 +1593,17 @@ def q_hnsw_three_layer_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the base build); search state stays driver-sized with one
     distributed job per hop per layer; hop count per layer is constant —
     corpus growth is absorbed by ADDING layers (log_{_HN_MOD} n of
-    them), the HNSW scaling argument made literal. At the fixture's
-    sf0.1 (36 layer-2 nodes) the third layer is geometry-complete but
-    NOT yet a recall win — measured recall@20 1.0 @ sf0.01 / 0.85 @
-    sf0.1 vs the two-layer router's 1.0 / 0.90 (routing layer 1 from 4
-    fan-in seeds instead of 4 rank-strided entries is a mild bottleneck
-    when layer 2 holds only 36 nodes; floors pinned at two scales in
-    tests/test_recall_scales.py). Its registered value is proving the
-    recursion the 100 TB story depends on — a third layer only pays
-    once layer 1 itself is too big to enter by stride.
+    them), the HNSW scaling argument made literal. Over the r13 4-round
+    graph the recursion is also the family's best fixture-scale recall:
+    measured recall@20 1.0 @ sf0.01 / 0.95 @ sf0.1 vs the two-layer
+    router's 1.0 / 0.85 and the flat search's 1.0 / 0.85 (floors pinned
+    at two scales in tests/test_recall_scales.py) — with better layer-0
+    edges, routing layer 1 from layer 2's fan-in seeds beats entering
+    by fixed stride. Small-corpus totality (r13): when the md5 %
+    {_HN_MOD}² promoted set is EMPTY (corpora ≲ a few hundred vectors),
+    layer 1 falls back to its own rank-strided entries instead of
+    seeding from nothing — mirrored in the oracle and pinned by the
+    50-vector fixture test (tests/test_hnsw_small_corpus.py).
     """
     assign, work = _knn_refined_tables(spark, sf_dir)
     up2, e2 = _hn_layer(assign, _HN_MOD * _HN_MOD)

@@ -337,3 +337,73 @@ def test_semantic_packing_is_more_coherent_than_id_order(spark):
     mean_sem = sum(r.n_clusters for r in sem) / len(sem)
     mean_base = sum(r.n_clusters for r in baseline) / len(baseline)
     assert mean_sem < mean_base
+
+
+# ---------------------------------------------------------------------------
+# epoch_repeat_shard_assignment (r13): the repeats × shard-shuffle seam
+
+
+def test_repeat_shard_assignment_conserves_the_plan(spark):
+    """Output rows == Σ n_repeats, and every doc appears exactly
+    n_repeats times with copies 1..n_repeats — the virtual→physical
+    expansion loses and invents nothing."""
+    qs = engine.queries()
+    plan = {
+        r.doc_id: r.n_repeats
+        for r in qs["epoch_repeat_plan"](spark, SF_DIR).collect()
+    }
+    rows = qs["epoch_repeat_shard_assignment"](spark, SF_DIR).collect()
+    assert len(rows) == sum(plan.values())
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.copy)
+    assert set(by_doc) == set(plan)
+    for doc_id, copies in by_doc.items():
+        assert sorted(copies) == list(range(1, plan[doc_id] + 1)), doc_id
+
+
+def test_repeat_shard_assignment_scatters_copies_and_fills_shards(spark):
+    """The copy index is inside the md5 shuffle key, so a repeated doc's
+    copies are independent draws: most multi-copy docs must span ≥2
+    shards (a trainer must not replay one doc back-to-back), every shard
+    must be populated, and positions must be a contiguous 1..|shard|
+    ranking."""
+    rows = engine.queries()["epoch_repeat_shard_assignment"](
+        spark, SF_DIR
+    ).collect()
+    by_doc: dict[int, set[int]] = {}
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.shard)
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    repeated = {
+        d: shards
+        for d, shards in by_doc.items()
+        if sum(1 for r in rows if r.doc_id == d) > 1
+    }
+    spread = sum(1 for s in repeated.values() if len(s) >= 2)
+    assert spread / len(repeated) >= 0.8, f"{spread}/{len(repeated)} spread"
+    assert set(by_shard) == set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_repeat_shard_assignment_seed_space_is_disjoint(spark):
+    """Copy 1 must NOT inherit the unrepeated corpus's placement: the
+    epoch seed-space is distinct from training_shard_assignment's, so the
+    two shard maps disagree on a large fraction of docs (identical maps
+    would mean the repeat stream replays the base stream's order)."""
+    qs = engine.queries()
+    base = {
+        r.doc_id: r.shard
+        for r in qs["training_shard_assignment"](spark, SF_DIR).collect()
+    }
+    rep = {
+        r.doc_id: r.shard
+        for r in qs["epoch_repeat_shard_assignment"](spark, SF_DIR)
+        .filter("copy = 1")
+        .collect()
+    }
+    same = sum(1 for d, s in rep.items() if base.get(d) == s)
+    # independent 8-bucket draws agree ~1/8 of the time
+    assert same / len(rep) < 0.5, f"{same}/{len(rep)} agree"
