@@ -120,6 +120,15 @@ HEADLINE = [
 # median of 3 absorbs the cold run. NOTE r11: knn_graph_topk_auto_k and
 # graph_ann_search_topk now time the INTEGER quantized-cosine contract
 # over the 3-round NN-Descent graph (deeper build; see BASELINE.md r11).
+# r13 membership refresh (VERDICT r12 item 5): edit_distance_near_dups —
+# the character-level Levenshtein funnel, a distinct plan family the tier
+# didn't cover — measured 3.90 s warm median vs topic_cluster_cards'
+# 2.63 s on the same calm window (probes 0.1-0.22), so by the tier's own
+# "10 most expensive" rule the cards leave and the funnel enters
+# (displaced member still timed by the sweeps). Same window verified
+# graph_ann_search_topk's band held through the _KNN_ROUNDS 3→4 flip
+# (3.22 s vs the r12 driver's 3.27 — the deeper build amortizes in the
+# memoized graph, serving cost unchanged).
 FULL = [
     "ngram_jaccard_pairs",
     "embedding_topk_ivf_pq",
@@ -128,7 +137,7 @@ FULL = [
     "knn_graph_topk_auto_k",
     "embedding_topk_pq_adc",
     "simhash_near_dups_portable",
-    "topic_cluster_cards",
+    "edit_distance_near_dups",
     "dsir_importance_resample",
     "graph_ann_search_topk",
 ]
