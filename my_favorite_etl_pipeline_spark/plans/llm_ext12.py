@@ -636,6 +636,17 @@ def q_ann_cell_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPEATS = {"head": 4, "middle": 2, "tail": 1}
 
 
+def _repeat_count_col() -> F.Column:
+    """``n_repeats`` from ``ppl_bucket`` — the one schedule expression,
+    shared by the plan readout and the shard-boundary explode."""
+    return (
+        F.when(F.col("ppl_bucket") == "head", _REPEATS["head"])
+        .when(F.col("ppl_bucket") == "middle", _REPEATS["middle"])
+        .otherwise(_REPEATS["tail"])
+        .cast("long")
+    )
+
+
 @register(
     "epoch_repeat_plan",
     oracle=f"""
@@ -679,22 +690,19 @@ def q_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def repeat_plan_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The UNORDERED repeat-plan frame shared by the registered readout
-    and the shard-boundary composition (epoch_repeat_shard_assignment):
-    composing on the registered query would pay a corpus-scale
-    presentation sort the downstream join immediately destroys."""
+    """The UNORDERED repeat-plan frame behind the registered readout
+    (the presentation sort is applied only at the query boundary). The
+    shard-boundary composition (epoch_repeat_shard_assignment) does NOT
+    consume this: n_repeats depends only on ppl_bucket, so it derives
+    copies straight from the bucket frame via _repeat_count_col and
+    skips this frame's tokenization join entirely."""
     from .llm_ext5 import ccnet_bucketed
 
     buckets = ccnet_bucketed(spark, sf_dir).select("doc_id", "ppl_bucket")
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
     )
-    rep = (
-        F.when(F.col("ppl_bucket") == "head", _REPEATS["head"])
-        .when(F.col("ppl_bucket") == "middle", _REPEATS["middle"])
-        .otherwise(_REPEATS["tail"])
-        .cast("long")
-    )
+    rep = _repeat_count_col()
     return buckets.join(docs, "doc_id").select(
         "doc_id",
         "ppl_bucket",
@@ -847,11 +855,17 @@ def q_epoch_repeat_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFra
     repeat schedule; seeded-hash shard shuffle per the composable-data
     -pipeline practice in PAPERS.md).
     """
-    copies = repeat_plan_frame(spark, sf_dir).select(
+    from .llm_ext5 import ccnet_bucketed
+
+    # n_repeats depends only on the bucket — derive copies straight from
+    # the shared bucket frame; joining repeat_plan_frame would pay a full
+    # tokenization pass and a documents join just to discard n_tokens
+    # (self-review r13; the oracle's plan CTE reads `bucketed` alone too)
+    copies = ccnet_bucketed(spark, sf_dir).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_repeats"))).alias(
-            "copy"
-        ),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), _repeat_count_col().cast("long"))
+        ).alias("copy"),
     )
     keyed = copies.withColumn(
         "key",

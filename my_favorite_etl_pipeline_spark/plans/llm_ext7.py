@@ -891,7 +891,7 @@ def graph_beam_search(
     spark: SparkSession,
     assign: DataFrame,
     work: DataFrame,
-    n: int,
+    n: int | None = None,
     *,
     entry_ids: list[int] | None = None,
     hops: int = _GS_HOPS,
@@ -952,6 +952,8 @@ def graph_beam_search(
     # earlier DataFrame-looped variant (localCheckpoint per hop) OOMed a
     # default-1g driver on plan/lineage overhead for the same ~4k rows.
     if entry_ids is None:
+        if n is None:
+            raise ValueError("graph_beam_search needs n when entry_ids is omitted")
         stride = n // _GS_ENTRIES
         entry_ids = [stride * g for g in range(_GS_ENTRIES)]
     entries = spark.createDataFrame([(i,) for i in entry_ids], "vec_id long")
@@ -1471,6 +1473,12 @@ def _hnsw_oracle(levels: int = 2) -> str:
       SELECT vec_id FROM (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
         FROM h1v{_HN_HOPS}) WHERE rn <= {_HN_FAN}
+      UNION ALL
+      SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM qassign)
+      CROSS JOIN (SELECT COUNT(*) AS c FROM qassign)
+      WHERE rn IN (1, 1 + c // 4, 1 + (2 * c) // 4, 1 + (3 * c) // 4)
+        AND NOT EXISTS (SELECT 1 FROM hu1)
     ),
     gv0 AS MATERIALIZED (
       SELECT DISTINCT x.vec_id,
@@ -1559,18 +1567,28 @@ def q_hnsw_two_layer_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared refined-graph prefix. Entries are rank-strided over the upper
     node list (deterministic, corpus-independent); recall@20 vs exact
     brute force is floor-pinned at two scales alongside the flat search.
+    Small-corpus totality (r13): an empty upper layer (corpora ≲
+    {_HN_MOD} vectors) degrades to rank-strided layer-0 entries — the
+    flat search — mirrored in the oracle and fixture-tested.
     """
     assign, work = _knn_refined_tables(spark, sf_dir)
     up, uedges = _hn_layer(assign, _HN_MOD)
-    uent, c = _hn_strided_entries(up)
-    routed = graph_beam_search(
-        spark, assign, uedges, c,
-        entry_ids=uent, hops=_HN_HOPS, beam=_HN_BEAM, k=_HN_FAN, raw=True,
-    )
+    uent, _ = _hn_strided_entries(up)
+    if uent:
+        routed = graph_beam_search(
+            spark, assign, uedges,
+            entry_ids=uent, hops=_HN_HOPS, beam=_HN_BEAM, k=_HN_FAN, raw=True,
+        )
+        l0_entries = [i for i, _ in routed]
+    else:
+        # small-corpus totality (r13): nothing promoted to layer 1
+        # (corpora ≲ _HN_MOD vectors) — enter layer 0 by rank stride,
+        # i.e. degrade to the flat search. Mirrored in the oracle's
+        # NOT EXISTS arm on l0ent.
+        l0_entries, _ = _hn_strided_entries(assign)
     return graph_beam_search(
         spark, assign, work.select("src_id", "nbr_id", "cos_sim"),
-        load(spark, sf_dir, "embeddings").count(),
-        entry_ids=[i for i, _ in routed],
+        entry_ids=l0_entries,
     )
 
 
@@ -1599,11 +1617,14 @@ def q_hnsw_three_layer_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     router's 1.0 / 0.85 and the flat search's 1.0 / 0.85 (floors pinned
     at two scales in tests/test_recall_scales.py) — with better layer-0
     edges, routing layer 1 from layer 2's fan-in seeds beats entering
-    by fixed stride. Small-corpus totality (r13): when the md5 %
-    {_HN_MOD}² promoted set is EMPTY (corpora ≲ a few hundred vectors),
-    layer 1 falls back to its own rank-strided entries instead of
-    seeding from nothing — mirrored in the oracle and pinned by the
-    50-vector fixture test (tests/test_hnsw_small_corpus.py).
+    by fixed stride. Small-corpus totality (r13): when a promoted layer
+    is EMPTY the entry set cascades — empty layer 2 routes layer 1 from
+    its own rank-strided entries (the two-layer degradation), empty
+    layer 1 enters layer 0 by rank stride (the flat-search degradation)
+    — so the search returns a full top-k on ANY non-empty corpus.
+    Mirrored in the oracle's NOT EXISTS arms and pinned by the 50- and
+    16-vector fixture tests (tests/test_hnsw_small_corpus.py), each
+    proving Spark ≡ DuckDB through its fallback branch.
     """
     assign, work = _knn_refined_tables(spark, sf_dir)
     up2, e2 = _hn_layer(assign, _HN_MOD * _HN_MOD)
@@ -1625,15 +1646,22 @@ def q_hnsw_three_layer_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle (_hnsw_oracle's NOT EXISTS arm) and pinned by the
         # 50-vector fixture test.
         l1_entries, _ = _hn_strided_entries(up1)
-    routed1 = graph_beam_search(
-        spark, assign, e1, up1.count(),
-        entry_ids=l1_entries,
-        hops=_HN_HOPS, beam=_HN_BEAM, k=_HN_FAN, raw=True,
-    )
+    if l1_entries:
+        routed1 = graph_beam_search(
+            spark, assign, e1,
+            entry_ids=l1_entries,
+            hops=_HN_HOPS, beam=_HN_BEAM, k=_HN_FAN, raw=True,
+        )
+        l0_entries = [i for i, _ in routed1]
+    else:
+        # layer 1 ALSO empty (corpora ≲ _HN_MOD vectors, self-review
+        # r13): cascade one more step — enter layer 0 by rank stride,
+        # the flat search. The promotion sets nest (md5 % 64 = 0 ⇒
+        # md5 % 8 = 0), so "hu1 empty" is the single oracle gate.
+        l0_entries, _ = _hn_strided_entries(assign)
     return graph_beam_search(
         spark, assign, work.select("src_id", "nbr_id", "cos_sim"),
-        load(spark, sf_dir, "embeddings").count(),
-        entry_ids=[i for i, _ in routed1],
+        entry_ids=l0_entries,
     )
 
 
@@ -1679,6 +1707,14 @@ def _hnsw_batch_oracle() -> str:
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, vec_id) AS rn
         FROM ub{_HN_HOPS}) WHERE rn <= {_HN_FAN}
+      UNION ALL
+      SELECT qb.query_id, s.vec_id FROM (
+        SELECT vec_id FROM (
+          SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM qassign)
+        CROSS JOIN (SELECT COUNT(*) AS c FROM qassign)
+        WHERE rn IN (1, 1 + c // 4, 1 + (2 * c) // 4, 1 + (3 * c) // 4)) s
+      CROSS JOIN qb
+      WHERE NOT EXISTS (SELECT 1 FROM hu1)
     ),
     bv0 AS MATERIALIZED (
       SELECT DISTINCT b.query_id, x.vec_id,
@@ -1723,14 +1759,23 @@ def q_hnsw_batch_routed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qb = _batch_queries(assign)
     up1, e1 = _hn_layer(assign, _HN_MOD)
     ent1, _ = _hn_strided_entries(up1)
-    entries1 = spark.createDataFrame(
-        [(v,) for v in ent1], "vec_id long"
-    ).crossJoin(qb.select("query_id"))
-    routed = graph_beam_search_batch(
-        spark, assign, e1, qb, entries1,
-        hops=_HN_HOPS, beam=_HN_BEAM, k=_HN_FAN, raw=True,
-    )
-    entries0 = spark.createDataFrame(
-        [(qid, vid) for qid, vid, _ in routed], "query_id long, vec_id long"
-    )
+    if ent1:
+        entries1 = spark.createDataFrame(
+            [(v,) for v in ent1], "vec_id long"
+        ).crossJoin(qb.select("query_id"))
+        routed = graph_beam_search_batch(
+            spark, assign, e1, qb, entries1,
+            hops=_HN_HOPS, beam=_HN_BEAM, k=_HN_FAN, raw=True,
+        )
+        entries0 = spark.createDataFrame(
+            [(qid, vid) for qid, vid, _ in routed], "query_id long, vec_id long"
+        )
+    else:
+        # small-corpus totality (r13): empty upper layer — every query
+        # enters layer 0 by rank stride (the flat batch), mirroring the
+        # oracle's NOT EXISTS arm on bl0
+        sent, _ = _hn_strided_entries(assign)
+        entries0 = spark.createDataFrame(
+            [(v,) for v in sent], "vec_id long"
+        ).crossJoin(qb.select("query_id"))
     return graph_beam_search_batch(spark, assign, work, qb, entries0)

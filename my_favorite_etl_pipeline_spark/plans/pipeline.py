@@ -560,6 +560,17 @@ def _diff_version_defs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     return v1, upd
 
 
+def _diff_v2(v1: DataFrame, upd: DataFrame) -> DataFrame:
+    """v2's definition from any v1 frame (logical, or the committed
+    read-back): one merge_upsert batch then the scoped delete. One body
+    for the census substitute AND the physical entry so the censused plan
+    cannot drift from the plan the driver runs (self-review r13)."""
+    merged = merge_upsert(
+        v1, upd, key="o_orderkey", update_cols=["o_orderstatus", "o_orderpriority"]
+    )
+    return merged.filter(F.col("o_orderkey") % 7 != 1)
+
+
 def mart_snapshot_diff_plan_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Census substitute for ``mart_snapshot_diff``: the IDENTICAL diff
     plan built over the logical version definitions instead of committed
@@ -567,11 +578,7 @@ def mart_snapshot_diff_plan_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry's only divergence is that v1/v2 arrive as mart parquet scans —
     same join keys, same shape class."""
     v1, upd = _diff_version_defs(spark, sf_dir)
-    merged = merge_upsert(
-        v1, upd, key="o_orderkey", update_cols=["o_orderstatus", "o_orderpriority"]
-    )
-    v2 = merged.filter(F.col("o_orderkey") % 7 != 1)
-    return snapshot_diff(v1, v2).orderBy("o_orderkey")
+    return snapshot_diff(v1, _diff_v2(v1, upd)).orderBy("o_orderkey")
 
 
 @register(
@@ -644,11 +651,7 @@ def q_mart_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keep=2 retains v1 through v2's post-commit vacuum — the diff
         # needs both snapshots time-travel-readable
         vm.commit(v1, "v1", keep=2)
-        merged = merge_upsert(
-            vm.read(spark), upd, key="o_orderkey",
-            update_cols=["o_orderstatus", "o_orderpriority"],
-        )
-        vm.commit(merged.filter(F.col("o_orderkey") % 7 != 1), "v2", keep=2)
+        vm.commit(_diff_v2(vm.read(spark), upd), "v2", keep=2)
 
         diff = snapshot_diff(
             vm.read(spark, version="v1"), vm.read(spark, version="v2")

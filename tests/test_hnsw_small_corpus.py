@@ -74,3 +74,49 @@ def test_three_layer_search_non_empty_and_oracle_identical(spark, fixture_dir):
         (int(v), float(c)) for v, c in con.execute(q.oracle).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+# ---------------------------------------------------------------------------
+# the DEEPEST branch (self-review r13): layer 1 ALSO empty — every router
+# must cascade to rank-strided layer-0 entries (the flat search) instead of
+# silently returning nothing. 16 ids chosen so md5_32(id) % 8 != 0 for all.
+
+TINY_IDS = [0, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 14, 15, 17, 18, 19]
+
+
+def test_tiny_fixture_promotes_nothing_to_layer_1():
+    assert all(_md5_32(str(i)) % _HN_MOD != 0 for i in TINY_IDS)
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(spark, tmp_path_factory) -> str:
+    root = str(tmp_path_factory.mktemp("hnsw_tiny"))
+    rng = random.Random(20260817)
+    rows = []
+    for i in TINY_IDS:
+        v = [rng.gauss(0.0, 1.0) for _ in range(DIM)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        rows.append((i, [float(x / n) for x in v], i % 8))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(root, "embeddings.parquet"))
+    return root
+
+
+@pytest.mark.parametrize(
+    "entry", ["hnsw_two_layer_search", "hnsw_three_layer_search"]
+)
+def test_routers_cascade_to_layer0_when_all_layers_empty(spark, tiny_dir, entry):
+    q = REGISTRY[entry]
+    got = q.fn(spark, tiny_dir).collect()
+    assert len(got) > 0, "layer-0 cascade must produce a non-empty result"
+    spark_rows = sorted((r.vec_id, r.cos_sim) for r in got)
+    con = duckdb.connect()
+    glob = os.path.join(tiny_dir, "embeddings.parquet", "*.parquet")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{glob}')"
+    )
+    duck_rows = sorted(
+        (int(v), float(c)) for v, c in con.execute(q.oracle).fetchall()
+    )
+    assert spark_rows == duck_rows

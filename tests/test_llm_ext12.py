@@ -368,22 +368,22 @@ def test_repeat_shard_assignment_scatters_copies_and_fills_shards(spark):
     shards (a trainer must not replay one doc back-to-back), every shard
     must be populated, and positions must be a contiguous 1..|shard|
     ranking."""
+    from my_favorite_etl_pipeline_spark.plans.llm_ext12 import _MAN_SHARDS
+
     rows = engine.queries()["epoch_repeat_shard_assignment"](
         spark, SF_DIR
     ).collect()
     by_doc: dict[int, set[int]] = {}
+    copies: dict[int, int] = {}
     by_shard: dict[int, list[int]] = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, set()).add(r.shard)
+        copies[r.doc_id] = copies.get(r.doc_id, 0) + 1
         by_shard.setdefault(r.shard, []).append(r.pos)
-    repeated = {
-        d: shards
-        for d, shards in by_doc.items()
-        if sum(1 for r in rows if r.doc_id == d) > 1
-    }
+    repeated = {d: s for d, s in by_doc.items() if copies[d] > 1}
     spread = sum(1 for s in repeated.values() if len(s) >= 2)
     assert spread / len(repeated) >= 0.8, f"{spread}/{len(repeated)} spread"
-    assert set(by_shard) == set(range(8))
+    assert set(by_shard) == set(range(_MAN_SHARDS))
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
 

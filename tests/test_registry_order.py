@@ -18,55 +18,51 @@ DRIVER_CAP = 50
 # freezes (decimal_surface proved why: six rounds of local green, red on
 # first driver contact). r8 burned the never-checked backlog to zero.
 FAMILY_SENTINELS = {
-    # r12 window (VERDICT r11 items 1-2/6-8): the HUGEINT-fix confirmation
-    # round — the 5 red operator entries stay IN under re-typed oracles,
-    # the two named regression detectors and the smoking-gun probe pair
-    # join them, the other 9 r11 forensics rotate OUT, the displaced band
-    # returns (q5/q18/pivot/asof/variant/typed_struct/cube/q9/winnowing/
-    # hll/pandas_udf), and the three r12 operators enter day-one.
+    # r13 window (VERDICT r12 items 1 and 4): seat the 10 driver-unseen
+    # late-r12 operators + the displaced band with no row since r11
+    # (q8/grouping_sets/range_join/scd2/simhash_portable/semantic_
+    # decontaminate/token_budget); drop the spent HUGEINT experiment
+    # (diagnosis driver-PROVEN r12) and 13 green veterans. Every window
+    # entry is oracle-checked — the first all-hash window.
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
-    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q5_region_revenue",
-                   "q9_profit_by_nation_year", "q18_large_orders",
-                   "pivot_status_by_segment", "cube_events",
-                   "asof_last_click_before_purchase"],
-    "transform-chains": ["transform_chain", "typed_struct_props_chain",
-                         "variant_props_chain"],
+    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q8_market_share",
+                   "grouping_sets_revenue", "range_join_ship_latency"],
+    "scd2": ["scd2_status_history"],
+    "transform-chains": ["transform_chain"],
     "timeseries": ["continuous_aggregate_rollup"],
     "model-filters": ["quality_classifier_linear", "quality_classifier_train_gd",
                       "quality_classifier_gd_scores"],
     "X1-exact-dedup": ["dedup_exact_groups"],
     "X2-near-dup": ["minhash_near_dups", "semdedup_cluster_pairs",
-                    "dedup_canonical_pagerank", "winnowing_fingerprints"],
+                    "dedup_canonical_pagerank", "simhash_near_dups_portable",
+                    "edit_distance_near_dups"],
     "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs",
-                      "embedding_topk_pandas_udf", "hnsw_two_layer_search"],
-    # brand-new r12 operators, driver-checked from day one
-    "r12-new": ["hnsw_three_layer_search", "graph_ann_search_batch",
-                "hnsw_batch_routed_search", "stream_merge_into_mart",
-                "pack_efficiency_report"],
-    "X4-text": ["gopher_quality_flags", "contamination_13gram", "lang_id_heuristic"],
+                      "matryoshka_prefix_recall", "ann_cell_size_report"],
+    # the 10 late-r12 operators, driver-checked day-one this round
+    "r13-new": ["edit_distance_near_dups", "matryoshka_prefix_recall",
+                "shard_manifest_checksums", "pack_docs_histogram",
+                "contamination_span_profile", "ann_cell_size_report",
+                "mart_snapshot_diff", "epoch_repeat_plan",
+                "semantic_packing_order", "stream_shard_manifest"],
+    "X4-text": ["gopher_quality_flags", "contamination_13gram",
+                "contamination_span_profile", "semantic_decontaminate_topk",
+                "lang_id_heuristic"],
     "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
-    "assembly": ["pack_efficiency_report"],
-    "sketches": ["hll_sketch_merge"],
+    "mixture-sampling": ["token_budget_select", "epoch_repeat_plan"],
+    "assembly": ["semantic_packing_order", "pack_docs_histogram",
+                 "pack_efficiency_report", "shard_manifest_checksums"],
+    "M4-time-travel": ["mart_snapshot_diff"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join",
-                     "stream_merge_into_mart"],
-    # the r9-r11 reds held in-window until driver-green (VERDICT r11 item 1)
-    "reds-recheck": ["knn_graph_nn_descent", "graph_ann_search_topk",
-                     "graph_ann_search_durable", "hnsw_two_layer_search",
-                     "quality_classifier_train_gd"],
-    # the graph family re-checks in full — every oracle's TEXT changed r12
-    # (md5 CAST + small-norm guard); the fixed-k flagship yielded its slot
-    # to the batched router (auto-k ≡ flagship at the driver's sf0.01)
+                     "stream_merge_into_mart", "stream_shard_manifest"],
+    # the graph family re-proves through the r13 rounds=4 flip + the
+    # three-layer router's totality fallback (both change this round);
+    # durable/two-layer yield (r12-green, family still represented)
     "graph-integer-contract": ["knn_graph_topk_auto_k",
                                "knn_graph_pagerank", "knn_graph_nn_descent",
-                               "graph_ann_search_topk", "graph_ann_search_durable",
+                               "graph_ann_search_topk",
                                "graph_ann_search_batch", "hnsw_three_layer_search",
                                "hnsw_batch_routed_search"],
-    # r12 divergence instrumentation: the named regression detectors +
-    # the HUGEINT smoking-gun pair (VERDICT r11 items 2 and 6)
-    "r12-forensics": ["knn_seed_edges", "qc_train_epoch1_weights",
-                      "oracle_probe_hugeint_passthrough",
-                      "oracle_probe_hugeint_cast"],
 }
 
 
