@@ -3,8 +3,12 @@ truncation audit, shard release manifests, and the packing histogram
 (SURVEY.md §2.9 X2/X3/X4+; no reference citation exists — the citation is
 BASELINE.json's LLM-data mandate).
 
-Eight operators a production training-data pipeline runs around the dedup /
-assembly boundary, each reusing machinery this repo already oracle-checks:
+Ten operators a production training-data pipeline runs around the dedup /
+assembly boundary, each reusing machinery this repo already oracle-checks
+(the last two — ``epoch_repeat_shard_assignment`` and
+``semantic_pack_shard_assignment`` — are the r13 assembly SEAMS, composing
+the repeat schedule and the semantic packing with the seeded shard
+shuffle):
 
 - ``edit_distance_near_dups`` — CHARACTER-level near-duplicate pairs by
   banded Levenshtein. The token-level families (MinHash/SimHash/PPJoin)
@@ -715,9 +719,10 @@ def repeat_plan_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # semantic_packing_order
 
-@register(
-    "semantic_packing_order",
-    oracle=f"""
+#: shared oracle prefix through the semantically-packed ``cum`` frame —
+#: ONE text for the packing readout and the pack-then-shard seam below, so
+#: the two entries replay the identical bins (the twin-oracle-drift rule).
+_SEM_PACK_CTES = f"""
     {_semdedup_assign_cte(1, "8")},
     tk AS (
       SELECT d.doc_id, d.source,
@@ -731,7 +736,35 @@ def repeat_plan_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                     PARTITION BY source ORDER BY cluster, doc_id)
                   - n_tokens) / 1024.0) AS BIGINT) AS seq_id
       FROM tk
+    )"""
+
+
+def semantic_packed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantically-packed per-doc frame (doc_id, source, cluster,
+    n_tokens, seq_id) — the Spark twin of ``_SEM_PACK_CTES``'s ``cum``,
+    shared by the packing readout and the pack-then-shard seam so the two
+    entries bin identically."""
+    from ..operators.similarity import nearest_centroid
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = nearest_centroid(emb, k=8).select(
+        F.col("vec_id").alias("doc_id"), F.col("cluster").cast("long").alias("cluster")
     )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    tk = docs.join(assign, "doc_id")
+    w = Window.partitionBy("source").orderBy("cluster", "doc_id")
+    return tk.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 1024.0).cast("long"),
+    )
+
+
+@register(
+    "semantic_packing_order",
+    oracle=f"""
+    {_SEM_PACK_CTES}
     SELECT source, seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
@@ -759,21 +792,7 @@ def q_semantic_packing_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort, the packing family's standing argument); output is
     bin-count-sized.
     """
-    from ..operators.similarity import nearest_centroid
-
-    emb = load(spark, sf_dir, "embeddings")
-    assign = nearest_centroid(emb, k=8).select(
-        F.col("vec_id").alias("doc_id"), F.col("cluster").cast("long").alias("cluster")
-    )
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", TX.token_count("text").cast("long").alias("n_tokens")
-    )
-    tk = docs.join(assign, "doc_id")
-    w = Window.partitionBy("source").orderBy("cluster", "doc_id")
-    cum = tk.withColumn(
-        "seq_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 1024.0).cast("long"),
-    )
+    cum = semantic_packed_frame(spark, sf_dir)
     return (
         cum.groupBy("source", "seq_id")
         .agg(
@@ -888,6 +907,94 @@ def q_epoch_repeat_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFra
     return keyed.select(
         "doc_id",
         "copy",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    ).orderBy("shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# semantic_pack_shard_assignment — pack-then-shard: bins are the shuffle unit
+
+#: bin-level seed-space, disjoint from both document-level shuffles — a
+#: bin's placement is one draw for ALL its docs.
+_PACK_SEED = ":pack:42"
+
+
+@register(
+    "semantic_pack_shard_assignment",
+    oracle=f"""
+    {_SEM_PACK_CTES},
+    bk AS (
+      SELECT doc_id, source, cluster, seq_id,
+             md5(source || ':' || CAST(seq_id AS VARCHAR) || '{_PACK_SEED}')
+               AS key
+      FROM cum
+    ),
+    s AS (
+      SELECT doc_id, source, cluster, seq_id, key,
+             CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1)
+                  % {_MAN_SHARDS} AS INT) AS shard
+      FROM bk
+    )
+    SELECT doc_id, source, seq_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                ORDER BY key, source, seq_id, cluster, doc_id)
+                AS BIGINT) AS pos
+    FROM s ORDER BY shard, pos
+    """,
+)
+def q_semantic_pack_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r13) — the LAST assembly seam: pack-then-shard. The document-
+    level training shuffle (training_shard_assignment) scatters docs
+    independently, which would rip apart the semantic packing's 1024-token
+    bins — the coherence the packing bought would never reach the trainer.
+    Here the BIN is the shuffle unit: every (source, seq_id) bin draws ONE
+    md5 shard bucket (seed-space ``{_PACK_SEED}``, disjoint from both
+    document-level shuffles), bins are shuffled within their shard by key,
+    and docs stay in the packing's (cluster, doc_id) order inside their
+    bin. Per doc: its shard and within-shard training position — bins
+    atomic, bin order random, in-bin order preserved, which is exactly
+    what in-context pretraining needs from the shard writer (Shi et al.
+    2023's packing surviving the standard seeded-hash shard shuffle).
+
+    Properties the tests pin: (1) BIN ATOMICITY — all docs of a bin land
+    in one shard at CONTIGUOUS positions; (2) ORDER PRESERVATION — within
+    a bin, positions follow (cluster, doc_id), byte-identical to the
+    packing contract; (3) conservation — one row per packed doc; (4) the
+    bins replay the registered ``semantic_packing_order`` bins exactly
+    (shared frame + shared oracle CTE text, so drift is unrepresentable).
+
+    Plan at 100 TB: the packing window (per-source, never global) + one
+    map-only md5 per doc + ONE per-shard window — the shard family's
+    standing dataflow with the key lifted from doc to bin; at scale
+    repartition(shard) + sortWithinPartitions(key, ...) + partitioned
+    write, bins arriving intact because their rows share the sort prefix.
+    """
+    cum = semantic_packed_frame(spark, sf_dir)
+    keyed = cum.withColumn(
+        "key",
+        F.md5(
+            F.concat(
+                F.col("source"),
+                F.lit(":"),
+                F.col("seq_id").cast("string"),
+                F.lit(_PACK_SEED),
+            )
+        ),
+    ).withColumn(
+        "shard",
+        (
+            (F.expr("locate(substr(key, 1, 1), '0123456789abcdef')") - 1)
+            % _MAN_SHARDS
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        "key", "source", "seq_id", "cluster", "doc_id"
+    )
+    return keyed.select(
+        "doc_id",
+        "source",
+        "seq_id",
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     ).orderBy("shard", "pos")

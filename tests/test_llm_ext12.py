@@ -407,3 +407,59 @@ def test_repeat_shard_assignment_seed_space_is_disjoint(spark):
     same = sum(1 for d, s in rep.items() if base.get(d) == s)
     # independent 8-bucket draws agree ~1/8 of the time
     assert same / len(rep) < 0.5, f"{same}/{len(rep)} agree"
+
+
+# ---------------------------------------------------------------------------
+# semantic_pack_shard_assignment (r13): pack-then-shard — bins stay atomic
+
+
+def test_pack_shard_bins_are_atomic_and_ordered(spark):
+    """Every (source, seq_id) bin must land in ONE shard at CONTIGUOUS
+    positions with its docs still in the packing's (cluster, doc_id)
+    order, and per-shard positions must rank 1..|shard|."""
+    from my_favorite_etl_pipeline_spark.plans.llm_ext12 import (
+        _MAN_SHARDS,
+        semantic_packed_frame,
+    )
+
+    rows = engine.queries()["semantic_pack_shard_assignment"](
+        spark, SF_DIR
+    ).collect()
+    order = {
+        r.doc_id: (r.cluster, r.doc_id)
+        for r in semantic_packed_frame(spark, SF_DIR).collect()
+    }
+    bins: dict[tuple, list] = {}
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        bins.setdefault((r.source, r.seq_id), []).append((r.shard, r.pos, r.doc_id))
+    for members in bins.values():
+        shards = {s for s, _, _ in members}
+        assert len(shards) == 1, members  # atomicity
+        poss = sorted(p for _, p, _ in members)
+        assert poss == list(range(poss[0], poss[0] + len(poss))), members
+        in_pos_order = [d for _, p, d in sorted(members, key=lambda m: m[1])]
+        assert in_pos_order == sorted(
+            in_pos_order, key=order.__getitem__
+        ), members  # packing order preserved inside the bin
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(_MAN_SHARDS))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_pack_shard_replays_the_registered_bins(spark):
+    """The seam's bins must BE semantic_packing_order's bins: per-bin doc
+    counts identical (shared frame + shared oracle CTE text — this test
+    pins the Spark side of that contract)."""
+    qs = engine.queries()
+    packed = {
+        (r.source, r.seq_id): r.n_docs
+        for r in qs["semantic_packing_order"](spark, SF_DIR).collect()
+    }
+    seam: dict[tuple, int] = {}
+    for r in qs["semantic_pack_shard_assignment"](spark, SF_DIR).collect():
+        k = (r.source, r.seq_id)
+        seam[k] = seam.get(k, 0) + 1
+    assert seam == packed

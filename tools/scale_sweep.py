@@ -44,6 +44,7 @@ DEFAULT_SET = [
     "pack_efficiency_report",      # per-source window + aggs
     "edit_distance_near_dups",     # banded Levenshtein funnel (r12)
     "epoch_repeat_shard_assignment",  # repeats exploded at the shard boundary (r13)
+    "semantic_pack_shard_assignment",  # pack-then-shard: bins as the shuffle unit (r13)
     "matryoshka_prefix_recall",    # exact instrument: panel×corpus (n²/100)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
