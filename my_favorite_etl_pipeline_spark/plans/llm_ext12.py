@@ -118,6 +118,7 @@ def _ed_l1_sql(a: str, b: str) -> str:
              a.text, b.text
       FROM d a JOIN d b
         ON b.band = a.band + 1
+       AND a.doc_id <> b.doc_id
        AND abs(a.n - b.n) <= {_ED_TAU}
        AND ({_ed_l1_sql("a", "b")}) <= {2 * _ED_TAU}
     )
@@ -144,6 +145,10 @@ def q_edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII text where the two coincide (the fixture's en slice is verified
     pure-ASCII; production multi-lang runs normalize or scope per-lang the
     same way). Column semantics: (doc_a < doc_b, exact edit_dist ≤ τ).
+    The operator's adjacent-band id guard (``__id != __id``,
+    operators/dedup.py) is mirrored here as ``a.doc_id <> b.doc_id``
+    (ADVICE r13 #2): on duplicate-id input both engines now drop the
+    degenerate ``doc_a == doc_b`` row identically instead of diverging.
 
     Plan at 100 TB: the self-joins are hash equi-joins on the band key
     (the +1 twin is a second equi-join, unioned — no inequality join, no

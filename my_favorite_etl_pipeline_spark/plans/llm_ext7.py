@@ -349,11 +349,19 @@ def q_dsir_gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_K = 3  # neighbors per node
 _KNN_SEEDS = 5  # deterministic random seed edges per node (NN-Descent init)
-_KNN_W = 16  # working-list width between rounds (> K keeps exploratory edges)
+_KNN_W = 24  # working-list width between rounds (> K keeps exploratory edges)
 _KNN_ROUNDS = 4  # refinement rounds (r13: 3→4 per the measured payoff curve in
 # BASELINE.md — sf0.1 edge recall 0.690→0.796 for ~+20% build; flip armed on
 # the family's r12 all-green driver row, VERDICT r12 item 2)
-_KNN_CAP = 2 * (_KNN_K + _KNN_SEEDS)  # per-node fan-out cap in the two-hop join
+_KNN_CAP = 24  # per-node fan-out cap in the two-hop join. (W, CAP) flipped
+# 16→24 JOINTLY in r14 per the measured payoff surface
+# (tools/experiments/nn_descent_width_probe.py, curve in BASELINE.md r13):
+# W alone bought +0.003 (fan-out-bound at CAP=16), CAP alone +0.066
+# (list-bound at W=16), but (24, 24) jointly reads 0.958 sf0.1 edge recall
+# (+0.162 over the (16, 16) 0.796) for ~+43% build — a better trade than a
+# fifth round (+0.04). CAP was previously DERIVED as 2*(_KNN_K+_KNN_SEEDS);
+# it is now an explicit constant so the two-hop fan-out no longer silently
+# re-binds if K/SEEDS ever change (the probe's own closing note).
 
 
 def _int_cos_sql(qa: str, sa: str, qb: str, sb: str) -> str:
@@ -473,18 +481,22 @@ def _knn_round_cte(i: int, cap: int, w: int) -> str:
     )"""
 
 
-def _knn_refined_cte(n_rounds: int = _KNN_ROUNDS) -> str:
+def _knn_refined_cte(
+    n_rounds: int = _KNN_ROUNDS, w: int = _KNN_W, cap: int = _KNN_CAP
+) -> str:
     """Shared oracle prefix through ``wk{n_rounds}`` — assignment +
     base edges + deterministic random seeds + the NN-Descent round blocks.
     Consumed by the refined-graph oracle (final top-K re-rank) AND the
     graph-search oracle (search over the W-wide working graph), so the
     graph that is searched is provably the graph that was built; the r11
-    forensic stage entries replay shorter prefixes (n_rounds < default)."""
+    forensic stage entries replay shorter prefixes (n_rounds < default),
+    and the r14 quality-tier twin replays the SAME text at (w, cap) =
+    (32, 32) — one generator, every tier."""
     seed_md5 = _duck_md5_32(
         "'knn|' || CAST(a.vec_id AS VARCHAR) || '|' || CAST(rr.r AS VARCHAR)"
     )
     rounds = "".join(
-        "," + _knn_round_cte(i, _KNN_CAP, _KNN_W) for i in range(1, n_rounds + 1)
+        "," + _knn_round_cte(i, cap, w) for i in range(1, n_rounds + 1)
     )
     return f"""
     {_knn_base_cte()},
@@ -510,7 +522,7 @@ def _knn_refined_cte(n_rounds: int = _KNN_ROUNDS) -> str:
                                   ORDER BY cos_sim DESC, nbr_id) AS rn
         FROM (SELECT DISTINCT src_id, nbr_id, cos_sim FROM (
                 SELECT * FROM eb UNION ALL SELECT * FROM sesc)))
-      WHERE rn <= {_KNN_W}
+      WHERE rn <= {w}
     ){rounds}"""
 
 
@@ -656,6 +668,60 @@ def q_knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the near-exact tier from the r13 payoff surface: (32, 32) measured 0.994
+# sf0.1 edge recall for ~2× the serving tier's build (probe table in
+# BASELINE.md r13). Registered so the probe's top row is a DRIVER-CHECKABLE
+# choice, not a footnote (VERDICT r13 item 6).
+_KNN_HQ_W = 32
+_KNN_HQ_CAP = 32
+
+
+def _knn_hq_oracle() -> str:
+    """The quality-tier twin of _knn_nn_descent_oracle: the IDENTICAL
+    generated CTE text at (w, cap) = ({_KNN_HQ_W}, {_KNN_HQ_CAP}) — one
+    generator for every tier, so the tiers cannot drift structurally."""
+    return f"""
+    {_knn_refined_cte(w=_KNN_HQ_W, cap=_KNN_HQ_CAP)}
+    SELECT src_id, CAST(rn AS INT) AS rank, nbr_id,
+           cos_sim / 10000.0 AS cos_sim FROM (
+      SELECT src_id, nbr_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY cos_sim DESC, nbr_id) AS rn
+      FROM wk{_KNN_ROUNDS})
+    WHERE rn <= {_KNN_K} ORDER BY src_id, rank
+    """
+
+
+@register("knn_graph_nn_descent_hq", oracle=_knn_hq_oracle())
+def q_knn_graph_nn_descent_hq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r14) — the NEAR-EXACT quality tier of the NN-Descent build:
+    the same seeded 4-round refinement as knn_graph_nn_descent but with
+    (W, CAP) = ({_KNN_HQ_W}, {_KNN_HQ_CAP}), the top row of the r13
+    width/cap payoff surface (0.994 sf0.1 edge recall vs the serving
+    tier's 0.958, ~2× build — tools/experiments/nn_descent_width_probe.py,
+    table in BASELINE.md). A platform picks this tier when the graph IS
+    the product (offline semantic-dedup audits, eval-set neighborhood
+    maps) and the serving tier when the graph feeds a beam search that
+    re-ranks anyway.
+
+    Same machinery end to end: _knn_refined_work with (w, cap) overrides
+    on the Spark side, the SAME generated round-CTE text at (32, 32) on
+    the oracle side — a parameter choice, not a reimplementation, so the
+    scale posture is the serving tier's (every round ≤ n·CAP² candidate
+    rows, linear in n) with a 4× constant. Built inline (not memoized):
+    the durable committed snapshot stays the serving tier's; this entry
+    is the measurement-grade rebuild.
+    """
+    from ..operators.similarity import knn_topk_edges
+
+    _, work = _knn_refined_work(spark, sf_dir, w=_KNN_HQ_W, cap=_KNN_HQ_CAP)
+    return (
+        knn_topk_edges(work.select("src_id", "nbr_id", "cos_sim"), _KNN_K)
+        .withColumn("cos_sim", F.col("cos_sim") / 10000.0)
+        .orderBy("src_id", "rank")
+    )
+
+
 _KNN_GRAPH_MEMO: dict[tuple[str, str], str] = {}  # key -> mart root dir
 _KNN_GRAPH_ROOT: list[str] = []
 _KNN_GRAPH_LOCK = __import__("threading").Lock()
@@ -758,22 +824,30 @@ def _knn_seed_scores(spark: SparkSession, sf_dir: str):
     return assign, base, score_id_pairs(seeds, assign)
 
 
-def _knn_refined_work(spark: SparkSession, sf_dir: str, n_rounds: int = _KNN_ROUNDS):
+def _knn_refined_work(
+    spark: SparkSession,
+    sf_dir: str,
+    n_rounds: int = _KNN_ROUNDS,
+    w: int = _KNN_W,
+    cap: int = _KNN_CAP,
+):
     """Shared Spark-side refined graph: ``(assign, work)`` where ``work``
     is the W-wide working edge list after seeding + ``n_rounds``
-    NN-Descent rounds (the Spark twin of the oracle's ``wk{n}`` CTE)."""
+    NN-Descent rounds (the Spark twin of the oracle's ``wk{n}`` CTE).
+    ``(w, cap)`` default to the registered serving tier; the r14
+    quality-tier entry passes (32, 32)."""
     from ..operators.similarity import knn_topk_edges, nn_descent_round
 
     assign, base, sesc = _knn_seed_scores(spark, sf_dir)
     work = knn_topk_edges(
-        base.select("src_id", "nbr_id", "cos_sim").unionAll(sesc).distinct(), _KNN_W
+        base.select("src_id", "nbr_id", "cos_sim").unionAll(sesc).distinct(), w
     )
     for _ in range(n_rounds):
         work = nn_descent_round(
             work.select("src_id", "nbr_id", "cos_sim"),
             assign,
-            k=_KNN_W,
-            reverse_cap=_KNN_CAP,
+            k=w,
+            reverse_cap=cap,
         )
         # Truncate lineage between rounds: each round's plan references its
         # input FOUR times (undirected self-union ×2, candidate self-join,

@@ -76,86 +76,92 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dataset-assembly, SCD2, and streaming. Names not yet registered are skipped,
 # so the list may lead the code; everything else follows in registration order.
 CURATED_FIRST: tuple[str, ...] = (
-    # R13 ROTATION (VERDICT r12 items 1 and 4): seat the 10 late-r12
-    # operators that were deliberately kept OUT of the frozen r12
-    # fix-confirmation window (edit_distance / matryoshka / manifests /
-    # packing trio / span-profile / cell-report / snapshot-diff /
-    # epoch-repeat / stream-manifest — all sweep-verified at 3 SFs, zero
-    # driver rows yet), and return the displaced band with no row since
-    # r11 (q8, grouping_sets, range_join, scd2, simhash_portable,
-    # semantic_decontaminate_topk, token_budget_select). OUT: the spent
-    # HUGEINT experiment (oracle_probe_hugeint_passthrough/_cast,
-    # knn_seed_edges, qc_train_epoch1_weights — diagnosis driver-PROVEN
-    # r12, recorded CLOSED in BASELINE.md; the passthrough probe would
-    # sit permanently red by design if left in) and 13 r12-green
-    # veterans whose families stay represented (q5/q9/q18/pivot/cube/
-    # asof/typed_struct/variant/winnowing/pandas_udf/durable/two_layer/
-    # hll). hnsw_three_layer_search STAYS: its small-corpus router
-    # fallback changed this round and must re-prove green.
-    # Every one of the 50 entries below is oracle-checked (no rows-only
-    # rows in this window; hll's invariant tests cover it out-of-window).
+    # R14 ROTATION (VERDICT r13 item 2): seat the ONLY two driver-unseen
+    # entries (epoch_repeat_shard_assignment, semantic_pack_shard_assignment
+    # — registered after the r13 window froze, local-green at 3 SFs +
+    # determinism + property tests, zero driver rows) and return the
+    # 13-entry band with no row since r12 (q5/q9/q18/pivot/cube/asof/
+    # typed_struct/variant/winnowing/pandas_udf/durable/two_layer/hll).
+    # hnsw_two_layer_search's return also discharges ADVICE r13 #3: its
+    # impl+oracle changed in r13 (layer-0 cascade, NOT EXISTS arm) while
+    # rotated out; it now re-proves driver-side. OUT: 15 r13-green
+    # veterans whose families stay represented (q8, grouping_sets,
+    # range_join, scd2, lang_id, qc_gd_scores, simhash_portable,
+    # matryoshka, ann_cell_report, span_profile, semantic_decontaminate,
+    # epoch_repeat_plan, semantic_packing_order) — plus the two pagerank
+    # entries (knn_graph_topk_auto_k, knn_graph_pagerank), which run over
+    # the BASE kNN graph and are the only graph entries NOT affected by
+    # this round's (W, CAP) 16→24 joint flip. Every refined-graph
+    # consumer (nn_descent, search topk/batch/durable, hnsw 2/3-layer,
+    # batch-routed — all 7) IS in-window, because the flip changes their
+    # values and each must re-prove green, the r13 rounds-flip discipline.
+    # 49 of 50 entries are oracle-checked; hll_sketch_merge is the one
+    # rows-only row (engine-internal sketch bytes; returning per VERDICT
+    # r13 item 2, invariant tests cover its values).
     #
     # reference-parity pipeline anchors (SURVEY §2.1-§2.8): pinned always
     "incremental_extract",
     "merge_upsert",
     "dq_gate",
     "reconciliation",
-    # relational: flagships + the returning r11 band
+    # relational: flagships + the returning r12 band
     "q3_shipping_priority",
     "q1_pricing_summary",
-    "q8_market_share",
-    "grouping_sets_revenue",
-    "range_join_ship_latency",
-    "scd2_status_history",
-    # transform/flatten chains (F3/P/J families)
+    "q5_region_revenue",
+    "q9_profit_by_nation_year",
+    "q18_large_orders",
+    "pivot_status_by_segment",
+    "cube_events",
+    "asof_last_click_before_purchase",
+    # transform/flatten chains (F3/P/J families) + the typed/variant twins
     "transform_chain",
+    "typed_struct_props_chain",
+    "variant_props_chain",
     # timeseries (continuous_aggregate_rollup carries the cross-engine
     # rounding scar tissue)
     "continuous_aggregate_rollup",
-    # X1 exact dedup + X2 near-dup band + the character-level newcomer
+    # X1 exact dedup + X2 near-dup band + returning winnowing
     "dedup_exact_groups",
     "minhash_near_dups",
     "semdedup_cluster_pairs",
     "dedup_canonical_pagerank",
-    "simhash_near_dups_portable",
     "edit_distance_near_dups",
-    # X3 similarity anchors + the truncation/cell audits (new)
+    "winnowing_fingerprints",
+    # X3 similarity anchors + the returning Arrow-path twin
     "embedding_topk_bruteforce",
+    "embedding_topk_pandas_udf",
     "tfidf_topk_similar_docs",
-    "matryoshka_prefix_recall",
-    "ann_cell_size_report",
-    # X3 graph family — rounds=4 flip + the three-layer router fallback
-    # both land this round, so the whole serving chain re-proves
-    "knn_graph_topk_auto_k",
-    "knn_graph_pagerank",
+    # X3 graph family — the (W, CAP) = (24, 24) joint flip lands this
+    # round, so EVERY refined-graph consumer re-proves (7 entries)
     "knn_graph_nn_descent",
     "graph_ann_search_topk",
     "graph_ann_search_batch",
+    "graph_ann_search_durable",
+    "hnsw_two_layer_search",
     "hnsw_three_layer_search",
     "hnsw_batch_routed_search",
-    # X4 text anchors + contamination severity (new) + returning band
+    # X4 text anchors
     "gopher_quality_flags",
     "contamination_13gram",
-    "contamination_span_profile",
-    "semantic_decontaminate_topk",
-    "lang_id_heuristic",
     "quality_classifier_linear",
     "quality_classifier_train_gd",
-    "quality_classifier_gd_scores",
-    # mixture/sampling + dataset assembly: the late-r12 block enters
+    # sketches: the one rows-only row (see header note)
+    "hll_sketch_merge",
+    # mixture/sampling + dataset assembly: the two r13 seam operators
+    # enter (the round's only verification debt)
     "token_budget_select",
-    "epoch_repeat_plan",
-    "semantic_packing_order",
+    "epoch_repeat_shard_assignment",
+    "semantic_pack_shard_assignment",
     "pack_docs_histogram",
     "pack_efficiency_report",
     "shard_manifest_checksums",
-    # M4 time travel on the oracle path (new)
+    # M4 time travel on the oracle path
     "mart_snapshot_diff",
     # X5 multimodal sentinel
     "multimodal_resize_8x8",
     # S1b docstore (sole family member, pinned)
     "docstore_lang_source_stats",
-    # X6 streaming anchors + the 8-row streaming-state manifest (new)
+    # X6 streaming anchors + the 8-row streaming-state manifest
     "stream_tumbling_hourly",
     "stream_stream_attribution_join",
     "stream_merge_into_mart",

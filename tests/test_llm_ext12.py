@@ -129,7 +129,12 @@ def test_matryoshka_prefix_recall_matches_pure_python(spark):
         n_common = len(fset & pset)
         expected[qid] = (
             n_common,
-            n_common * 1000,
+            # the REAL denominator rule (actual full-panel size, ADVICE
+            # r12/r13): on this fixture len(full) == 10 so it equals the
+            # old n_common*1000 shortcut, but the replay must state the
+            # rule, not the special case — the short-panel regime is
+            # exercised by test_matryoshka_short_panel_* below
+            n_common * 10_000 // len(full),
             -max(sc for sc, _ in full),
             -max(sc for sc, _ in pre),
         )
@@ -463,3 +468,65 @@ def test_pack_shard_replays_the_registered_bins(spark):
         k = (r.source, r.seq_id)
         seam[k] = seam.get(k, 0) + 1
     assert seam == packed
+
+
+# ---------------------------------------------------------------------------
+# matryoshka SHORT-PANEL regime (ADVICE r13 #1): on a corpus smaller than
+# K+1 the full panel has n-1 < 10 members and the recall denominator is the
+# ACTUAL panel size — the one regime where the r12 denominator fix changes
+# the value. 10 vectors (ids 0..9, query panel = {7}) give a 9-member panel:
+# both top-10 panels then contain ALL 9 candidates, so the actual-panel rule
+# reads 10000 while both the old n_common*1000 shortcut and a constant-K
+# division read 9000 — the fixture separates all three rules, and a
+# Spark-`div`/DuckDB-`//` disagreement on the short-panel arm would fail the
+# row-for-row compare (the test_hnsw_small_corpus one-fixture-per-branch
+# discipline).
+
+_MAT_TINY_N = 10
+
+
+@__import__("pytest").fixture(scope="module")
+def matryoshka_tiny_dir(spark, tmp_path_factory) -> str:
+    import random
+
+    root = str(tmp_path_factory.mktemp("matryoshka_tiny"))
+    rng = random.Random(20260818)
+    rows = []
+    for i in range(_MAT_TINY_N):
+        v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        rows.append((i, [float(x / n) for x in v], i % 8))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(root, "embeddings.parquet"))
+    return root
+
+
+def test_matryoshka_short_panel_spark_oracle_identical(spark, matryoshka_tiny_dir):
+    import duckdb
+
+    from my_favorite_etl_pipeline_spark.registry import REGISTRY
+
+    q = REGISTRY["matryoshka_prefix_recall"]
+    got = q.fn(spark, matryoshka_tiny_dir).collect()
+    assert [r.query_id for r in got] == [7], "query panel must be exactly {7}"
+    spark_rows = sorted(tuple(r) for r in got)
+
+    con = duckdb.connect()
+    glob = os.path.join(matryoshka_tiny_dir, "embeddings.parquet", "*.parquet")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{glob}')")
+    duck_rows = sorted(tuple(int(x) for x in row) for row in con.execute(q.oracle).fetchall())
+    assert spark_rows == duck_rows
+
+
+def test_matryoshka_short_panel_uses_actual_panel_size(spark, matryoshka_tiny_dir):
+    """The denominator must be the 9-member ACTUAL panel: with every
+    candidate in both panels, recall is exactly 10000 — the old constant-K
+    rules would read 9000 (a both-engines-identical compare above cannot
+    see a shared spec error; this pins the VALUE)."""
+    from my_favorite_etl_pipeline_spark.registry import REGISTRY
+
+    rows = REGISTRY["matryoshka_prefix_recall"].fn(spark, matryoshka_tiny_dir).collect()
+    (r,) = rows
+    assert r.n_common == _MAT_TINY_N - 1 == 9
+    assert r.recall_x1e4 == 10_000

@@ -18,50 +18,48 @@ DRIVER_CAP = 50
 # freezes (decimal_surface proved why: six rounds of local green, red on
 # first driver contact). r8 burned the never-checked backlog to zero.
 FAMILY_SENTINELS = {
-    # r13 window (VERDICT r12 items 1 and 4): seat the 10 driver-unseen
-    # late-r12 operators + the displaced band with no row since r11
-    # (q8/grouping_sets/range_join/scd2/simhash_portable/semantic_
-    # decontaminate/token_budget); drop the spent HUGEINT experiment
-    # (diagnosis driver-PROVEN r12) and 13 green veterans. Every window
-    # entry is oracle-checked — the first all-hash window.
+    # r14 window (VERDICT r13 item 2): seat the only two driver-unseen
+    # entries (the r13 assembly seams) + return the 13-entry band with no
+    # row since r12 (q5/q9/q18/pivot/cube/asof/typed_struct/variant/
+    # winnowing/pandas_udf/durable/two_layer/hll); drop 15 r13-green
+    # veterans whose families stay represented. 49/50 oracle-checked
+    # (hll_sketch_merge is the one rows-only row, returning per the
+    # verdict; its values are invariant-tested).
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
-    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q8_market_share",
-                   "grouping_sets_revenue", "range_join_ship_latency"],
-    "scd2": ["scd2_status_history"],
-    "transform-chains": ["transform_chain"],
+    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q5_region_revenue",
+                   "q9_profit_by_nation_year", "q18_large_orders",
+                   "pivot_status_by_segment", "cube_events"],
+    "asof": ["asof_last_click_before_purchase"],
+    "transform-chains": ["transform_chain", "typed_struct_props_chain",
+                         "variant_props_chain"],
     "timeseries": ["continuous_aggregate_rollup"],
-    "model-filters": ["quality_classifier_linear", "quality_classifier_train_gd",
-                      "quality_classifier_gd_scores"],
+    "model-filters": ["quality_classifier_linear", "quality_classifier_train_gd"],
     "X1-exact-dedup": ["dedup_exact_groups"],
     "X2-near-dup": ["minhash_near_dups", "semdedup_cluster_pairs",
-                    "dedup_canonical_pagerank", "simhash_near_dups_portable",
-                    "edit_distance_near_dups"],
-    "X3-similarity": ["embedding_topk_bruteforce", "tfidf_topk_similar_docs",
-                      "matryoshka_prefix_recall", "ann_cell_size_report"],
-    # the 10 late-r12 operators, driver-checked day-one this round
-    "r13-new": ["edit_distance_near_dups", "matryoshka_prefix_recall",
-                "shard_manifest_checksums", "pack_docs_histogram",
-                "contamination_span_profile", "ann_cell_size_report",
-                "mart_snapshot_diff", "epoch_repeat_plan",
-                "semantic_packing_order", "stream_shard_manifest"],
-    "X4-text": ["gopher_quality_flags", "contamination_13gram",
-                "contamination_span_profile", "semantic_decontaminate_topk",
-                "lang_id_heuristic"],
+                    "dedup_canonical_pagerank", "edit_distance_near_dups",
+                    "winnowing_fingerprints"],
+    "X3-similarity": ["embedding_topk_bruteforce", "embedding_topk_pandas_udf",
+                      "tfidf_topk_similar_docs"],
+    # the round's only verification debt: the two r13 seam operators
+    "r14-new": ["epoch_repeat_shard_assignment", "semantic_pack_shard_assignment"],
+    "X4-text": ["gopher_quality_flags", "contamination_13gram"],
     "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
-    "mixture-sampling": ["token_budget_select", "epoch_repeat_plan"],
-    "assembly": ["semantic_packing_order", "pack_docs_histogram",
-                 "pack_efficiency_report", "shard_manifest_checksums"],
+    "sketches": ["hll_sketch_merge"],
+    "mixture-sampling": ["token_budget_select"],
+    "assembly": ["epoch_repeat_shard_assignment", "semantic_pack_shard_assignment",
+                 "pack_docs_histogram", "pack_efficiency_report",
+                 "shard_manifest_checksums"],
     "M4-time-travel": ["mart_snapshot_diff"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join",
                      "stream_merge_into_mart", "stream_shard_manifest"],
-    # the graph family re-proves through the r13 rounds=4 flip + the
-    # three-layer router's totality fallback (both change this round);
-    # durable/two-layer yield (r12-green, family still represented)
-    "graph-integer-contract": ["knn_graph_topk_auto_k",
-                               "knn_graph_pagerank", "knn_graph_nn_descent",
-                               "graph_ann_search_topk",
-                               "graph_ann_search_batch", "hnsw_three_layer_search",
+    # the (W, CAP) = (24, 24) joint flip changes every refined-graph
+    # consumer's VALUES this round, so all 7 re-prove in-window; the two
+    # base-graph entries (topk_auto_k, pagerank) are the only
+    # flip-UNaffected graph entries and yield their slots
+    "graph-integer-contract": ["knn_graph_nn_descent", "graph_ann_search_topk",
+                               "graph_ann_search_batch", "graph_ann_search_durable",
+                               "hnsw_two_layer_search", "hnsw_three_layer_search",
                                "hnsw_batch_routed_search"],
 }
 

@@ -39,6 +39,7 @@ DEFAULT_SET = [
     "semdedup_cluster_pairs_auto_k",  # auto-k within-cell join (linear claim)
     "embedding_topk_ivf",          # coarse-probe ANN serving
     "knn_graph_topk_auto_k",       # graph build, linear-in-n claim
+    "knn_graph_nn_descent_hq",     # near-exact tier: linear with a 4x constant (r14)
     "tfidf_topk_similar_docs",     # sparse cosine self-join
     "token_budget_select",         # two-phase histogram walk
     "pack_efficiency_report",      # per-source window + aggs
