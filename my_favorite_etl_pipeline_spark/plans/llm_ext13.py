@@ -1,0 +1,148 @@
+"""Round-14 curation operators: submodular (facility-location-style) data
+SELECTION by marginal n-gram coverage.
+
+The selection side of the curation stack the registry did not yet have: the
+dedup families remove redundancy AFTER the fact; greedy max-coverage picks
+the next document whose 13-token grams add the MOST unseen grams to the
+already-selected set — the classic (1 - 1/e) greedy for monotone submodular
+coverage (Nemhauser et al. 1978; used for training-data subset selection in
+the CRAIG / facility-location line of work). Reference scope: the reference
+DAG curates by filtering only (`dag:135-200`); this extends the [EXT]
+LLM-data surface the build mandate names.
+
+Determinism contract (the repo's standard): gains are exact integer counts
+of distinct gram strings, ties break on lowest doc_id, zero-gain documents
+remain eligible (COALESCE(gain, 0) on BOTH engines) so every round picks
+exactly one document and the output shape is fixed at _COV_ROUNDS rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..registry import register
+from ..sources.tables import load
+
+_COV_ROUNDS = 5  # documents selected (greedy rounds)
+_COV_N = 13  # gram width — the decontamination family's unit, reused
+
+
+def _cov_round_cte(r: int) -> str:
+    """One greedy round as CTEs: gains vs cov{r-1}, argmax pick, selected
+    set + covered set advance. MATERIALIZED pins each round's result so
+    the CTE chain cannot re-expand the prior rounds (the NN-Descent
+    oracle's lineage lesson, same fix)."""
+    return f""",
+    new{r} AS (
+      SELECT d.doc_id, COUNT(g.g) AS gain
+      FROM ids d
+      LEFT JOIN (SELECT dg.doc_id, dg.g FROM dg
+                 WHERE NOT EXISTS (SELECT 1 FROM cov{r - 1} c WHERE c.g = dg.g)) g
+        ON g.doc_id = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM sel{r - 1})
+      GROUP BY d.doc_id
+    ),
+    pick{r} AS MATERIALIZED (
+      SELECT doc_id, gain FROM new{r} ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT doc_id FROM sel{r - 1} UNION ALL SELECT doc_id FROM pick{r}
+    ),
+    cov{r} AS MATERIALIZED (
+      SELECT g FROM cov{r - 1}
+      UNION
+      SELECT dg.g FROM dg JOIN pick{r} p ON dg.doc_id = p.doc_id
+    )"""
+
+
+def _cov_oracle() -> str:
+    rounds = "".join(_cov_round_cte(r) for r in range(1, _COV_ROUNDS + 1))
+    finals = "\n      UNION ALL\n".join(
+        f"""      SELECT {r} AS rank, doc_id, CAST(gain AS BIGINT) AS gain,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cov{r}) AS covered_total
+      FROM pick{r}"""
+        for r in range(1, _COV_ROUNDS + 1)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dg AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(t[pos + 1:pos + {_COV_N}], ' ') AS g
+      FROM (SELECT doc_id, t, UNNEST(range(len(t) - {_COV_N - 1})) AS pos
+            FROM toks WHERE len(t) >= {_COV_N})
+    ),
+    ids AS (SELECT doc_id FROM documents),
+    sel0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0),
+    cov0 AS (SELECT CAST(NULL AS VARCHAR) AS g WHERE 1 = 0){rounds}
+    SELECT CAST(rank AS INT) AS rank, doc_id, gain, covered_total FROM (
+{finals}
+    ) ORDER BY rank
+    """
+
+
+@register("greedy_gram_coverage_select", oracle=_cov_oracle())
+def q_greedy_gram_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r14) — greedy max-coverage SELECTION: pick {_COV_ROUNDS}
+    documents, each round taking the document whose distinct {_COV_N}-token
+    grams add the most grams not yet covered by the picks so far (ties →
+    lowest doc_id; zero-gain documents stay eligible so the output is
+    always exactly {_COV_ROUNDS} rows). Emits (rank, doc_id, gain,
+    covered_total) — the marginal-gain curve IS the submodular-selection
+    diagnostic: a steep-then-flat curve says a small diverse core exists,
+    a flat curve says the corpus is redundancy-free at this gram width.
+
+    This is the SELECTION rung of the curation stack (the dedup families
+    remove redundancy after collection; this builds a maximally-diverse
+    subset before training) — the greedy (1 - 1/e) algorithm for monotone
+    submodular functions, applied to n-gram coverage the way
+    facility-location selection applies it to embedding similarity.
+
+    Plan at 100 TB: the gram table builds once ({_COV_N}-token shingles,
+    the decontamination family's unit) and persists; each round is ONE
+    hash anti-join on the gram key (new grams vs the covered set) + one
+    hash aggregate + a 1-row TakeOrdered — all equi-key, nothing
+    quadratic, rounds a fixed constant. Driver state is {_COV_ROUNDS}
+    rows (the kmeans/percentile precedent: parameter-sized, never
+    corpus-sized); the covered set stays DISTRIBUTED (localCheckpoint
+    between rounds — the NN-Descent lineage-truncation lesson, since each
+    round references it twice). Selecting M ≫ 5 at scale would batch
+    picks per round (stochastic greedy, Mirzasoleiman et al. 2015) —
+    same join shapes, fewer rounds.
+    """
+    from ..caching import tracked_persist
+
+    docs = load(spark, sf_dir, "documents")
+    dg = tracked_persist(
+        docs.select(
+            "doc_id", F.explode(TX.shingles(F.col("text"), n=_COV_N)).alias("g")
+        ).distinct()
+    )
+    ids = docs.select("doc_id")
+    covered = spark.createDataFrame([], "g string")
+    sel_ids: list[int] = []
+    out: list[tuple[int, int, int, int]] = []
+    for r in range(1, _COV_ROUNDS + 1):
+        new = dg.join(covered, "g", "left_anti")
+        gains = (
+            ids.join(
+                new.groupBy("doc_id").agg(F.count("g").alias("gain")),
+                "doc_id",
+                "left",
+            )
+            .na.fill({"gain": 0})
+            .filter(~F.col("doc_id").isin(sel_ids) if sel_ids else F.lit(True))
+        )
+        best = gains.orderBy(F.col("gain").desc(), "doc_id").limit(1).collect()[0]
+        sel_ids.append(best.doc_id)
+        covered = (
+            covered.unionByName(
+                dg.filter(F.col("doc_id") == best.doc_id).select("g")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        out.append((r, best.doc_id, best.gain, covered.count()))
+    return spark.createDataFrame(
+        out, "rank int, doc_id long, gain long, covered_total long"
+    )
