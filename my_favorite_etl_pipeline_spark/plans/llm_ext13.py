@@ -29,11 +29,14 @@ _COV_ROUNDS = 5  # documents selected (greedy rounds)
 _COV_N = 13  # gram width — the decontamination family's unit, reused
 
 
-def _cov_round_cte(r: int) -> str:
-    """One greedy round as CTEs: gains vs cov{r-1}, argmax pick, selected
-    set + covered set advance. MATERIALIZED pins each round's result so
-    the CTE chain cannot re-expand the prior rounds (the NN-Descent
-    oracle's lineage lesson, same fix)."""
+def _cov_round_cte(r: int, b: int = 1) -> str:
+    """One greedy round as CTEs: gains vs cov{r-1}, top-``b`` pick (with
+    in-round rank), selected set + covered set advance. MATERIALIZED pins
+    each round's result so the CTE chain cannot re-expand the prior
+    rounds (the NN-Descent oracle's lineage lesson, same fix). ``b = 1``
+    is the exact greedy; ``b > 1`` is BATCH greedy — gains are measured
+    against the covered set BEFORE the round, within-batch overlap
+    deliberately not discounted (the documented batch trade)."""
     return f""",
     new{r} AS (
       SELECT d.doc_id, COUNT(g.g) AS gain
@@ -45,7 +48,11 @@ def _cov_round_cte(r: int) -> str:
       GROUP BY d.doc_id
     ),
     pick{r} AS MATERIALIZED (
-      SELECT doc_id, gain FROM new{r} ORDER BY gain DESC, doc_id LIMIT 1
+      SELECT doc_id, gain, rk FROM (
+        SELECT doc_id, gain,
+               ROW_NUMBER() OVER (ORDER BY gain DESC, doc_id) AS rk
+        FROM new{r})
+      WHERE rk <= {b}
     ),
     sel{r} AS MATERIALIZED (
       SELECT doc_id FROM sel{r - 1} UNION ALL SELECT doc_id FROM pick{r}
@@ -57,6 +64,18 @@ def _cov_round_cte(r: int) -> str:
     )"""
 
 
+_COV_PREFIX = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dg AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(t[pos + 1:pos + {_COV_N}], ' ') AS g
+      FROM (SELECT doc_id, t, UNNEST(range(len(t) - {_COV_N - 1})) AS pos
+            FROM toks WHERE len(t) >= {_COV_N})
+    ),
+    ids AS (SELECT doc_id FROM documents),
+    sel0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0),
+    cov0 AS (SELECT CAST(NULL AS VARCHAR) AS g WHERE 1 = 0)"""
+
+
 def _cov_oracle() -> str:
     rounds = "".join(_cov_round_cte(r) for r in range(1, _COV_ROUNDS + 1))
     finals = "\n      UNION ALL\n".join(
@@ -66,15 +85,7 @@ def _cov_oracle() -> str:
         for r in range(1, _COV_ROUNDS + 1)
     )
     return f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    dg AS MATERIALIZED (
-      SELECT DISTINCT doc_id, array_to_string(t[pos + 1:pos + {_COV_N}], ' ') AS g
-      FROM (SELECT doc_id, t, UNNEST(range(len(t) - {_COV_N - 1})) AS pos
-            FROM toks WHERE len(t) >= {_COV_N})
-    ),
-    ids AS (SELECT doc_id FROM documents),
-    sel0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0),
-    cov0 AS (SELECT CAST(NULL AS VARCHAR) AS g WHERE 1 = 0){rounds}
+    {_COV_PREFIX}{rounds}
     SELECT CAST(rank AS INT) AS rank, doc_id, gain, covered_total FROM (
 {finals}
     ) ORDER BY rank
@@ -110,6 +121,25 @@ def q_greedy_gram_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame
     picks per round (stochastic greedy, Mirzasoleiman et al. 2015) —
     same join shapes, fewer rounds.
     """
+    out = [
+        (rnd, doc_id, gain, total)
+        for rnd, _rk, doc_id, gain, total in _greedy_select(
+            spark, sf_dir, rounds=_COV_ROUNDS, batch=1
+        )
+    ]
+    return spark.createDataFrame(
+        out, "rank int, doc_id long, gain long, covered_total long"
+    )
+
+
+def _greedy_select(
+    spark: SparkSession, sf_dir: str, rounds: int, batch: int
+) -> list[tuple[int, int, int, int, int]]:
+    """Shared driver-walked greedy: ``rounds`` rounds of top-``batch``
+    marginal-gain picks. Returns (round, rank_in_round, doc_id, gain,
+    covered_total_after_round) tuples — rounds·batch rows of driver
+    state, parameter-sized. batch=1 IS the exact greedy (the flagship);
+    batch>1 measures gains against the pre-round covered set only."""
     from ..caching import tracked_persist
 
     docs = load(spark, sf_dir, "documents")
@@ -121,8 +151,8 @@ def q_greedy_gram_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame
     ids = docs.select("doc_id")
     covered = spark.createDataFrame([], "g string")
     sel_ids: list[int] = []
-    out: list[tuple[int, int, int, int]] = []
-    for r in range(1, _COV_ROUNDS + 1):
+    out: list[tuple[int, int, int, int, int]] = []
+    for r in range(1, rounds + 1):
         new = dg.join(covered, "g", "left_anti")
         gains = (
             ids.join(
@@ -133,16 +163,80 @@ def q_greedy_gram_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame
             .na.fill({"gain": 0})
             .filter(~F.col("doc_id").isin(sel_ids) if sel_ids else F.lit(True))
         )
-        best = gains.orderBy(F.col("gain").desc(), "doc_id").limit(1).collect()[0]
-        sel_ids.append(best.doc_id)
+        picks = gains.orderBy(F.col("gain").desc(), "doc_id").limit(batch).collect()
+        sel_ids.extend(p.doc_id for p in picks)
         covered = (
             covered.unionByName(
-                dg.filter(F.col("doc_id") == best.doc_id).select("g")
+                dg.join(
+                    F.broadcast(
+                        spark.createDataFrame(
+                            [(p.doc_id,) for p in picks], "doc_id long"
+                        )
+                    ),
+                    "doc_id",
+                    "semi",
+                ).select("g")
             )
             .distinct()
             .localCheckpoint()
         )
-        out.append((r, best.doc_id, best.gain, covered.count()))
+        total = covered.count()
+        out.extend(
+            (r, i + 1, p.doc_id, p.gain, total) for i, p in enumerate(picks)
+        )
+    return out
+
+
+_COVB_ROUNDS = 2  # batch-greedy rounds
+_COVB_B = 5  # picks per round
+
+
+def _covb_oracle() -> str:
+    rounds = "".join(
+        _cov_round_cte(r, b=_COVB_B) for r in range(1, _COVB_ROUNDS + 1)
+    )
+    finals = "\n      UNION ALL\n".join(
+        f"""      SELECT {r} AS round, CAST(rk AS INT) AS rank_in_round, doc_id,
+             CAST(gain AS BIGINT) AS gain,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cov{r}) AS covered_total
+      FROM pick{r}"""
+        for r in range(1, _COVB_ROUNDS + 1)
+    )
+    return f"""
+    {_COV_PREFIX}{rounds}
+    SELECT CAST(round AS INT) AS round, rank_in_round, doc_id, gain,
+           covered_total FROM (
+{finals}
+    ) ORDER BY round, rank_in_round
+    """
+
+
+@register("greedy_coverage_select_batched", oracle=_covb_oracle())
+def q_greedy_coverage_select_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r14) — BATCH greedy max-coverage, the M ≫ rounds scale path
+    of greedy_gram_coverage_select: {_COVB_ROUNDS} rounds each picking
+    the top-{_COVB_B} documents by marginal gain against the covered set
+    as of the round START (within-batch overlap deliberately not
+    discounted — the standard batch-greedy trade: B× fewer barrier
+    rounds for a bounded approximation loss; the stochastic-greedy line
+    of Mirzasoleiman et al. 2015 formalizes the same rounds-vs-quality
+    dial). Emits (round, rank_in_round, doc_id, gain, covered_total) —
+    covered_total is the post-round cumulative distinct-gram count, so
+    consecutive rounds' totals measure what the batch ACTUALLY added vs
+    the sum of its nominal gains: the gap IS the within-batch
+    redundancy, a selection-quality readout the exact greedy never shows.
+
+    Plan at 100 TB: identical join shapes to the flagship (one gram-key
+    anti-join + hash agg per round), but selecting M documents costs
+    M/B barrier rounds instead of M — the knob that makes greedy
+    selection feasible when M is thousands. Driver state = rounds·B
+    rows; the covered set stays distributed. Shares the Spark body
+    (_greedy_select) and the oracle round generator (_cov_round_cte)
+    with the exact entry, so the two tiers cannot drift; batch=1
+    equivalence with the flagship is pinned by test.
+    """
+    rows = _greedy_select(spark, sf_dir, rounds=_COVB_ROUNDS, batch=_COVB_B)
     return spark.createDataFrame(
-        out, "rank int, doc_id long, gain long, covered_total long"
+        rows,
+        "round int, rank_in_round int, doc_id long, gain long, covered_total long",
     )

@@ -124,3 +124,101 @@ def test_greedy_coverage_plan_has_no_cartesian(spark):
     plan = gains._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# batch greedy (greedy_coverage_select_batched)
+
+
+def _batched_python(texts: dict[int, str], rounds: int, b: int):
+    """Independent replay of BATCH greedy: top-b docs by gain vs the
+    covered set as of the round start, ties lowest id, zero-gain eligible."""
+    grams = {}
+    for doc_id, text in texts.items():
+        t = text.split(" ")
+        grams[doc_id] = {
+            " ".join(t[i : i + _COV_N]) for i in range(len(t) - _COV_N + 1)
+        }
+    covered: set[str] = set()
+    selected: set[int] = set()
+    out = []
+    for r in range(1, rounds + 1):
+        ranked = sorted(
+            (d for d in texts if d not in selected),
+            key=lambda d: (-len(grams[d] - covered), d),
+        )[:b]
+        gains = [(d, len(grams[d] - covered)) for d in ranked]
+        for d, _ in gains:
+            covered |= grams[d]
+            selected.add(d)
+        out.extend(
+            (r, i + 1, d, g, None) for i, (d, g) in enumerate(gains)
+        )
+        out = [
+            (rr, rk, d, g, len(covered) if rr == r else tot)
+            for rr, rk, d, g, tot in out
+        ]
+    return out
+
+
+def test_batched_coverage_matches_pure_python(spark):
+    from my_favorite_etl_pipeline_spark.plans.llm_ext13 import _COVB_B, _COVB_ROUNDS
+
+    texts = {
+        d["doc_id"]: d["text"]
+        for d in pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    }
+    expected = _batched_python(texts, _COVB_ROUNDS, _COVB_B)
+    got = [
+        (r.round, r.rank_in_round, r.doc_id, r.gain, r.covered_total)
+        for r in sorted(
+            engine.queries()["greedy_coverage_select_batched"](spark, SF_DIR).collect(),
+            key=lambda r: (r.round, r.rank_in_round),
+        )
+    ]
+    assert got == expected
+
+
+def test_batch_of_one_is_the_exact_greedy(spark):
+    """batch=1 through the SHARED body must reproduce the flagship row
+    for row — the tier is a parameter choice, not a reimplementation."""
+    from my_favorite_etl_pipeline_spark.plans.llm_ext13 import (
+        _COV_ROUNDS,
+        _greedy_select,
+    )
+
+    flag = [
+        (r.rank, r.doc_id, r.gain, r.covered_total)
+        for r in engine.queries()["greedy_gram_coverage_select"](spark, SF_DIR).collect()
+    ]
+    b1 = [
+        (rnd, doc_id, gain, total)
+        for rnd, _rk, doc_id, gain, total in _greedy_select(
+            spark, SF_DIR, rounds=_COV_ROUNDS, batch=1
+        )
+    ]
+    assert flag == b1
+
+
+def test_batched_redundancy_readout_is_consistent(spark):
+    """Within each round, the covered_total increase can never exceed the
+    sum of nominal gains (grams only overlap away), and the shortfall is
+    exactly the within-batch redundancy the entry exists to expose."""
+    rows = sorted(
+        engine.queries()["greedy_coverage_select_batched"](spark, SF_DIR).collect(),
+        key=lambda r: (r.round, r.rank_in_round),
+    )
+    prev_total = 0
+    by_round: dict[int, list] = {}
+    for r in rows:
+        by_round.setdefault(r.round, []).append(r)
+    for rnd in sorted(by_round):
+        batch = by_round[rnd]
+        total = batch[0].covered_total
+        assert all(b.covered_total == total for b in batch)
+        added = total - prev_total
+        nominal = sum(b.gain for b in batch)
+        assert 0 <= added <= nominal, (rnd, added, nominal)
+        gains = [b.gain for b in batch]
+        assert gains == sorted(gains, reverse=True)
+        prev_total = total

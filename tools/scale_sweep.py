@@ -48,6 +48,7 @@ DEFAULT_SET = [
     "semantic_pack_shard_assignment",  # pack-then-shard: bins as the shuffle unit (r13)
     "matryoshka_prefix_recall",    # exact instrument: panel×corpus (n²/100)
     "greedy_gram_coverage_select",  # 5-round anti-join + agg selection (r14)
+    "greedy_coverage_select_batched",  # batch-greedy scale path, 2 rounds (r14)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
