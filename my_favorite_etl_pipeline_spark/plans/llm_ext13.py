@@ -71,7 +71,7 @@ _COV_PREFIX = f"""
       FROM (SELECT doc_id, t, UNNEST(range(len(t) - {_COV_N - 1})) AS pos
             FROM toks WHERE len(t) >= {_COV_N})
     ),
-    ids AS (SELECT doc_id FROM documents),
+    ids AS (SELECT DISTINCT doc_id FROM documents),
     sel0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0),
     cov0 AS (SELECT CAST(NULL AS VARCHAR) AS g WHERE 1 = 0)"""
 
@@ -148,7 +148,14 @@ def _greedy_select(
             "doc_id", F.explode(TX.shingles(F.col("text"), n=_COV_N)).alias("g")
         ).distinct()
     )
-    ids = docs.select("doc_id")
+    # DISTINCT ids, mirrored in the oracle's ``ids`` CTE: on duplicate-id
+    # input an undeduped candidate list would let the engines diverge
+    # (the oracle's LEFT JOIN would multiply a gain by the id's
+    # multiplicity while Spark kept per-row gains — the llm_ext12
+    # adjacent-band class, r14 review) and batch > 1 could pick the same
+    # id twice in one round. With both sides deduped, a duplicated id is
+    # one candidate with the union of its grams on both engines.
+    ids = docs.select("doc_id").distinct()
     covered = spark.createDataFrame([], "g string")
     sel_ids: list[int] = []
     out: list[tuple[int, int, int, int, int]] = []

@@ -222,3 +222,53 @@ def test_batched_redundancy_readout_is_consistent(spark):
         gains = [b.gain for b in batch]
         assert gains == sorted(gains, reverse=True)
         prev_total = total
+
+
+# ---------------------------------------------------------------------------
+# duplicate-id input (r14 review): both engines must treat a duplicated
+# doc_id as ONE candidate carrying the union of its grams — an undeduped
+# id list would multiply oracle gains by the multiplicity while Spark
+# kept per-row gains, and batch > 1 could pick the same id twice.
+
+
+@pytest.fixture(scope="module")
+def dup_id_dir(spark, tmp_path_factory) -> str:
+    root = str(tmp_path_factory.mktemp("cov_dup"))
+    long_a = " ".join(f"alpha{i}" for i in range(20))
+    long_b = " ".join(f"beta{i}" for i in range(16))
+    rows = [
+        (1, long_a, "en", "web", 100),
+        (1, long_b, "en", "web", 100),  # duplicate id, different text
+        (2, long_a, "en", "web", 100),  # exact dup of id 1's first text
+        (3, " ".join(f"gamma{i}" for i in range(14)), "en", "web", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.parquet(os.path.join(root, "documents.parquet"))
+    return root
+
+
+@pytest.mark.parametrize(
+    "entry", ["greedy_gram_coverage_select", "greedy_coverage_select_batched"]
+)
+def test_duplicate_ids_collapse_identically(spark, dup_id_dir, entry):
+    import duckdb
+
+    from my_favorite_etl_pipeline_spark.registry import REGISTRY
+
+    q = REGISTRY[entry]
+    got = sorted(tuple(r) for r in q.fn(spark, dup_id_dir).collect())
+    ids_picked = [row[-3] for row in got]
+    assert len(ids_picked) == len(set(ids_picked)), "an id was picked twice"
+
+    con = duckdb.connect()
+    glob = os.path.join(dup_id_dir, "documents.parquet", "*.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    duck = sorted(
+        tuple(int(x) for x in row) for row in con.execute(q.oracle).fetchall()
+    )
+    assert got == duck
+    # id 1 must carry the UNION of its two texts' grams: its gain when
+    # picked first is 8 (20-token alpha) + 4 (16-token beta) grams
+    first = min(got)
+    assert first[-3] == 1 and first[-2] == 12, got

@@ -57,9 +57,12 @@ def main():
     for sf_dir in ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]:
         true = exact_edges(sf_dir, g7._KNN_K)
         for rounds in [2, 3, 4]:
-            g7._KNN_ROUNDS = rounds
+            # pass n_rounds EXPLICITLY: the default arg is frozen at
+            # definition time, so monkeypatching g7._KNN_ROUNDS never
+            # reaches the build (found in the r14 review — the r12 run
+            # predates the default-arg signature and read the global)
             t0 = time.perf_counter()
-            _, work = g7._knn_refined_work(spark, sf_dir)
+            _, work = g7._knn_refined_work(spark, sf_dir, n_rounds=rounds)
             top = knn_topk_edges(work.select("src_id", "nbr_id", "cos_sim"), g7._KNN_K)
             got = {(r.src_id, r.nbr_id) for r in top.collect()}
             dt = time.perf_counter() - t0

@@ -72,31 +72,30 @@ def main():
     from my_favorite_etl_pipeline_spark.operators.similarity import knn_topk_edges
 
     spark = get_spark("nn-width-probe")
-    w0, c0 = g7._KNN_W, g7._KNN_CAP
     grid = [(16, 16), (24, 16), (32, 16), (16, 24), (16, 32), (24, 24), (32, 32)]
-    try:
-        for sf_dir in ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]:
-            true = exact_edges(sf_dir, g7._KNN_K)
-            for w, cap in grid:
-                # both globals are read at call time inside the build
-                g7._KNN_W, g7._KNN_CAP = w, cap
-                t0 = time.perf_counter()
-                _, work = g7._knn_refined_work(
-                    spark, sf_dir, n_rounds=g7._KNN_ROUNDS
-                )
-                top = knn_topk_edges(
-                    work.select("src_id", "nbr_id", "cos_sim"), g7._KNN_K
-                )
-                got = {(r.src_id, r.nbr_id) for r in top.collect()}
-                dt = time.perf_counter() - t0
-                rec = len(got & true) / len(true)
-                print(
-                    f"{os.path.basename(sf_dir)} W={w} CAP={cap}: edge recall "
-                    f"{rec:.3f}  build {dt:.1f}s",
-                    flush=True,
-                )
-    finally:
-        g7._KNN_W, g7._KNN_CAP = w0, c0
+    for sf_dir in ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]:
+        true = exact_edges(sf_dir, g7._KNN_K)
+        for w, cap in grid:
+            # r14: (w, cap) are EXPLICIT parameters of the build (the
+            # globals became default args, which Python freezes at
+            # definition time — monkeypatching g7._KNN_W/_KNN_CAP no
+            # longer reaches the build and would silently measure the
+            # registered constants at every grid point)
+            t0 = time.perf_counter()
+            _, work = g7._knn_refined_work(
+                spark, sf_dir, n_rounds=g7._KNN_ROUNDS, w=w, cap=cap
+            )
+            top = knn_topk_edges(
+                work.select("src_id", "nbr_id", "cos_sim"), g7._KNN_K
+            )
+            got = {(r.src_id, r.nbr_id) for r in top.collect()}
+            dt = time.perf_counter() - t0
+            rec = len(got & true) / len(true)
+            print(
+                f"{os.path.basename(sf_dir)} W={w} CAP={cap}: edge recall "
+                f"{rec:.3f}  build {dt:.1f}s",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -75,9 +75,12 @@ def main():
                 byq.setdefault(r.query_id, set()).add(r.vec_id)
             recs = []
             for qid, got in sorted(byq.items()):
+                # batch arms return top-10 per query; the metric is the
+                # fraction of those 10 inside the exact top-20 (precision
+                # vs the exact-20 panel, not recall@10 — top-20 absorbs
+                # the integer-cosine tie plateaus that make exact top-10
+                # ambiguous between engines)
                 ex = exact_top20(sf_dir, qid)
-                # batch arms return top-10 per query; compare against exact top-10
-                t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
                 recs.append(len(got & ex) / len(got))
             print(f"{tag} {name} mean prec-vs-exact20: "
                   f"{sum(recs) / len(recs):.3f} over {len(recs)} queries ({el:.1f}s)",
