@@ -247,3 +247,119 @@ def q_greedy_coverage_select_batched(spark: SparkSession, sf_dir: str) -> DataFr
         rows,
         "round int, rank_in_round int, doc_id long, gain long, covered_total long",
     )
+
+
+# ---------------------------------------------------------------------------
+# ivf_recall_report — the serving index's recall, as a driver row
+
+_IVR_K = 10  # panel depth on both arms (matches embedding_topk_ivf_batch)
+
+
+def _ivr_oracle() -> str:
+    """Both arms off the SHARED llm_ext8 prefix: the probed candidates
+    (``cand``) ARE the serving entry's, and the exact arm scores the same
+    double-precision 4dp cosine over the full corpus — so the report
+    measures exactly the pipeline it audits."""
+    from .llm_ext8 import IVF_BATCH_CTES
+
+    return f"""
+    WITH {IVF_BATCH_CTES},
+    iv10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM cand) WHERE rn <= {_IVR_K}
+    ),
+    ex AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> e.v[i] * q.qv[i]))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> e.v[i] * e.v[i]))) * q.qn),
+             4) AS cos_sim
+      FROM e CROSS JOIN qs q
+    ),
+    ex10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM ex) WHERE rn <= {_IVR_K}
+    ),
+    ov AS (
+      SELECT x.query_id, COUNT(i.vec_id) AS n_common, COUNT(*) AS n_exact
+      FROM ex10 x LEFT JOIN iv10 i
+        ON i.query_id = x.query_id AND i.vec_id = x.vec_id
+      GROUP BY x.query_id
+    )
+    SELECT query_id, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common * 10000 // n_exact AS BIGINT) AS recall_x1e4
+    FROM ov ORDER BY query_id
+    """
+
+
+@register("ivf_recall_report", oracle=_ivr_oracle())
+def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r14) — the serving index's RECALL as a driver-checkable row:
+    per batch-panel query (vec_id % 100 == 0, the embedding_topk_ivf_batch
+    panel), exact top-{_IVR_K} by the family's 4dp double cosine vs the
+    IVF probe-3 top-{_IVR_K}, reporting (n_common, recall_x1e4). Recall
+    floors have lived in tests since r7; this makes the production
+    quality number a REGISTRY readout the driver value-hashes every
+    window it's seated — the ann_cell_size_report pattern applied to
+    retrieval quality (an index regression shows up as a changed row,
+    not a silently-weaker test margin). Denominator = the ACTUAL exact
+    panel size (the matryoshka short-panel rule).
+
+    Plan at 100 TB: the IVF arm is the serving entry's own plan
+    (broadcast centroids + probe table, one corpus pass); the exact arm
+    is one broadcast panel × corpus map pass + a per-query top-k window
+    — the measurement instrument, run over a sampled panel in
+    production exactly like matryoshka_prefix_recall. Shared oracle
+    prefix (llm_ext8.IVF_BATCH_CTES) pins the audit to the audited
+    pipeline's text.
+    """
+    from ..operators.similarity import cosine, ensure_min_partitions, ivf_topk_batch
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    iv10 = ivf_topk_batch(emb, queries, k=_IVR_K, n_probe=3).select(
+        "query_id", "vec_id"
+    )
+    qpanel = F.broadcast(
+        queries.select("query_id", F.col("embedding").alias("__qvec"))
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    ex10 = (
+        ensure_min_partitions(emb)
+        .crossJoin(qpanel)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 4).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVR_K)
+        .select("query_id", "vec_id")
+    )
+    return (
+        ex10.join(
+            iv10.withColumn("__hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("long").alias("n_common"),
+            F.count(F.lit(1)).cast("long").alias("__ne"),
+        )
+        .select(
+            "query_id",
+            "n_common",
+            F.expr("CAST(n_common * 10000 div __ne AS BIGINT)").alias("recall_x1e4"),
+        )
+        .orderBy("query_id")
+    )

@@ -145,11 +145,11 @@ def q_corpus_js_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFr
 _IVB_K = 10  # results per query
 _IVB_PROBE = 3  # probed cells per query (matches embedding_topk_ivf)
 
-
-@register(
-    "embedding_topk_ivf_batch",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, label,
+#: shared oracle prefix through ``cand`` (the batch panel's probed
+#: candidate scores) — consumed by the serving entry below AND the r14
+#: ``ivf_recall_report`` (llm_ext13), so the recall audit measures
+#: definitionally the SAME index/probe/scoring pipeline it reports on.
+IVF_BATCH_CTES = f"""e AS (SELECT vec_id, label,
                       LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     qs AS (SELECT vec_id AS query_id, v AS qv,
@@ -183,7 +183,13 @@ _IVB_PROBE = 3  # probed cells per query (matches embedding_topk_ivf)
       FROM probe p
       JOIN e ON e.label = p.label
       JOIN qs q ON q.query_id = p.query_id
-    )
+    )"""
+
+
+@register(
+    "embedding_topk_ivf_batch",
+    oracle=f"""
+    WITH {IVF_BATCH_CTES}
     SELECT query_id, CAST(rn AS INT) AS rank, vec_id, cos_sim FROM (
       SELECT query_id, vec_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY query_id

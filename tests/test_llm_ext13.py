@@ -272,3 +272,40 @@ def test_duplicate_ids_collapse_identically(spark, dup_id_dir, entry):
     # picked first is 8 (20-token alpha) + 4 (16-token beta) grams
     first = min(got)
     assert first[-3] == 1 and first[-2] == 12, got
+
+
+# ---------------------------------------------------------------------------
+# ivf_recall_report
+
+
+def test_ivf_recall_report_matches_its_arms(spark):
+    """The report's n_common must equal the overlap of (a) a numpy exact
+    top-10 replay (same 4dp rounding + id tie-break as the engine) and
+    (b) the REGISTERED ivf batch entry's rows — so the report is pinned
+    against an arm it does not share code with."""
+    import numpy as np
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = np.array(t["vec_id"])
+    V = np.array([np.array(x) for x in t["embedding"].to_pylist()], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def exact10(qid):
+        q = Vn[list(ids).index(qid)]
+        s = np.round(Vn @ q, 4)
+        order = sorted(range(len(ids)), key=lambda j: (-s[j], ids[j]))[:10]
+        return {int(ids[j]) for j in order}
+
+    ivf = {}
+    for r in engine.queries()["embedding_topk_ivf_batch"](spark, SF_DIR).collect():
+        ivf.setdefault(r.query_id, set()).add(r.vec_id)
+    report = {
+        r.query_id: (r.n_common, r.recall_x1e4)
+        for r in engine.queries()["ivf_recall_report"](spark, SF_DIR).collect()
+    }
+    assert set(report) == set(ivf) and report
+    for qid, (n_common, recall) in report.items():
+        expected = len(exact10(qid) & ivf[qid])
+        assert n_common == expected, (qid, n_common, expected)
+        assert recall == n_common * 10_000 // 10
+        assert 0 <= recall <= 10_000
