@@ -363,3 +363,96 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum_shard_order — easy→hard ordering INSIDE each training shard
+
+
+def _curriculum_oracle() -> str:
+    """The base shuffle's shard buckets (llm_ext2.training_shard_assignment
+    text) composed with the SHARED CCNet scoring CTE (llm_ext5._CCNET_CTES,
+    the same text perplexity_buckets_ccnet and epoch_repeat_plan consume) —
+    three entries, one scoring definition, zero drift."""
+    from .llm_ext5 import _CCNET_CTES
+
+    return f"""
+    WITH {_CCNET_CTES},
+    k AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':shuffle:42') AS key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) % 8 AS INT)
+               AS shard
+      FROM k
+    )
+    SELECT b.doc_id, s.shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s.shard
+                                   ORDER BY b.unigram_nlp, b.doc_id)
+                AS BIGINT) AS pos,
+           b.unigram_nlp
+    FROM bucketed b JOIN s ON s.doc_id = b.doc_id
+    ORDER BY shard, pos
+    """
+
+
+@register("curriculum_shard_order", oracle=_curriculum_oracle())
+def q_curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r14) — CURRICULUM ordering inside each training shard: the
+    same md5 shard buckets as training_shard_assignment (membership
+    unchanged — the loader still streams the same shards), but the
+    WITHIN-shard order is easiest-first by the shared CCNet unigram
+    negative-log-probability score (ascending = most-predictable text
+    first, the classic curriculum-learning schedule; Bengio et al. 2009).
+    Emits (doc_id, shard, pos, unigram_nlp) — swap this frame for the
+    base shuffle's at shard-write time and the run trains curriculum-
+    ordered with zero other pipeline changes.
+
+    Composition contract: shard buckets are BYTE-IDENTICAL to the base
+    shuffle's (same md5 seed-space ':shuffle:42'), and the score is the
+    SHARED ccnet_bucketed frame (one scoring definition across
+    perplexity_buckets_ccnet, epoch_repeat_plan, and this entry — the
+    epoch_repeat_plan factoring rule). Only the within-shard ORDER BY
+    differs from the base shuffle: (unigram_nlp, doc_id) instead of
+    (md5 key, doc_id).
+
+    Plan at 100 TB: identical dataflow to the base shuffle —
+    repartition(shard) + sortWithinPartitions((score, doc_id)) +
+    partitioned write; the scoring pass is the existing one-corpus-pass
+    token join. A window per shard, never a global sort.
+    """
+    from .llm_ext5 import ccnet_bucketed
+
+    scored = ccnet_bucketed(spark, sf_dir).select("doc_id", "unigram_nlp")
+    keyed = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle:42"))
+            ).alias("__key"),
+        )
+        .withColumn(
+            "shard",
+            (
+                (F.expr("locate(substr(__key, 1, 1), '0123456789abcdef')") - 1) % 8
+            ).cast("int"),
+        )
+        .select("doc_id", "shard")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("unigram_nlp", "doc_id")
+    return (
+        keyed.join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+            "unigram_nlp",
+        )
+        .orderBy("shard", "pos")
+    )

@@ -309,3 +309,46 @@ def test_ivf_recall_report_matches_its_arms(spark):
         assert n_common == expected, (qid, n_common, expected)
         assert recall == n_common * 10_000 // 10
         assert 0 <= recall <= 10_000
+
+
+# ---------------------------------------------------------------------------
+# curriculum_shard_order
+
+
+def test_curriculum_keeps_shard_membership_and_reorders(spark):
+    """Shard membership must be byte-identical to the base shuffle's
+    (same md5 seed-space), positions contiguous per shard, the
+    within-shard order monotone in the score — and the order must
+    actually DIFFER from the base shuffle's (else the curriculum did
+    nothing)."""
+    qs = engine.queries()
+    cur = qs["curriculum_shard_order"](spark, SF_DIR).collect()
+    base = qs["training_shard_assignment"](spark, SF_DIR).collect()
+
+    assert {r.doc_id: r.shard for r in cur} == {r.doc_id: r.shard for r in base}
+
+    by_shard: dict[int, list] = {}
+    for r in cur:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1)), shard
+        scores = [(r.unigram_nlp, r.doc_id) for r in rows]
+        assert scores == sorted(scores), f"shard {shard} not easy-to-hard"
+
+    cur_order = {(r.shard, r.pos): r.doc_id for r in cur}
+    base_order = {(r.shard, r.pos): r.doc_id for r in base}
+    assert cur_order != base_order, "curriculum must change the in-shard order"
+
+
+def test_curriculum_score_is_the_shared_ccnet_score(spark):
+    """One scoring definition across the family: the entry's score must
+    equal ccnet_bucketed's for every doc (the epoch_repeat_plan rule)."""
+    from my_favorite_etl_pipeline_spark.plans.llm_ext5 import ccnet_bucketed
+
+    want = {r.doc_id: r.unigram_nlp for r in ccnet_bucketed(spark, SF_DIR).collect()}
+    got = {
+        r.doc_id: r.unigram_nlp
+        for r in engine.queries()["curriculum_shard_order"](spark, SF_DIR).collect()
+    }
+    assert got == want
