@@ -53,6 +53,35 @@ def minhash_signature(text_col: Column | str, num_perms: int = MINHASH_PERMS) ->
     )
 
 
+def lsh_band_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = MINHASH_PERMS,
+    band_rows: int = MINHASH_BAND_ROWS,
+) -> DataFrame:
+    """The exploded LSH band table ``(id, band_idx, band_hash)`` — the
+    shared blocking unit for both the self-join (near-dup pairs) and the
+    cross-corpus join (fuzzy decontamination, r14): two documents — from
+    the same frame or different frames — are candidates iff they share a
+    (band_idx, band_hash) bucket."""
+    df = ensure_min_partitions(df)
+    n_bands = num_perms // band_rows
+    band_hashes = let(
+        minhash_signature(F.col(text_col), num_perms),
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.xxhash64(
+                *[F.element_at(sig, (b * band_rows + r + 1).cast("int")) for r in range(band_rows)]
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -66,21 +95,7 @@ def lsh_candidate_pairs(
     only documents sharing a band bucket ever meet. Returns distinct
     (id_a, id_b) with id_a < id_b.
     """
-    df = ensure_min_partitions(df)
-    n_bands = num_perms // band_rows
-    band_hashes = let(
-        minhash_signature(F.col(text_col), num_perms),
-        lambda sig: F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands - 1)),
-            lambda b: F.xxhash64(
-                *[F.element_at(sig, (b * band_rows + r + 1).cast("int")) for r in range(band_rows)]
-            ),
-        ),
-    )
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
-    )
+    banded = lsh_band_frame(df, id_col, text_col, num_perms, band_rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

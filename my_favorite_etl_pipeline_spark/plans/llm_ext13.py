@@ -456,3 +456,126 @@ def q_curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_decontaminate_minhash — GPT-3-style fuzzy (near-dup) decontamination
+
+_FUZZ_T = 0.5  # Jaccard threshold (matches the minhash_near_dups entry)
+
+
+def _fuzz_pair_ctes() -> str:
+    """The SHARED exact train×bench pair table ``p (tid, bid, jaccard)``:
+    3-gram Jaccard via the shared inverted-index shingle CTE
+    (llm_ext._DUCK_SHINGLES) against the shared benchmark slice
+    (llm_ext3._BENCH_PRED_SQL — the same eval set every contamination
+    entry uses). One text, two consumers (the batch per-doc rollup and
+    the streaming pair emitter) — the _CCNET_CTES discipline, so the two
+    fuzzy-decontamination oracles cannot drift."""
+    from .llm_ext import _DUCK_SHINGLES
+    from .llm_ext3 import _BENCH_PRED_SQL
+
+    return f"""{_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, LEN(s) AS n FROM sh),
+    ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+    bench AS (SELECT doc_id FROM documents WHERE {_BENCH_PRED_SQL}),
+    inter AS (
+      SELECT a.doc_id AS tid, b.doc_id AS bid, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle
+      WHERE a.doc_id NOT IN (SELECT doc_id FROM bench)
+        AND b.doc_id IN (SELECT doc_id FROM bench)
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT tid, bid,
+             ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON inter.tid = sa.doc_id
+      JOIN sizes sb ON inter.bid = sb.doc_id
+    )"""
+
+
+def _fuzzy_decon_oracle() -> str:
+    """Per-doc rollup over the shared pair table. The oracle is exact
+    all-pairs (the minhash_near_dups precedent: LSH recall at this
+    threshold is overwhelmingly-probably 1, so the verified LSH output
+    must equal the exact answer — a silent recall loss IS a red row)."""
+    return f"""
+    WITH {_fuzz_pair_ctes()}
+    SELECT tid AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+           MAX(jaccard) AS max_jaccard
+    FROM p WHERE jaccard >= {_FUZZ_T}
+    GROUP BY tid ORDER BY doc_id
+    """
+
+
+@register("fuzzy_decontaminate_minhash", oracle=_fuzzy_decon_oracle())
+def q_fuzzy_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r14) — FUZZY decontamination, the GPT-3 appendix-C method the
+    contamination family lacked: a training document is contaminated if
+    it is a NEAR-duplicate (3-gram shingle Jaccard ≥ {_FUZZ_T}) of any
+    benchmark document — catching paraphrase-level leakage the exact
+    13-gram flag misses and the semantic arm only scores. Same eval
+    slice as every contamination entry (the shared md5 bench predicate);
+    emits one row per contaminated train doc: (doc_id, n_bench_matches,
+    max_jaccard) — the drop list plus the evidence strength.
+
+    Pipeline: MinHash band buckets on BOTH slices (the shared
+    lsh_band_frame — one banding definition with the near-dup self-join),
+    cross-corpus candidates = train×bench pairs sharing a (band_idx,
+    band_hash) bucket (an equi-join, never train×bench all-pairs), exact
+    Jaccard verify on the candidates, per-doc aggregate. The oracle is
+    EXACT all-pairs cross-Jaccard — it matches iff LSH recall is 100% on
+    this corpus (miss prob ~3e-12 per qualifying pair at 16 bands × 2
+    rows), the minhash_near_dups contract extended across the corpus
+    boundary.
+
+    Plan at 100 TB: the bench side is eval-suite-sized — its band table
+    broadcasts; candidates are bucket collisions only, then one
+    shingle-array verify join and a per-doc hash aggregate. The xxhash64
+    banding is engine-internal but only generates CANDIDATES; the
+    answer's every value comes from the exact verify, which is why the
+    entry is fully value-hash-checkable.
+    """
+    from ..operators.dedup import lsh_band_frame
+    from .llm_ext3 import _bench_pred
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(~_bench_pred())
+    bench = docs.filter(_bench_pred())
+    cand = (
+        lsh_band_frame(train, "doc_id", "text")
+        .withColumnRenamed("doc_id", "__tid")
+        .join(
+            F.broadcast(
+                lsh_band_frame(bench, "doc_id", "text").withColumnRenamed(
+                    "doc_id", "__bid"
+                )
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("__tid", "__bid")
+        .distinct()
+    )
+    tsh = train.select(
+        F.col("doc_id").alias("__tid"), TX.shingles(F.col("text")).alias("__ts")
+    )
+    bsh = bench.select(
+        F.col("doc_id").alias("__bid"), TX.shingles(F.col("text")).alias("__bs")
+    )
+    jac = F.size(F.array_intersect(F.col("__ts"), F.col("__bs"))) / F.size(
+        F.array_union(F.col("__ts"), F.col("__bs"))
+    )
+    return (
+        cand.join(tsh, "__tid")
+        .join(F.broadcast(bsh), "__bid")
+        .select("__tid", "__bid", F.round(jac, 4).alias("__j"))
+        .filter(F.col("__j") >= _FUZZ_T)
+        .groupBy(F.col("__tid").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_matches"),
+            F.max("__j").alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
+    )

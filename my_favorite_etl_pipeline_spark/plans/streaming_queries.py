@@ -666,3 +666,46 @@ def q_stream_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).orderBy("shard").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# stream_fuzzy_decontaminate — the GPT-3 fuzzy rule applied AT INGEST
+
+
+def _fuzzy_pairs_oracle() -> str:
+    """The SHARED pair CTE of the batch twin (llm_ext13._fuzz_pair_ctes —
+    one exact train×bench Jaccard definition, two consumers), emitted at
+    pair grain instead of rolled up per doc."""
+    from .llm_ext13 import _FUZZ_T, _fuzz_pair_ctes
+
+    return f"""
+    WITH {_fuzz_pair_ctes()}
+    SELECT tid AS doc_id, bid AS bench_id, jaccard
+    FROM p WHERE jaccard >= {_FUZZ_T}
+    ORDER BY doc_id, bench_id
+    """
+
+
+@register("stream_fuzzy_decontaminate", oracle=_fuzzy_pairs_oracle())
+def q_stream_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 × X4 (late r14) — fuzzy decontamination at INGEST TIME: documents
+    arriving on the stream are screened for >= 0.5 3-gram-Jaccard
+    near-duplicates of the static benchmark slice, emitting the evidence
+    pairs (doc_id, bench_id, jaccard) — the GPT-3 appendix-C rule as a
+    continuous-crawl gate, completing the streaming decontamination
+    ladder (exact 13-gram ``stream_decontaminate_flags`` → fuzzy, this).
+
+    Two candidate strategies, one exact answer: the batch twin
+    (``fuzzy_decontaminate_minhash``) generates candidates by MinHash
+    banding (right when both join sides grow); this arm hash-joins each
+    micro-batch against the eval suite's FULL shingle posting list (right
+    when the static side is eval-suite-sized — fixed at any corpus
+    scale). Both verify candidates with the exact array-intersect
+    Jaccard, so both hash-check against the SAME exact all-pairs pair
+    table (shared CTE text). availableNow + complete mode makes the
+    final streaming state equal the batch join; streaming state is ONE
+    row per qualifying (doc, bench) pair.
+    """
+    from ..streaming.windows import stream_fuzzy_decon_pairs
+
+    return stream_fuzzy_decon_pairs(spark, sf_dir)

@@ -254,6 +254,69 @@ def stream_contamination_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink_name).orderBy("doc_id")
 
 
+def stream_fuzzy_decon_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """X6 × X4 — STREAMING fuzzy decontamination: documents arriving on a
+    stream are checked for >= ``threshold`` 3-gram-Jaccard NEAR-duplicates
+    of the static benchmark slice — the GPT-3 appendix-C fuzzy rule
+    applied at ingest, emitting the evidence pairs (doc_id, bench_id,
+    jaccard). The arrival-time twin of ``fuzzy_decontaminate_minhash``.
+
+    Plan note — why the static side is a FULL shingle inverted index here
+    while the batch twin generates candidates by MinHash banding: the
+    static side of decontamination is the EVAL SUITE, fixed-size at any
+    corpus scale, so its complete shingle posting list is small enough to
+    hash-join every micro-batch against (banding pays when BOTH sides
+    grow — the near-dup self-join — not here). Candidates are exact
+    posting-list collisions (recall 1 by construction), verified with
+    the exact array-intersect Jaccard, then ONE stateful aggregate
+    collapses duplicate candidate rows (a pair hits once per shared
+    shingle) — the ``stream_ingest_dedup_pairs`` recipe pointed across
+    the corpus boundary.
+    """
+    from ..functions.text import shingles
+
+    from ..sources.tables import load
+
+    # benchmark predicate restated from plans.llm_ext3 (importing plans
+    # here would be circular: plans package imports streaming)
+    bench_pred = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    sh = shingles(F.col("text"))
+    bench = (
+        load(spark, sf_dir, "documents")
+        .filter(bench_pred)
+        .select(F.col("doc_id").alias("bench_id"), sh.alias("s_b"))
+        .select("bench_id", "s_b", F.size("s_b").alias("nb"))
+    )
+    bench_idx = bench.select("bench_id", F.explode("s_b").alias("sh"))
+    stream = read_documents_stream(spark, sf_dir).filter(~bench_pred)
+    s = stream.select(
+        "doc_id", sh.alias("s_a"), F.size(sh).alias("na"), F.explode(sh).alias("sh")
+    )
+    cand = s.join(bench_idx, "sh").select("doc_id", "bench_id", "s_a", "na")
+    ver = cand.join(bench, "bench_id")  # stream-static equi, stateless
+    c = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
+    pairs = (
+        ver.filter(jac >= threshold)  # unrounded compare, same expr as oracle
+        .select("doc_id", "bench_id", F.round(jac, 4).alias("jaccard"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.min("jaccard").alias("jaccard"))  # identical on every dup row
+    )
+    sink_name = f"fuzzy_decon_sink_{int(time.time() * 1000) % 10_000_000}"
+    with stream_shuffle_scope(spark, n=16):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink_name).orderBy("doc_id", "bench_id")
+
+
 # Session-scoped memo for the materialized static-side dedup index
 # (VERDICT r7 item 6): both frames derive ONLY from the static reference
 # corpus, so rebuilding the explode → df-count → rarest-first window chain

@@ -352,3 +352,91 @@ def test_curriculum_score_is_the_shared_ccnet_score(spark):
         for r in engine.queries()["curriculum_shard_order"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_decontaminate_minhash
+
+
+def test_fuzzy_decontaminate_matches_exact_python(spark):
+    """Independent replay: exact 3-gram shingle sets, exact cross
+    Jaccard as integer fractions (c/(na+nb-c) >= 1/2 ⟺ 2c >= na+nb-c,
+    no float in the threshold decision), per-doc match counts. The LSH
+    funnel must lose NO qualifying pair — same contract the oracle
+    enforces cross-engine."""
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+
+    def is_bench(doc_id: int) -> bool:
+        import hashlib
+
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[0] == "0"
+
+    def sh3(text: str) -> set:
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    train = {d["doc_id"]: sh3(d["text"]) for d in docs if not is_bench(d["doc_id"])}
+    bench = {d["doc_id"]: sh3(d["text"]) for d in docs if is_bench(d["doc_id"])}
+    assert bench, "fixture must have a non-empty bench slice"
+    expected: dict[int, list] = {}
+    for tid, ts in train.items():
+        for bid, bs in bench.items():
+            c = len(ts & bs)
+            if c and 2 * c >= len(ts) + len(bs) - c:  # jaccard >= 0.5, exact
+                j = c / (len(ts) + len(bs) - c)
+                expected.setdefault(tid, []).append(j)
+    got = {
+        r.doc_id: (r.n_bench_matches, r.max_jaccard)
+        for r in engine.queries()["fuzzy_decontaminate_minhash"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expected) and expected
+    for tid, js in expected.items():
+        n, mx = got[tid]
+        assert n == len(js), (tid, n, len(js))
+        assert abs(mx - max(js)) < 1e-3, (tid, mx, max(js))
+    assert not (set(got) & set(bench)), "bench docs must never be flagged as train"
+
+
+# ---------------------------------------------------------------------------
+# stream_fuzzy_decontaminate
+
+
+def test_stream_fuzzy_decon_pairs_match_exact_python(spark):
+    """The streaming arm must emit EXACTLY the qualifying (train, bench)
+    pairs of the exact all-pairs replay (posting-list candidates have
+    recall 1 by construction — any missing pair is an engine bug, not an
+    LSH probability), and its per-doc rollup must equal the batch twin's
+    answer (two candidate strategies, one result)."""
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+
+    def is_bench(doc_id: int) -> bool:
+        import hashlib
+
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[0] == "0"
+
+    def sh3(text: str) -> set:
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    train = {d["doc_id"]: sh3(d["text"]) for d in docs if not is_bench(d["doc_id"])}
+    bench = {d["doc_id"]: sh3(d["text"]) for d in docs if is_bench(d["doc_id"])}
+    expected = {}
+    for tid, ts in train.items():
+        for bid, bs in bench.items():
+            c = len(ts & bs)
+            if c and 2 * c >= len(ts) + len(bs) - c:  # jaccard >= 0.5, exact
+                expected[(tid, bid)] = c / (len(ts) + len(bs) - c)
+    rows = engine.queries()["stream_fuzzy_decontaminate"](spark, SF_DIR).collect()
+    got = {(r.doc_id, r.bench_id): r.jaccard for r in rows}
+    assert set(got) == set(expected) and expected
+    for k, j in expected.items():
+        assert abs(got[k] - j) < 1e-3, (k, got[k], j)
+    batch = {
+        r.doc_id: (r.n_bench_matches, r.max_jaccard)
+        for r in engine.queries()["fuzzy_decontaminate_minhash"](spark, SF_DIR).collect()
+    }
+    rollup = {}
+    for (tid, _bid), j in got.items():
+        n, mx = rollup.get(tid, (0, 0.0))
+        rollup[tid] = (n + 1, max(mx, j))
+    assert rollup == batch
