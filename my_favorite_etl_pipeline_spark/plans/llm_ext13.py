@@ -579,3 +579,128 @@ def q_fuzzy_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# doremi_domain_weights — multiplicative-weights domain reweighting
+
+_MW_ROUNDS = 4  # weight-update rounds (DoReMi's T, scaled to the fixture)
+_MW_DEN = 10_000  # per-round factor = (DEN + excess_micro) / DEN, exact ints
+_MW_PPM = 1_000_000  # weights normalized to parts-per-million each round
+
+
+def _doremi_oracle() -> str:
+    """Replays the per-source loss aggregation over the SHARED CCNet
+    scoring CTE (llm_ext5._CCNET_CTES — one scoring definition across
+    perplexity_buckets_ccnet / epoch_repeat_plan / curriculum_shard_order
+    / this entry) and every multiplicative-weights round as generated
+    CTEs in exact BIGINT arithmetic (the GD-training / greedy-coverage
+    precedent). Every SUM is CAST back to BIGINT at the generator so no
+    HUGEINT reaches an output column (the r12 lint contract)."""
+    from .llm_ext5 import _CCNET_CTES
+
+    rounds = []
+    prev = "w0"
+    for r in range(1, _MW_ROUNDS + 1):
+        rounds.append(
+            f"""u{r} AS (SELECT source, w * ({_MW_DEN} + excess_micro) AS u
+             FROM {prev}),
+    w{r} AS (SELECT ex.source, ex.excess_micro,
+                    u.u * {_MW_PPM}
+                      // (SELECT CAST(SUM(u) AS BIGINT) FROM u{r}) AS w
+             FROM ex JOIN u{r} u USING (source))"""
+        )
+        prev = f"w{r}"
+    avg = " + ".join(f"w{r}.w" for r in range(1, _MW_ROUNDS + 1))
+    joins = "\n    ".join(
+        f"JOIN w{r} ON w{r}.source = ex.source" for r in range(1, _MW_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_CCNET_CTES},
+    dm AS (SELECT doc_id, CAST(ROUND(s * 10000) AS BIGINT) AS m FROM sc),
+    ds AS (SELECT d.source, dm.m
+           FROM documents d JOIN dm ON d.doc_id = dm.doc_id),
+    agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(m) AS BIGINT) AS sm
+            FROM ds GROUP BY source),
+    ctot AS (SELECT CAST(SUM(sm) AS BIGINT) // CAST(SUM(n_docs) AS BIGINT) AS l0
+             FROM agg),
+    ex AS (SELECT source, n_docs, sm // n_docs AS loss_micro,
+                  GREATEST(sm // n_docs - (SELECT l0 FROM ctot), 0) AS excess_micro
+           FROM agg),
+    w0 AS (SELECT source, excess_micro,
+                  {_MW_PPM} // (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS w
+           FROM ex),
+    {",".join(rounds)}
+    SELECT ex.source, ex.n_docs, ex.loss_micro, ex.excess_micro,
+           w{_MW_ROUNDS}.w AS w_final_ppm,
+           ({avg}) // {_MW_ROUNDS} AS w_avg_ppm
+    FROM ex
+    {joins}
+    ORDER BY ex.source
+    """
+
+
+@register("doremi_domain_weights", oracle=_doremi_oracle())
+def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (late r14) — DoReMi-style domain mixture reweighting (Xie et
+    al. 2023): the data-side half of Domain Reweighting with Minimax
+    Optimization — per-domain EXCESS loss drives multiplicative-weights
+    rounds, and the round-AVERAGED weights are the mixture the main run
+    trains on. Honest scope: DoReMi proper alternates proxy-model
+    training with the update; with a FIXED scorer (the SHARED CCNet
+    unigram-NLP score — one definition across four entries) the operator
+    is the update schedule itself, the piece that turns measured
+    per-domain losses into sampling weights.
+
+    Exact integer contract: per-doc scores → micro-units (the 4dp score
+    ×10000, exactly representable), per-source loss = floor-mean of
+    micro-units, excess = max(loss − corpus loss, 0), and each round
+    multiplies by (10000 + excess)/10000 then renormalizes to
+    parts-per-million with floor division — no float anywhere past the
+    shared scorer, so the whole trajectory value-hash-replays in SQL.
+
+    Plan at 100 TB: corpus-scale work is the shared scorer (one token
+    explode + two hash aggs) plus ONE per-source aggregate; the MW
+    iteration runs on |domains| rows of driver state (the GD-gradient /
+    histogram-walk precedent — model-sized by definition) and the result
+    re-enters Spark as a |domains|-row frame.
+    """
+    from .llm_ext5 import ccnet_bucketed
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = ccnet_bucketed(spark, sf_dir).select("doc_id", "unigram_nlp")
+    per_source = (
+        docs.join(scored, "doc_id")
+        .withColumn("m", F.round(F.col("unigram_nlp") * 10000).cast("long"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("m").alias("sm"),
+        )
+        .collect()  # model-sized: one row per domain
+    )
+    tot_m = sum(r.sm for r in per_source)
+    tot_n = sum(r.n_docs for r in per_source)
+    l0 = tot_m // tot_n
+    srcs = sorted(per_source, key=lambda r: r.source)
+    loss = {r.source: r.sm // r.n_docs for r in srcs}
+    excess = {s: max(v - l0, 0) for s, v in loss.items()}
+    w = {r.source: _MW_PPM // len(srcs) for r in srcs}
+    acc = {r.source: 0 for r in srcs}
+    for _ in range(_MW_ROUNDS):
+        u = {s: w[s] * (_MW_DEN + excess[s]) for s in w}
+        su = sum(u.values())
+        w = {s: u[s] * _MW_PPM // su for s in u}
+        for s in w:
+            acc[s] += w[s]
+    rows = [
+        (r.source, r.n_docs, loss[r.source], excess[r.source], w[r.source],
+         acc[r.source] // _MW_ROUNDS)
+        for r in srcs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs long, loss_micro long, excess_micro long, "
+        "w_final_ppm long, w_avg_ppm long",
+    ).orderBy("source")

@@ -440,3 +440,56 @@ def test_stream_fuzzy_decon_pairs_match_exact_python(spark):
         n, mx = rollup.get(tid, (0, 0.0))
         rollup[tid] = (n + 1, max(mx, j))
     assert rollup == batch
+
+
+# ---------------------------------------------------------------------------
+# doremi_domain_weights
+
+
+def test_doremi_domain_weights_match_exact_python(spark):
+    """Full-pipeline replay in pure Python: corpus unigram frequencies,
+    per-doc CCNet score (rounded 4dp — the shared scorer's contract),
+    micro-unit conversion, per-source floor-mean loss, clipped excess,
+    and every multiplicative-weights round in exact ints. Every output
+    value must match exactly (integers end-to-end past the scorer).
+    Plus the invariants: weights stay normalized to 1e6 ppm within
+    floor-division slack, and the max-excess domain holds the max final
+    weight (the minimax direction of the update)."""
+    import math
+    from collections import Counter, defaultdict
+
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    freq = Counter(w for d in docs for w in d["text"].split(" "))
+    tot = sum(freq.values())
+    micro = {}
+    for d in docs:
+        toks = d["text"].split(" ")
+        s = round(sum(-math.log(freq[w] / tot) for w in toks) / len(toks), 4)
+        micro[d["doc_id"]] = round(s * 10000)
+    by_src = defaultdict(list)
+    for d in docs:
+        by_src[d["source"]].append(micro[d["doc_id"]])
+    l0 = sum(micro.values()) // len(micro)
+    loss = {s: sum(v) // len(v) for s, v in by_src.items()}
+    excess = {s: max(v - l0, 0) for s, v in loss.items()}
+    srcs = sorted(by_src)
+    w = {s: 1_000_000 // len(srcs) for s in srcs}
+    acc = {s: 0 for s in srcs}
+    for _ in range(4):
+        u = {s: w[s] * (10_000 + excess[s]) for s in srcs}
+        su = sum(u.values())
+        w = {s: u[s] * 1_000_000 // su for s in srcs}
+        for s in srcs:
+            acc[s] += w[s]
+    rows = engine.queries()["doremi_domain_weights"](spark, SF_DIR).collect()
+    assert [r.source for r in rows] == srcs
+    for r in rows:
+        assert r.n_docs == len(by_src[r.source])
+        assert r.loss_micro == loss[r.source], (r.source, r.loss_micro)
+        assert r.excess_micro == excess[r.source]
+        assert r.w_final_ppm == w[r.source]
+        assert r.w_avg_ppm == acc[r.source] // 4
+    total = sum(r.w_final_ppm for r in rows)
+    assert 1_000_000 - len(srcs) <= total <= 1_000_000
+    hot = max(rows, key=lambda r: r.excess_micro)
+    assert hot.w_final_ppm == max(r.w_final_ppm for r in rows)

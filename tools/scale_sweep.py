@@ -50,6 +50,7 @@ DEFAULT_SET = [
     "greedy_gram_coverage_select",  # 5-round anti-join + agg selection (r14)
     "greedy_coverage_select_batched",  # batch-greedy scale path, 2 rounds (r14)
     "fuzzy_decontaminate_minhash",  # cross-corpus LSH decontamination (r14)
+    "doremi_domain_weights",  # shared scorer + |domains|-row MW state (r14)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
