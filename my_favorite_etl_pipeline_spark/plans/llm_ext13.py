@@ -704,3 +704,117 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, n_docs long, loss_micro long, excess_micro long, "
         "w_final_ppm long, w_avg_ppm long",
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_lpa_communities — label propagation over the near-dup graph
+
+_LPA_ROUNDS = 3  # synchronous vote rounds (a knob; one join+agg each)
+
+
+def _lpa_round_cte(i: int) -> str:
+    """One synchronous label-propagation round as a CTE:
+    ``lp{i-1}`` → ``lp{i}``. Each node adopts the most frequent label
+    among its undirected neighbors PLUS itself (the self-vote damps the
+    2-cycle oscillation synchronous LPA is known for), ties → smallest
+    label — pure integer counts and ids, so both engines pick
+    identically."""
+    return f""",
+    v{i} AS (
+      SELECT u.node, l.lab FROM und u JOIN lp{i - 1} l ON u.nbr = l.node
+      UNION ALL
+      SELECT node, lab FROM lp{i - 1}
+    ),
+    lp{i} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY COUNT(*) DESC, lab) AS rk
+        FROM v{i} GROUP BY node, lab)
+      WHERE rk = 1
+    )"""
+
+
+def _lpa_oracle() -> str:
+    from .llm_ext7 import _KNN_K, _knn_base_cte
+
+    rounds = "".join(_lpa_round_cte(i) for i in range(1, _LPA_ROUNDS + 1))
+    return f"""
+    {_knn_base_cte()},
+    ed AS (SELECT src_id, nbr_id FROM e0 WHERE rnk <= {_KNN_K}),
+    und AS (SELECT DISTINCT node, nbr FROM (
+      SELECT src_id AS node, nbr_id AS nbr FROM ed
+      UNION ALL
+      SELECT nbr_id AS node, src_id AS nbr FROM ed)),
+    lp0 AS (SELECT DISTINCT node, node AS lab FROM und){rounds}
+    SELECT l.node AS vec_id, l.lab AS community,
+           s.n AS community_size
+    FROM lp{_LPA_ROUNDS} l
+    JOIN (SELECT lab, CAST(COUNT(*) AS BIGINT) AS n
+          FROM lp{_LPA_ROUNDS} GROUP BY lab) s ON s.lab = l.lab
+    ORDER BY vec_id
+    """
+
+
+@register("knn_graph_lpa_communities", oracle=_lpa_oracle())
+def q_knn_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (late r14) — label-propagation COMMUNITY DETECTION (Raghavan
+    et al. 2007) over the undirected base kNN graph: the graph family's
+    mesoscale readout between connected components (too coarse — one
+    giant component swallows distinct topics) and SemDeDup cells (fixed
+    count, geometry-only). Communities over the near-dup graph are the
+    "topic islands" a curation run reads to audit mixture coverage and
+    to cap per-community sampling. Emits (vec_id, community,
+    community_size) after {_LPA_ROUNDS} synchronous rounds.
+
+    Determinism contract: labels start as node ids; each round every
+    node adopts the most frequent label among its neighbors and itself
+    (the self-vote damps synchronous LPA's classic 2-cycle oscillation),
+    ties → smallest label. Votes are integer counts of integer labels —
+    nothing float anywhere — so every round replays exactly in the
+    oracle's generated per-round CTEs (the PageRank/NN-Descent
+    trajectory precedent).
+
+    Plan at 100 TB: the Pregel-on-DataFrames shape — per round ONE
+    equi-join of the undirected edge list against the n-row label table
+    + one (node, label) hash agg + one per-node top-1 window on the
+    agg output (grouped-top-1, not a global sort). Edges persist once
+    (CACHE OWNERSHIP); labels stay distributed, zero driver state;
+    rounds is a knob, cost linear in it.
+    """
+    from pyspark.sql import Window
+
+    from ..caching import tracked_persist
+    from .llm_ext7 import _knn_base_edges
+
+    _, edges = _knn_base_edges(spark, sf_dir)
+    ed = edges.select("src_id", "nbr_id")
+    und = tracked_persist(
+        ed.select(F.col("src_id").alias("node"), F.col("nbr_id").alias("nbr"))
+        .unionAll(ed.select(F.col("nbr_id").alias("node"), F.col("src_id").alias("nbr")))
+        .distinct()
+    )
+    lp = und.select("node").distinct().select("node", F.col("node").alias("lab"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            und.join(lp.withColumnRenamed("node", "nbr"), "nbr")
+            .select("node", "lab")
+            .unionAll(lp.select("node", "lab"))
+        )
+        cnt = votes.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab"))
+        lp = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lab")
+        )
+    sizes = lp.groupBy("lab").agg(F.count(F.lit(1)).cast("long").alias("community_size"))
+    return (
+        lp.join(sizes, "lab")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("lab").alias("community"),
+            "community_size",
+        )
+        .orderBy("vec_id")
+    )

@@ -493,3 +493,40 @@ def test_doremi_domain_weights_match_exact_python(spark):
     assert 1_000_000 - len(srcs) <= total <= 1_000_000
     hot = max(rows, key=lambda r: r.excess_micro)
     assert hot.w_final_ppm == max(r.w_final_ppm for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_lpa_communities
+
+
+def test_lpa_communities_match_pure_python_propagation(spark):
+    """Replay the 3 synchronous vote rounds in pure Python over the
+    REGISTERED base edge list (knn_graph_topk — itself oracle-checked, so
+    the graph is pinned elsewhere; this test pins the PROPAGATION logic:
+    undirected + self vote, most-frequent label, ties to smallest)."""
+    from collections import Counter, defaultdict
+
+    edges = [
+        (r.src_id, r.nbr_id)
+        for r in engine.queries()["knn_graph_topk"](spark, SF_DIR).collect()
+    ]
+    und = defaultdict(set)
+    for a, b in edges:
+        und[a].add(b)
+        und[b].add(a)
+    lab = {n: n for n in und}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in und.items():
+            votes = Counter(lab[m] for m in nbrs)
+            votes[lab[n]] += 1  # self vote
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lab = new
+    sizes = Counter(lab.values())
+    rows = engine.queries()["knn_graph_lpa_communities"](spark, SF_DIR).collect()
+    got = {r.vec_id: (r.community, r.community_size) for r in rows}
+    assert got == {n: (l, sizes[l]) for n, l in lab.items()}
+    # non-vacuous: propagation actually merged labels (communities exist)
+    assert len(sizes) < len(und)
+    assert max(sizes.values()) > 1

@@ -51,6 +51,7 @@ DEFAULT_SET = [
     "greedy_coverage_select_batched",  # batch-greedy scale path, 2 rounds (r14)
     "fuzzy_decontaminate_minhash",  # cross-corpus LSH decontamination (r14)
     "doremi_domain_weights",  # shared scorer + |domains|-row MW state (r14)
+    "knn_graph_lpa_communities",  # Pregel-shape LPA rounds over the kNN graph (r14)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
