@@ -818,3 +818,150 @@ def q_knn_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# wordpiece_train_merges — likelihood-scored merge training
+
+_WP_ROUNDS = 8  # merge rules learned
+_WP_SCALE = 10**12  # fixed-point quantum for the likelihood score
+
+
+def _wp_round_cte(r: int) -> str:
+    """One WordPiece round as CTEs: unigram counts ug{r} + pair counts
+    pc{r} from ``w{r-1}``, pick best{r} by the 1e12-quantized likelihood
+    score count(a,b)·SCALE // (count(a)·count(b)) (ties → score DESC,
+    lhs, rhs — the floor-quantized score IS the selection contract, so
+    both engines pick identically), apply the merge into w{r} with the
+    BPE double-space REPLACE (llm_ext8 module comment)."""
+    prev = f"w{r - 1}"
+    return f""",
+    px{r} AS (
+      SELECT t, cnt, UNNEST(range(len(t) - 1)) AS i
+      FROM (SELECT string_split(trim(seq), '  ') AS t, cnt FROM {prev})
+    ),
+    ug{r} AS (
+      SELECT s, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        SELECT UNNEST(string_split(trim(seq), '  ')) AS s, cnt FROM {prev})
+      GROUP BY s
+    ),
+    pc{r} AS (
+      SELECT t[i + 1] AS a, t[i + 2] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM px{r} GROUP BY 1, 2
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT a, b, c, score FROM (
+        SELECT p.a, p.b, p.c,
+               p.c * {_WP_SCALE} // (ua.c * ub.c) AS score
+        FROM pc{r} p JOIN ug{r} ua ON ua.s = p.a JOIN ug{r} ub ON ub.s = p.b
+      ) ORDER BY score DESC, a, b LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT w.word, REPLACE(w.seq, ' ' || b.a || '  ' || b.b || ' ',
+                                    ' ' || b.a || b.b || ' ') AS seq, w.cnt
+      FROM {prev} w CROSS JOIN best{r} b
+    )"""
+
+
+def _wp_oracle() -> str:
+    from .llm_ext8 import _BPE_INIT_CTES
+
+    rounds = "".join(_wp_round_cte(r) for r in range(1, _WP_ROUNDS + 1))
+    final = " UNION ALL ".join(
+        f"SELECT {r} AS r, a, b, c, score FROM best{r}"
+        for r in range(1, _WP_ROUNDS + 1)
+    )
+    return f"""
+    {_BPE_INIT_CTES}{rounds}
+    SELECT CAST(r AS INT) AS merge_rank, a AS lhs, b AS rhs,
+           c AS pair_count, score AS score_x1e12
+    FROM ({final}) ORDER BY merge_rank
+    """
+
+
+@register("wordpiece_train_merges", oracle=_wp_oracle())
+def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (late r14) — WordPiece-scored tokenizer TRAINING (Schuster &
+    Nakajima 2012; the BERT tokenizer's objective): identical merge
+    machinery to ``bpe_train_merges`` but the round's winner maximizes
+    the LIKELIHOOD gain count(a,b) / (count(a)·count(b)) instead of the
+    raw pair count — the pair whose merge most increases corpus
+    likelihood under a unigram symbol model, which demotes
+    frequent-but-independent pairs BPE greedily fuses. Completes the
+    trainer triad (BPE count-greedy / unigram-LM EM-prune / WordPiece
+    likelihood-greedy). Emits (merge_rank, lhs, rhs, pair_count,
+    score_x1e12).
+
+    Shared-definition discipline: both trainers open from the SAME init
+    text (llm_ext8._BPE_INIT_CTES / bpe_init_vocab — one symbol-table
+    definition) and use the SAME double-space literal-REPLACE merge pass,
+    so the two entries differ in exactly one CTE: the argmax rule.
+
+    Determinism contract: the selection score is the 1e12-quantized
+    floor of the likelihood ratio in BIGINT (exact on both engines —
+    products bounded well inside int64 at fixture scale; production
+    rescales counts, the score is scale-invariant), ties → (score DESC,
+    lhs, rhs) binary collation. Every round replays as generated
+    MATERIALIZED CTEs — the driver hash-checks the full trajectory.
+
+    Plan at 100 TB: as the BPE entry — ONE corpus-sized pass (the word-
+    frequency hash agg), then every round runs on the VOCAB table:
+    one pair-count agg + one unigram agg + a 1-row TakeOrdered collect
+    (parameter-sized driver state) + a map-only literal replace.
+    """
+    from .llm_ext8 import bpe_init_vocab
+
+    cur = bpe_init_vocab(spark, sf_dir)
+    out: list[tuple[int, str, str, int, int]] = []
+    for r in range(1, _WP_ROUNDS + 1):
+        toks = F.split(F.trim(F.col("seq")), "  ")
+        ug = (
+            cur.select(F.explode(toks).alias("s"), "cnt")
+            .groupBy("s")
+            .agg(F.sum("cnt").alias("uc"))
+        )
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.when(
+                        F.size(toks) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(toks) - 2),
+                            lambda i: F.struct(
+                                F.get(toks, i).alias("a"),
+                                F.get(toks, i + 1).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = (
+            pairs.join(ug.withColumnRenamed("s", "a").withColumnRenamed("uc", "ca"), "a")
+            .join(ug.withColumnRenamed("s", "b").withColumnRenamed("uc", "cb"), "b")
+            .select(
+                "a",
+                "b",
+                "c",
+                F.expr(f"c * {_WP_SCALE} DIV (ca * cb)").alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((r, best.a, best.b, int(best.c), int(best.score)))
+        cur = cur.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {best.a}  {best.b} "),
+                F.lit(f" {best.a}{best.b} "),
+            ),
+        )
+    return spark.createDataFrame(
+        out,
+        "merge_rank int, lhs string, rhs string, pair_count long, score_x1e12 long",
+    )

@@ -262,14 +262,11 @@ def _bpe_round_cte(r: int) -> str:
     )"""
 
 
-def _bpe_cte_prefix() -> str:
-    """Shared oracle prefix through ``w{_BPE_ROUNDS}`` — word-frequency
-    vocab, char-level init, and all training rounds. Consumed by the
-    trainer oracle (merge-table selection) AND the encode oracle (word →
-    segmentation map), so the tokenizer that encodes is provably the
-    tokenizer that was trained (the _knn_refined_cte precedent)."""
-    rounds = "".join(_bpe_round_cte(r) for r in range(1, _BPE_ROUNDS + 1))
-    return f"""
+#: Word-frequency vocab + char-level init — the shared opening of EVERY
+#: merge-based tokenizer trainer (BPE here; the WordPiece-scored twin in
+#: llm_ext13 consumes the same text, so the two trainers provably start
+#: from the identical symbol table).
+_BPE_INIT_CTES = """
     WITH wc AS (
       SELECT word, COUNT(*) AS cnt FROM (
         SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
@@ -281,7 +278,17 @@ def _bpe_cte_prefix() -> str:
                               i -> substr(word, CAST(i + 1 AS INT), 1)),
                '  ') || '  </w>  ' AS seq, cnt
       FROM wc
-    ){rounds}"""
+    )"""
+
+
+def _bpe_cte_prefix() -> str:
+    """Shared oracle prefix through ``w{_BPE_ROUNDS}`` — word-frequency
+    vocab, char-level init, and all training rounds. Consumed by the
+    trainer oracle (merge-table selection) AND the encode oracle (word →
+    segmentation map), so the tokenizer that encodes is provably the
+    tokenizer that was trained (the _knn_refined_cte precedent)."""
+    rounds = "".join(_bpe_round_cte(r) for r in range(1, _BPE_ROUNDS + 1))
+    return f"{_BPE_INIT_CTES}{rounds}"
 
 
 def _bpe_oracle() -> str:
@@ -326,14 +333,11 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_learn(
-    spark: SparkSession, sf_dir: str
-) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
-    """Run the {_BPE_ROUNDS}-round BPE training loop; return the learned
-    ``(rank, lhs, rhs, count)`` merge table AND the final vocab frame
-    ``(word, seq, cnt)`` with every merge applied — the word →
-    segmentation map the encode pass joins against (production tokenizers
-    memoize exactly this table)."""
+def bpe_init_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted ``(word, seq, cnt)`` char-level init vocab — the
+    Spark twin of ``_BPE_INIT_CTES``, shared by the BPE trainer and the
+    WordPiece-scored trainer (llm_ext13) so both start from the identical
+    symbol table."""
     from ..caching import tracked_persist
 
     docs = load(spark, sf_dir, "documents")
@@ -347,7 +351,7 @@ def _bpe_learn(
         F.sequence(F.lit(0), F.length("word") - 1),
         lambda i: F.col("word").substr(i + 1, F.lit(1)),
     )
-    cur = tracked_persist(
+    return tracked_persist(
         wc.select(
             "word",
             F.concat(F.lit("  "), F.array_join(chars, "  "), F.lit("  </w>  ")).alias(
@@ -356,6 +360,17 @@ def _bpe_learn(
             "cnt",
         )
     )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the {_BPE_ROUNDS}-round BPE training loop; return the learned
+    ``(rank, lhs, rhs, count)`` merge table AND the final vocab frame
+    ``(word, seq, cnt)`` with every merge applied — the word →
+    segmentation map the encode pass joins against (production tokenizers
+    memoize exactly this table)."""
+    cur = bpe_init_vocab(spark, sf_dir)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_ROUNDS + 1):
         toks = F.split(F.trim(F.col("seq")), "  ")

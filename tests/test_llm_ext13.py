@@ -530,3 +530,47 @@ def test_lpa_communities_match_pure_python_propagation(spark):
     # non-vacuous: propagation actually merged labels (communities exist)
     assert len(sizes) < len(und)
     assert max(sizes.values()) > 1
+
+
+# ---------------------------------------------------------------------------
+# wordpiece_train_merges
+
+
+def test_wordpiece_train_matches_pure_python(spark):
+    """Full trainer replay in pure Python: char-init vocab, weighted
+    unigram/pair counts per round, the 1e12-quantized likelihood argmax
+    with (score DESC, lhs, rhs) ties, left-to-right non-overlapping merge
+    application. All five output columns must match exactly."""
+    from collections import Counter
+
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    wc = Counter(w for d in docs for w in d["text"].split(" ") if w != "")
+    seqs = {w: list(w) + ["</w>"] for w in wc}
+    expected = []
+    for r in range(1, 9):
+        ug: Counter = Counter()
+        pc: Counter = Counter()
+        for w, cnt in wc.items():
+            t = seqs[w]
+            for s in t:
+                ug[s] += cnt
+            for i in range(len(t) - 1):
+                pc[(t[i], t[i + 1])] += cnt
+        scored = [
+            (c * 10**12 // (ug[a] * ug[b]), a, b, c) for (a, b), c in pc.items()
+        ]
+        score, a, b, c = sorted(scored, key=lambda x: (-x[0], x[1], x[2]))[0]
+        expected.append((r, a, b, c, score))
+        for w in seqs:
+            t, out, i = seqs[w], [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            seqs[w] = out
+    rows = engine.queries()["wordpiece_train_merges"](spark, SF_DIR).collect()
+    got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count, r.score_x1e12) for r in rows]
+    assert got == expected

@@ -52,6 +52,7 @@ DEFAULT_SET = [
     "fuzzy_decontaminate_minhash",  # cross-corpus LSH decontamination (r14)
     "doremi_domain_weights",  # shared scorer + |domains|-row MW state (r14)
     "knn_graph_lpa_communities",  # Pregel-shape LPA rounds over the kNN graph (r14)
+    "wordpiece_train_merges",  # vocab-table trainer: one corpus pass then model-sized (r14)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
