@@ -735,7 +735,11 @@ def _lpa_round_cte(i: int) -> str:
     )"""
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte_chain() -> str:
+    """The full LPA trajectory as a reusable CTE chain ending at
+    ``lp{_LPA_ROUNDS}(node, lab)`` — factored (late r14) so the
+    community-capped selection composes the IDENTICAL clustering (the
+    `_pagerank_cte` precedent)."""
     from .llm_ext7 import _KNN_K, _knn_base_cte
 
     rounds = "".join(_lpa_round_cte(i) for i in range(1, _LPA_ROUNDS + 1))
@@ -746,7 +750,12 @@ def _lpa_oracle() -> str:
       SELECT src_id AS node, nbr_id AS nbr FROM ed
       UNION ALL
       SELECT nbr_id AS node, src_id AS nbr FROM ed)),
-    lp0 AS (SELECT DISTINCT node, node AS lab FROM und){rounds}
+    lp0 AS (SELECT DISTINCT node, node AS lab FROM und){rounds}"""
+
+
+def _lpa_oracle() -> str:
+    return f"""
+    {_lpa_cte_chain()}
     SELECT l.node AS vec_id, l.lab AS community,
            s.n AS community_size
     FROM lp{_LPA_ROUNDS} l
@@ -782,6 +791,24 @@ def q_knn_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CACHE OWNERSHIP); labels stay distributed, zero driver state;
     rounds is a knob, cost linear in it.
     """
+    lp = lpa_labels(spark, sf_dir)
+    sizes = lp.groupBy("lab").agg(F.count(F.lit(1)).cast("long").alias("community_size"))
+    return (
+        lp.join(sizes, "lab")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("lab").alias("community"),
+            "community_size",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED shared label frame ``(node, lab)`` after
+    ``_LPA_ROUNDS`` rounds — the Spark twin of ``_lpa_cte_chain``,
+    consumed by the registered community query and the community-capped
+    selection (one propagation definition, two consumers)."""
     from pyspark.sql import Window
 
     from ..caching import tracked_persist
@@ -808,16 +835,7 @@ def q_knn_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("node", "lab")
         )
-    sizes = lp.groupBy("lab").agg(F.count(F.lit(1)).cast("long").alias("community_size"))
-    return (
-        lp.join(sizes, "lab")
-        .select(
-            F.col("node").alias("vec_id"),
-            F.col("lab").alias("community"),
-            "community_size",
-        )
-        .orderBy("vec_id")
-    )
+    return lp
 
 
 # ---------------------------------------------------------------------------
@@ -964,4 +982,77 @@ def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out,
         "merge_rank int, lhs string, rhs string, pair_count long, score_x1e12 long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# community_capped_select — cluster-balanced curation over the communities
+
+_CAP_K = 4  # docs kept per community
+
+
+def _cap_oracle() -> str:
+    """Composes the SHARED LPA trajectory (`_lpa_cte_chain` — the
+    identical clustering the registered community entry checks) with the
+    SHARED CCNet scoring CTE (no CTE-name overlap between the chains,
+    verified at authoring) and a per-community top-{_CAP_K} window."""
+    from .llm_ext5 import _CCNET_CTES
+
+    return f"""
+    {_lpa_cte_chain()},
+    {_CCNET_CTES},
+    keepers AS (
+      SELECT l.lab AS community, l.node AS doc_id, sc.s AS unigram_nlp,
+             ROW_NUMBER() OVER (PARTITION BY l.lab
+                                ORDER BY sc.s, l.node) AS rk
+      FROM lp{_LPA_ROUNDS} l JOIN sc ON sc.doc_id = l.node
+    )
+    SELECT community, CAST(rk AS INT) AS rank_in_community,
+           doc_id, unigram_nlp
+    FROM keepers WHERE rk <= {_CAP_K}
+    ORDER BY community, doc_id
+    """
+
+
+@register("community_capped_select", oracle=_cap_oracle())
+def q_community_capped_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 × X4 (late r14) — community-CAPPED selection: keep the
+    {_CAP_K} highest-quality documents per LPA community (lowest shared
+    CCNet unigram-NLP score = CCNet's "head"; ties → lowest doc_id) —
+    cluster-balanced curation, the DataComp/SemDeDup-style move that
+    stops one giant topic island from dominating the kept set while
+    still keeping its best exemplars. Emits (community,
+    rank_in_community, doc_id, unigram_nlp) for the kept rows.
+
+    Pure composition of two audited shared definitions: the LPA label
+    frame (`lpa_labels` / `_lpa_cte_chain` — the clustering the
+    community entry hash-checks) and the CCNet scorer (`ccnet_bucketed`
+    — the score four other entries share). doc_id ≡ vec_id by the
+    fixture contract (the SemDeDup/semantic-decontamination precedent).
+
+    Plan at 100 TB: the LPA and scorer costs are those entries' costs;
+    the cap itself is ONE per-community top-{_CAP_K} window — grouped
+    top-k partitioned on the community key, never a global sort — plus
+    one equi-join.
+    """
+    from pyspark.sql import Window
+
+    from .llm_ext5 import ccnet_bucketed
+
+    lp = lpa_labels(spark, sf_dir)
+    scored = ccnet_bucketed(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), "unigram_nlp"
+    )
+    w = Window.partitionBy("lab").orderBy("unigram_nlp", "node")
+    return (
+        lp.join(scored, "node")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CAP_K)
+        .select(
+            F.col("lab").alias("community"),
+            F.col("rk").alias("rank_in_community"),
+            F.col("node").alias("doc_id"),
+            "unigram_nlp",
+        )
+        .orderBy("community", "doc_id")
     )

@@ -574,3 +574,38 @@ def test_wordpiece_train_matches_pure_python(spark):
     rows = engine.queries()["wordpiece_train_merges"](spark, SF_DIR).collect()
     got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count, r.score_x1e12) for r in rows]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# community_capped_select
+
+
+def test_community_capped_select_composes_the_registered_parts(spark):
+    """The kept set must be EXACTLY the per-community top-4 (lowest
+    unigram_nlp, ties → lowest doc_id) computed from the two REGISTERED
+    frames it composes — the community assignment and the CCNet scores —
+    with ranks contiguous from 1 and never exceeding the community
+    size."""
+    from collections import defaultdict
+
+    comm = {
+        r.vec_id: r.community
+        for r in engine.queries()["knn_graph_lpa_communities"](spark, SF_DIR).collect()
+    }
+    nlp = {
+        r.doc_id: r.unigram_nlp
+        for r in engine.queries()["perplexity_buckets_ccnet"](spark, SF_DIR).collect()
+    }
+    by_comm = defaultdict(list)
+    for node, c in comm.items():
+        if node in nlp:
+            by_comm[c].append((nlp[node], node))
+    expected = {}
+    for c, members in by_comm.items():
+        for rk, (s, node) in enumerate(sorted(members)[:4], start=1):
+            expected[(c, node)] = (rk, s)
+    rows = engine.queries()["community_capped_select"](spark, SF_DIR).collect()
+    got = {(r.community, r.doc_id): (r.rank_in_community, r.unigram_nlp) for r in rows}
+    assert got == expected and expected
+    # a community larger than the cap actually got truncated (non-vacuous)
+    assert any(len(m) > 4 for m in by_comm.values())

@@ -53,6 +53,7 @@ DEFAULT_SET = [
     "doremi_domain_weights",  # shared scorer + |domains|-row MW state (r14)
     "knn_graph_lpa_communities",  # Pregel-shape LPA rounds over the kNN graph (r14)
     "wordpiece_train_merges",  # vocab-table trainer: one corpus pass then model-sized (r14)
+    "community_capped_select",  # LPA ∘ CCNet composition + grouped top-k (r14)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
