@@ -1056,3 +1056,107 @@ def q_community_capped_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# filter_ablation_matrix — which quality rules reject the same documents?
+
+
+def _ablation_oracle() -> str:
+    """Replays the SHARED Gopher metric + rule texts (llm_ext3
+    `_GOPHER_M_CTES` / `_GOPHER_RULES_SQL` — one rule set, two consumers)
+    and counts per-pair co-rejections over a literal rule grid so the
+    output shape is fixed (every pair present, zero-filled)."""
+    from .llm_ext3 import _GOPHER_M_CTES, _GOPHER_RULES_SQL
+
+    fails = " UNION ALL ".join(
+        f"SELECT doc_id, '{name}' AS rule FROM m WHERE NOT ({pred})"
+        for name, pred in sorted(_GOPHER_RULES_SQL.items())
+    )
+    names = sorted(_GOPHER_RULES_SQL)
+    grid = ", ".join(
+        f"('{a}', '{b}')" for a in names for b in names if a <= b
+    )
+    return f"""
+    WITH {_GOPHER_M_CTES},
+    ff AS ({fails}),
+    co AS (
+      SELECT a.rule AS rule_a, b.rule AS rule_b, COUNT(*) AS c
+      FROM ff a JOIN ff b ON a.doc_id = b.doc_id AND a.rule <= b.rule
+      GROUP BY 1, 2
+    )
+    SELECT g.rule_a, g.rule_b,
+           CAST(COALESCE(co.c, 0) AS BIGINT) AS n_both_fail
+    FROM (VALUES {grid}) g(rule_a, rule_b)
+    LEFT JOIN co ON co.rule_a = g.rule_a AND co.rule_b = g.rule_b
+    ORDER BY g.rule_a, g.rule_b
+    """
+
+
+@register("filter_ablation_matrix", oracle=_ablation_oracle())
+def q_filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 (late r14) — the quality-filter ABLATION matrix: for every
+    unordered pair of Gopher rules, how many documents BOTH reject
+    (diagonal = each rule's total rejections) — the redundancy audit a
+    filter designer reads before adding or dropping a rule (the
+    FineWeb-style ablation discipline: a rule whose rejections are a
+    subset of another's adds latency, not quality). Fixed 10-row shape
+    (4 rules → 10 unordered pairs incl. diagonal), zero-filled from a
+    literal rule grid so absent overlaps are visible as 0, not missing.
+
+    Shared-definition discipline: the metrics AND the thresholds are the
+    factored `gopher_metric_frame` / `gopher_rule_cols` texts the flags
+    entry consumes — the ablation provably audits the registered filter,
+    not a restatement of it.
+
+    Plan at 100 TB: the metric pass is the flags entry's map-only scan;
+    rejections explode to ≤|rules| rows per doc, the self-join is on
+    doc_id with ≤|rules|² fan-out per doc (bounded by the rule count,
+    not the corpus), then one model-sized hash agg — output is
+    |rules|²-sized regardless of corpus.
+    """
+    from .llm_ext3 import gopher_metric_frame, gopher_rule_cols
+
+    m = gopher_metric_frame(spark, sf_dir)
+    rules = gopher_rule_cols()
+    names = sorted(rules)
+    ff = m.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(~rules[n], F.lit(n)).otherwise(F.lit(None))
+                        for n in names
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("rule"),
+    )
+    a = ff.alias("a")
+    b = ff.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.rule") <= F.col("b.rule")),
+        )
+        .groupBy(F.col("a.rule").alias("rule_a"), F.col("b.rule").alias("rule_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = spark.createDataFrame(
+        [(x, y) for x in names for y in names if x <= y], "rule_a string, rule_b string"
+    )
+    # no broadcast hint: Spark cannot build-left a left-outer join — it
+    # would warn and drop the hint; both sides are |rules|²-row model
+    # tables anyway.
+    return (
+        grid.join(co, ["rule_a", "rule_b"], "left")
+        .select(
+            "rule_a",
+            "rule_b",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_both_fail"),
+        )
+        .orderBy("rule_a", "rule_b")
+    )

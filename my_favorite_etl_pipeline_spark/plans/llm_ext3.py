@@ -137,10 +137,10 @@ def q_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "gopher_quality_flags",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+#: The Gopher metric frame ``m`` — factored (late r14) so the
+#: filter-ablation matrix (llm_ext13) replays the IDENTICAL metric and
+#: threshold definitions (one rule set, two consumers).
+_GOPHER_M_CTES = """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     m AS (
       SELECT doc_id,
              CAST(len(t) AS BIGINT) AS n_words,
@@ -152,12 +152,26 @@ def q_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
                    AS DOUBLE) / len(t), 4) AS alpha_word_frac
       FROM toks
-    )
+    )"""
+
+#: One SQL predicate per Gopher rule (the PASS direction).
+_GOPHER_RULES_SQL = {
+    "words": "n_words BETWEEN 50 AND 100000",
+    "wordlen": "mean_word_len BETWEEN 3 AND 10",
+    "stopwords": "n_stopwords >= 2",
+    "alpha": "alpha_word_frac >= 0.8",
+}
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH {_GOPHER_M_CTES}
     SELECT *,
-           (n_words BETWEEN 50 AND 100000)
-           AND (mean_word_len BETWEEN 3 AND 10)
-           AND (n_stopwords >= 2)
-           AND (alpha_word_frac >= 0.8) AS pass
+           ({_GOPHER_RULES_SQL["words"]})
+           AND ({_GOPHER_RULES_SQL["wordlen"]})
+           AND ({_GOPHER_RULES_SQL["stopwords"]})
+           AND ({_GOPHER_RULES_SQL["alpha"]}) AS pass
     FROM m ORDER BY doc_id
     """,
 )
@@ -172,6 +186,21 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan at 100 TB. Both engines round the fractional metrics to 4 decimals
     BEFORE the threshold compare so the flags can't diverge on float dust.
     """
+    m = gopher_metric_frame(spark, sf_dir)
+    rules = gopher_rule_cols()
+    return m.select(
+        "*",
+        (
+            rules["words"] & rules["wordlen"] & rules["stopwords"] & rules["alpha"]
+        ).alias("pass"),
+    ).orderBy("doc_id")
+
+
+def gopher_metric_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED shared metric frame ``(doc_id, n_words, mean_word_len,
+    n_stopwords, alpha_word_frac)`` — the Spark twin of
+    ``_GOPHER_M_CTES``, consumed by the flags entry and the
+    filter-ablation matrix (llm_ext13)."""
     docs = load(spark, sf_dir, "documents")
     toks = TX.tokens("text")
     n_words = F.size(toks).cast("long")
@@ -188,22 +217,24 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(toks),
         4,
     )
-    m = docs.select(
+    return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),
         n_stop.alias("n_stopwords"),
         alpha_frac.alias("alpha_word_frac"),
     )
-    return m.select(
-        "*",
-        (
-            F.col("n_words").between(50, 100000)
-            & F.col("mean_word_len").between(3, 10)
-            & (F.col("n_stopwords") >= 2)
-            & (F.col("alpha_word_frac") >= 0.8)
-        ).alias("pass"),
-    ).orderBy("doc_id")
+
+
+#: One Spark Column per Gopher rule (the PASS direction) — must mirror
+#: ``_GOPHER_RULES_SQL`` key-for-key.
+def gopher_rule_cols() -> dict:
+    return {
+        "words": F.col("n_words").between(50, 100000),
+        "wordlen": F.col("mean_word_len").between(3, 10),
+        "stopwords": F.col("n_stopwords") >= 2,
+        "alpha": F.col("alpha_word_frac") >= 0.8,
+    }
 
 
 @register(

@@ -609,3 +609,48 @@ def test_community_capped_select_composes_the_registered_parts(spark):
     assert got == expected and expected
     # a community larger than the cap actually got truncated (non-vacuous)
     assert any(len(m) > 4 for m in by_comm.values())
+
+
+# ---------------------------------------------------------------------------
+# filter_ablation_matrix
+
+
+def test_filter_ablation_matrix_matches_pure_python(spark):
+    """Replay the four Gopher rules in pure Python (4dp-rounded metrics,
+    same thresholds) and count pairwise co-rejections; the matrix must
+    match exactly, carry all 10 unordered pairs (zero-filled), and its
+    diagonal must equal the registered flags entry's per-rule rejection
+    counts (one rule set, two consumers)."""
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pylist()
+    stop = {"a", "the", "and", "of", "to", "in"}
+    fails = {}
+    for d in docs:
+        t = d["text"].split(" ")
+        n = len(t)
+        mean_len = round(sum(len(w) for w in t) / n, 4)
+        n_stop = sum(w in stop for w in t)
+        alpha = round(sum(any(c.isalpha() for c in w) for w in t) / n, 4)
+        f = set()
+        if not (50 <= n <= 100000):
+            f.add("words")
+        if not (3 <= mean_len <= 10):
+            f.add("wordlen")
+        if not (n_stop >= 2):
+            f.add("stopwords")
+        if not (alpha >= 0.8):
+            f.add("alpha")
+        fails[d["doc_id"]] = f
+    names = sorted(["words", "wordlen", "stopwords", "alpha"])
+    expected = {}
+    for x in names:
+        for y in names:
+            if x <= y:
+                expected[(x, y)] = sum(
+                    1 for f in fails.values() if x in f and y in f
+                )
+    rows = engine.queries()["filter_ablation_matrix"](spark, SF_DIR).collect()
+    got = {(r.rule_a, r.rule_b): r.n_both_fail for r in rows}
+    assert got == expected and len(got) == 10
+    flags = engine.queries()["gopher_quality_flags"](spark, SF_DIR).collect()
+    n_fail_any = sum(1 for r in flags if not r["pass"])
+    assert n_fail_any == len([f for f in fails.values() if f])
