@@ -465,12 +465,16 @@ _FUZZ_T = 0.5  # Jaccard threshold (matches the minhash_near_dups entry)
 
 
 def _fuzz_pair_ctes() -> str:
-    """The SHARED exact train×bench pair table ``p (tid, bid, jaccard)``:
-    3-gram Jaccard via the shared inverted-index shingle CTE
-    (llm_ext._DUCK_SHINGLES) against the shared benchmark slice
-    (llm_ext3._BENCH_PRED_SQL — the same eval set every contamination
-    entry uses). One text, two consumers (the batch per-doc rollup and
-    the streaming pair emitter) — the _CCNET_CTES discipline, so the two
+    """The SHARED exact train×bench pair table ``p (tid, bid, jaccard)``
+    of QUALIFYING pairs: 3-gram Jaccard via the shared inverted-index
+    shingle CTE (llm_ext._DUCK_SHINGLES) against the shared benchmark
+    slice (llm_ext3._BENCH_PRED_SQL — the same eval set every
+    contamination entry uses). The threshold compares the UNROUNDED
+    ratio (the ssjoin precedent; rounding only for display — a pair with
+    exact Jaccard in [T−5e-5, T) must NOT qualify via round-up, r14
+    review) and lives HERE so every consumer inherits the same boundary
+    rule. One text, two consumers (the batch per-doc rollup and the
+    streaming pair emitter) — the _CCNET_CTES discipline, so the two
     fuzzy-decontamination oracles cannot drift."""
     from .llm_ext import _DUCK_SHINGLES
     from .llm_ext3 import _BENCH_PRED_SQL
@@ -492,21 +496,22 @@ def _fuzz_pair_ctes() -> str:
       FROM inter
       JOIN sizes sa ON inter.tid = sa.doc_id
       JOIN sizes sb ON inter.bid = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_FUZZ_T}
     )"""
 
 
 def _fuzzy_decon_oracle() -> str:
-    """Per-doc rollup over the shared pair table. The oracle is exact
-    all-pairs (the minhash_near_dups precedent: LSH recall at this
-    threshold is overwhelmingly-probably 1, so the verified LSH output
-    must equal the exact answer — a silent recall loss IS a red row)."""
+    """Per-doc rollup over the shared pair table (already thresholded on
+    the unrounded ratio inside ``p``). The oracle is exact all-pairs
+    (the minhash_near_dups precedent: LSH recall at this threshold is
+    overwhelmingly-probably 1, so the verified LSH output must equal the
+    exact answer — a silent recall loss IS a red row)."""
     return f"""
     WITH {_fuzz_pair_ctes()}
     SELECT tid AS doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
            MAX(jaccard) AS max_jaccard
-    FROM p WHERE jaccard >= {_FUZZ_T}
-    GROUP BY tid ORDER BY doc_id
+    FROM p GROUP BY tid ORDER BY doc_id
     """
 
 
@@ -570,8 +575,8 @@ def q_fuzzy_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         cand.join(tsh, "__tid")
         .join(F.broadcast(bsh), "__bid")
+        .filter(jac >= _FUZZ_T)  # UNROUNDED compare — the shared p CTE's rule
         .select("__tid", "__bid", F.round(jac, 4).alias("__j"))
-        .filter(F.col("__j") >= _FUZZ_T)
         .groupBy(F.col("__tid").alias("doc_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bench_matches"),
@@ -750,7 +755,7 @@ def _lpa_cte_chain() -> str:
       SELECT src_id AS node, nbr_id AS nbr FROM ed
       UNION ALL
       SELECT nbr_id AS node, src_id AS nbr FROM ed)),
-    lp0 AS (SELECT DISTINCT node, node AS lab FROM und){rounds}"""
+    lp0 AS (SELECT vec_id AS node, vec_id AS lab FROM qassign){rounds}"""
 
 
 def _lpa_oracle() -> str:
@@ -814,14 +819,18 @@ def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import tracked_persist
     from .llm_ext7 import _knn_base_edges
 
-    _, edges = _knn_base_edges(spark, sf_dir)
+    assign, edges = _knn_base_edges(spark, sf_dir)
     ed = edges.select("src_id", "nbr_id")
     und = tracked_persist(
         ed.select(F.col("src_id").alias("node"), F.col("nbr_id").alias("nbr"))
         .unionAll(ed.select(F.col("nbr_id").alias("node"), F.col("src_id").alias("nbr")))
         .distinct()
     )
-    lp = und.select("node").distinct().select("node", F.col("node").alias("lab"))
+    # seed from EVERY vector, not just edge endpoints: an isolated vector
+    # (alone in its cell — no kNN edge) is its own singleton community
+    # under LPA semantics, and must stay eligible for the capped
+    # selection (r14 review)
+    lp = assign.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("lab"))
     for _ in range(_LPA_ROUNDS):
         votes = (
             und.join(lp.withColumnRenamed("node", "nbr"), "nbr")
@@ -846,18 +855,18 @@ _WP_SCALE = 10**12  # fixed-point quantum for the likelihood score
 
 
 def _wp_round_cte(r: int) -> str:
-    """One WordPiece round as CTEs: unigram counts ug{r} + pair counts
-    pc{r} from ``w{r-1}``, pick best{r} by the 1e12-quantized likelihood
-    score count(a,b)·SCALE // (count(a)·count(b)) (ties → score DESC,
-    lhs, rhs — the floor-quantized score IS the selection contract, so
-    both engines pick identically), apply the merge into w{r} with the
-    BPE double-space REPLACE (llm_ext8 module comment)."""
+    """One WordPiece round: the SHARED pair plumbing (llm_ext8._px_cte)
+    and merge pass (llm_ext8._merge_w_cte), with the LIKELIHOOD argmax as
+    the one trainer-specific CTE — unigram counts ug{r} + pair counts
+    pc{r}, pick best{r} by the 1e12-quantized score
+    count(a,b)·SCALE // (count(a)·count(b)) (ties → score DESC, lhs,
+    rhs — the floor-quantized score IS the selection contract, so both
+    engines pick identically)."""
+    from .llm_ext8 import _merge_w_cte, _px_cte
+
     prev = f"w{r - 1}"
     return f""",
-    px{r} AS (
-      SELECT t, cnt, UNNEST(range(len(t) - 1)) AS i
-      FROM (SELECT string_split(trim(seq), '  ') AS t, cnt FROM {prev})
-    ),
+    {_px_cte(r)},
     ug{r} AS (
       SELECT s, CAST(SUM(cnt) AS BIGINT) AS c FROM (
         SELECT UNNEST(string_split(trim(seq), '  ')) AS s, cnt FROM {prev})
@@ -874,11 +883,7 @@ def _wp_round_cte(r: int) -> str:
         FROM pc{r} p JOIN ug{r} ua ON ua.s = p.a JOIN ug{r} ub ON ub.s = p.b
       ) ORDER BY score DESC, a, b LIMIT 1
     ),
-    w{r} AS MATERIALIZED (
-      SELECT w.word, REPLACE(w.seq, ' ' || b.a || '  ' || b.b || ' ',
-                                    ' ' || b.a || b.b || ' ') AS seq, w.cnt
-      FROM {prev} w CROSS JOIN best{r} b
-    )"""
+    {_merge_w_cte(r)}"""
 
 
 def _wp_oracle() -> str:
@@ -927,7 +932,7 @@ def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pair-count agg + one unigram agg + a 1-row TakeOrdered collect
     (parameter-sized driver state) + a map-only literal replace.
     """
-    from .llm_ext8 import bpe_init_vocab
+    from .llm_ext8 import apply_merge, bpe_init_vocab, symbol_pair_counts
 
     cur = bpe_init_vocab(spark, sf_dir)
     out: list[tuple[int, str, str, int, int]] = []
@@ -938,27 +943,9 @@ def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s")
             .agg(F.sum("cnt").alias("uc"))
         )
-        pairs = (
-            cur.select(
-                F.explode(
-                    F.when(
-                        F.size(toks) >= 2,
-                        F.transform(
-                            F.sequence(F.lit(0), F.size(toks) - 2),
-                            lambda i: F.struct(
-                                F.get(toks, i).alias("a"),
-                                F.get(toks, i + 1).alias("b"),
-                            ),
-                        ),
-                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-                ).alias("p"),
-                "cnt",
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("c"))
-        )
         best = (
-            pairs.join(ug.withColumnRenamed("s", "a").withColumnRenamed("uc", "ca"), "a")
+            symbol_pair_counts(cur)
+            .join(ug.withColumnRenamed("s", "a").withColumnRenamed("uc", "ca"), "a")
             .join(ug.withColumnRenamed("s", "b").withColumnRenamed("uc", "cb"), "b")
             .select(
                 "a",
@@ -971,14 +958,7 @@ def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         out.append((r, best.a, best.b, int(best.c), int(best.score)))
-        cur = cur.withColumn(
-            "seq",
-            F.replace(
-                F.col("seq"),
-                F.lit(f" {best.a}  {best.b} "),
-                F.lit(f" {best.a}{best.b} "),
-            ),
-        )
+        cur = apply_merge(cur, best.a, best.b)
     return spark.createDataFrame(
         out,
         "merge_rank int, lhs string, rhs string, pair_count long, score_x1e12 long",
@@ -1120,29 +1100,28 @@ def q_filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = gopher_metric_frame(spark, sf_dir)
     rules = gopher_rule_cols()
     names = sorted(rules)
-    ff = m.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.array(
-                    *[
-                        F.when(~rules[n], F.lit(n)).otherwise(F.lit(None))
-                        for n in names
-                    ]
-                ),
-                lambda x: x.isNotNull(),
-            )
-        ).alias("rule"),
+    # per-doc failed-rule array (in sorted-name order), pairs emitted
+    # IN-ROW (each rule with every later-or-equal rule) — one corpus
+    # scan, no self-join (r14 review: the join shape evaluated the
+    # metric pass twice)
+    arr = F.filter(
+        F.array(
+            *[F.when(~rules[n], F.lit(n)).otherwise(F.lit(None)) for n in names]
+        ),
+        lambda x: x.isNotNull(),
     )
-    a = ff.alias("a")
-    b = ff.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.rule") <= F.col("b.rule")),
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 1, F.size(arr)),
+                lambda y: F.struct(x.alias("rule_a"), y.alias("rule_b")),
+            ),
         )
-        .groupBy(F.col("a.rule").alias("rule_a"), F.col("b.rule").alias("rule_b"))
+    )
+    co = (
+        m.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.rule_a").alias("rule_a"), F.col("p.rule_b").alias("rule_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     grid = spark.createDataFrame(

@@ -238,28 +238,40 @@ _BPE_ROUNDS = 10
 # breaks here: the first match eats the boundary space the second needs.)
 
 
-def _bpe_round_cte(r: int) -> str:
-    """One BPE round as DuckDB CTEs: pair-count w{r-1}, pick best{r} by
-    (count DESC, lhs, rhs), apply the merge into w{r}. ``word`` rides
-    along untouched so the encode oracle can map words to their final
-    segmentations off the same shared prefix."""
-    prev = f"w{r - 1}"
-    return f""",
-    px{r} AS (
+def _px_cte(r: int) -> str:
+    """Adjacent symbol-pair positions of round ``r`` over ``w{r-1}`` —
+    the round plumbing SHARED by the count-scored (BPE) and
+    likelihood-scored (WordPiece, llm_ext13) trainers."""
+    return f"""px{r} AS (
       SELECT t, cnt, UNNEST(range(len(t) - 1)) AS i
-      FROM (SELECT string_split(trim(seq), '  ') AS t, cnt FROM {prev})
-    ),
+      FROM (SELECT string_split(trim(seq), '  ') AS t, cnt FROM w{r - 1})
+    )"""
+
+
+def _merge_w_cte(r: int) -> str:
+    """Apply round ``r``'s winning merge (``best{r}``) into ``w{r}`` via
+    the double-space literal REPLACE (module comment) — the OTHER shared
+    half of the round plumbing. ``word`` rides along untouched so the
+    encode oracle can map words to their final segmentations."""
+    return f"""w{r} AS MATERIALIZED (
+      SELECT w.word, REPLACE(w.seq, ' ' || b.a || '  ' || b.b || ' ',
+                                    ' ' || b.a || b.b || ' ') AS seq, w.cnt
+      FROM w{r - 1} w CROSS JOIN best{r} b
+    )"""
+
+
+def _bpe_round_cte(r: int) -> str:
+    """One BPE round: shared pair plumbing + the COUNT argmax (the one
+    CTE where the two trainers differ) + the shared merge pass."""
+    return f""",
+    {_px_cte(r)},
     best{r} AS MATERIALIZED (
       SELECT a, b, CAST(c AS BIGINT) AS c FROM (
         SELECT t[i + 1] AS a, t[i + 2] AS b, SUM(cnt) AS c
         FROM px{r} GROUP BY 1, 2
       ) ORDER BY c DESC, a, b LIMIT 1
     ),
-    w{r} AS MATERIALIZED (
-      SELECT w.word, REPLACE(w.seq, ' ' || b.a || '  ' || b.b || ' ',
-                                    ' ' || b.a || b.b || ' ') AS seq, w.cnt
-      FROM {prev} w CROSS JOIN best{r} b
-    )"""
+    {_merge_w_cte(r)}"""
 
 
 #: Word-frequency vocab + char-level init — the shared opening of EVERY
@@ -373,8 +385,24 @@ def _bpe_learn(
     cur = bpe_init_vocab(spark, sf_dir)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_ROUNDS + 1):
-        toks = F.split(F.trim(F.col("seq")), "  ")
-        pairs = cur.select(
+        best = (
+            symbol_pair_counts(cur)
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((r, best.a, best.b, int(best.c)))
+        cur = apply_merge(cur, best.a, best.b)
+    return merges, cur
+
+
+def symbol_pair_counts(cur: DataFrame) -> DataFrame:
+    """Weighted adjacent symbol-pair counts ``(a, b, c)`` over the vocab
+    frame — the Spark twin of ``_px_cte`` + its pair aggregate, shared by
+    the BPE and WordPiece (llm_ext13) trainers."""
+    toks = F.split(F.trim(F.col("seq")), "  ")
+    return (
+        cur.select(
             F.explode(
                 F.when(
                     F.size(toks) >= 2,
@@ -388,23 +416,18 @@ def _bpe_learn(
             ).alias("p"),
             "cnt",
         )
-        best = (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
-            .collect()[0]
-        )
-        merges.append((r, best.a, best.b, int(best.c)))
-        cur = cur.withColumn(
-            "seq",
-            F.replace(
-                F.col("seq"),
-                F.lit(f" {best.a}  {best.b} "),
-                F.lit(f" {best.a}{best.b} "),
-            ),
-        )
-    return merges, cur
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def apply_merge(cur: DataFrame, a: str, b: str) -> DataFrame:
+    """The double-space literal-REPLACE merge pass — the Spark twin of
+    ``_merge_w_cte``, shared by both trainers."""
+    return cur.withColumn(
+        "seq",
+        F.replace(F.col("seq"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
+    )
 
 
 @register(

@@ -676,12 +676,12 @@ def _fuzzy_pairs_oracle() -> str:
     """The SHARED pair CTE of the batch twin (llm_ext13._fuzz_pair_ctes —
     one exact train×bench Jaccard definition, two consumers), emitted at
     pair grain instead of rolled up per doc."""
-    from .llm_ext13 import _FUZZ_T, _fuzz_pair_ctes
+    from .llm_ext13 import _fuzz_pair_ctes
 
     return f"""
     WITH {_fuzz_pair_ctes()}
     SELECT tid AS doc_id, bid AS bench_id, jaccard
-    FROM p WHERE jaccard >= {_FUZZ_T}
+    FROM p
     ORDER BY doc_id, bench_id
     """
 

@@ -217,9 +217,11 @@ def stream_contamination_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.tables import load
 
-    # benchmark predicate restated from plans.llm_ext3 (importing plans
-    # here would be circular: plans package imports streaming)
-    bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    # call-time import is cycle-safe (plans is fully imported before any
+    # registered query runs) — the SHARED bench predicate, not a restatement
+    from ..plans.llm_ext3 import _bench_pred
+
+    bench = _bench_pred()
     toks = F.split(F.col("text"), " ")
     grams13 = F.when(
         F.size(toks) >= 13,
@@ -279,9 +281,11 @@ def stream_fuzzy_decon_pairs(
 
     from ..sources.tables import load
 
-    # benchmark predicate restated from plans.llm_ext3 (importing plans
-    # here would be circular: plans package imports streaming)
-    bench_pred = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    # call-time import is cycle-safe (plans is fully imported before any
+    # registered query runs) — the SHARED bench predicate, not a restatement
+    from ..plans.llm_ext3 import _bench_pred
+
+    bench_pred = _bench_pred()
     sh = shingles(F.col("text"))
     bench = (
         load(spark, sf_dir, "documents")
@@ -299,7 +303,9 @@ def stream_fuzzy_decon_pairs(
     c = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
     jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
     pairs = (
-        ver.filter(jac >= threshold)  # unrounded compare, same expr as oracle
+        # UNROUNDED threshold compare — the shared p CTE's boundary rule
+        # (llm_ext13._fuzz_pair_ctes); rounding is display-only
+        ver.filter(jac >= threshold)
         .select("doc_id", "bench_id", F.round(jac, 4).alias("jaccard"))
         .groupBy("doc_id", "bench_id")
         .agg(F.min("jaccard").alias("jaccard"))  # identical on every dup row

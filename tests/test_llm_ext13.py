@@ -514,6 +514,12 @@ def test_lpa_communities_match_pure_python_propagation(spark):
     for a, b in edges:
         und[a].add(b)
         und[b].add(a)
+    # every vector is a node — isolated vectors are singleton communities
+    all_ids = pq.read_table(
+        os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id"]
+    ).column("vec_id").to_pylist()
+    for n in all_ids:
+        und.setdefault(n, set())
     lab = {n: n for n in und}
     for _ in range(3):
         new = {}
