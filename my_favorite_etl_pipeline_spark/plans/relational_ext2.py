@@ -1246,3 +1246,114 @@ def q_event_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFra
             " END"
         ).alias("corr"),
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# anomalous_hours_mad — the ROBUST twin of the 3-sigma gate
+
+
+@register(
+    "anomalous_hours_mad",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM hourly GROUP BY 1),
+    rk1 AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS r
+      FROM hourly
+    ),
+    med AS (
+      SELECT rk1.event_type, rk1.x AS med
+      FROM rk1 JOIN nn USING (event_type)
+      WHERE rk1.r = (nn.n + 1) // 2
+    ),
+    dev AS (
+      SELECT h.event_type, ABS(h.x - m.med) AS d
+      FROM hourly h JOIN med m USING (event_type)
+    ),
+    rk2 AS (
+      SELECT event_type, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS r
+      FROM dev
+    ),
+    mad AS (
+      SELECT rk2.event_type, rk2.d AS mad
+      FROM rk2 JOIN nn USING (event_type)
+      WHERE rk2.r = (nn.n + 1) // 2
+    )
+    SELECT h.event_type, h.bucket, h.x AS value_cents,
+           m.med AS med_cents, a.mad AS mad_cents,
+           (ABS(h.x - m.med) > 3 * a.mad) AS is_anomaly,
+           (h.x > m.med) AS is_high
+    FROM hourly h
+    JOIN med m USING (event_type)
+    JOIN mad a USING (event_type)
+    ORDER BY event_type, bucket
+    """,
+)
+def q_anomalous_hours_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats/DQ band (late r14) — the ROBUST twin of
+    ``anomalous_hours_3sigma``: flag hours whose cents total deviates
+    from the type's MEDIAN by more than 3 MADs (median absolute
+    deviation) — the Hampel-filter gate production monitors prefer when
+    the series itself contains the outliers being hunted (a single
+    extreme hour inflates σ and MASKS itself under the 3σ rule; the
+    median/MAD pair has a 50% breakdown point, Hampel 1974).
+
+    Exact arithmetic contract: both medians are the LOWER median — the
+    ((n+1) DIV 2)-th order statistic by ROW_NUMBER over exact integer
+    cents — so no averaging, no float, nothing to round; the engines
+    cannot drift (selection by rank over a totally-ordered integer
+    column is tie-safe: equal values make the selected VALUE identical
+    under any tie order). MAD = 0 (more than half the hours at the
+    median) flags every off-median hour — the degenerate-but-correct
+    edge, documented like the 3σ entry's zero-variance case.
+
+    Plan at 100 TB: the corpus pass is the SAME one (type, hour) hash
+    agg as the 3σ twin; both median selections run on the aggregated
+    hourly grid (|types|·|hours| rows — grid-sized, time-bounded, not
+    corpus-sized) as per-type ROW_NUMBER windows; the two model-sized
+    (|types|-row) median tables broadcast back onto the grid for the
+    verdict expression.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.expr("CAST(ROUND(SUM(value) * 100) AS BIGINT)").alias("x"))
+    nn = hourly.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        return (
+            df.withColumn("__r", F.row_number().over(w))
+            .join(F.broadcast(nn), "event_type")
+            .filter(F.expr("__r = (n + 1) DIV 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(hourly, "x", "med_cents")
+    dev = hourly.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("x") - F.col("med_cents")).alias("d")
+    )
+    mad = lower_median(dev, "d", "mad_cents")
+    return (
+        hourly.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            F.col("x").alias("value_cents"),
+            "med_cents",
+            "mad_cents",
+            (F.abs(F.col("x") - F.col("med_cents")) > 3 * F.col("mad_cents")).alias(
+                "is_anomaly"
+            ),
+            (F.col("x") > F.col("med_cents")).alias("is_high"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -318,3 +318,38 @@ def test_correlation_matrix_matches_numpy(spark, qs):
         want = np.corrcoef(series[r.type_a], series[r.type_b])[0, 1]
         assert abs(r.corr - want) <= 2e-4, (r.type_a, r.type_b, r.corr, want)
         assert -1.0 <= r.corr <= 1.0
+
+
+def test_anomalous_hours_mad_matches_pure_python(spark, qs):
+    """anomalous_hours_mad (r14): replay the median/MAD/flag logic in
+    pure Python over the SAME cents values the registered 3-sigma twin
+    emits (already oracle-checked — this pins the robust gate's logic,
+    not the float sum), and pin the robustness contrast: flag sets may
+    legitimately differ from 3-sigma, but med/mad and every verdict must
+    match the replay exactly."""
+    from collections import defaultdict
+
+    base = qs["anomalous_hours_3sigma"](spark, "/root/testdata/sf0.001").collect()
+    series = defaultdict(list)
+    for r in base:
+        series[r.event_type].append((r.bucket, r.value_cents))
+
+    def lower_median(vals):
+        v = sorted(vals)
+        return v[(len(v) + 1) // 2 - 1]
+
+    expected = {}
+    for t, pts in series.items():
+        med = lower_median([x for _, x in pts])
+        mad = lower_median([abs(x - med) for _, x in pts])
+        for b, x in pts:
+            expected[(t, b)] = (x, med, mad, abs(x - med) > 3 * mad, x > med)
+    rows = qs["anomalous_hours_mad"](spark, "/root/testdata/sf0.001").collect()
+    got = {
+        (r.event_type, r.bucket): (
+            r.value_cents, r.med_cents, r.mad_cents, r.is_anomaly, r.is_high
+        )
+        for r in rows
+    }
+    assert got == expected and expected
+    assert any(v[3] for v in got.values()), "fixture must produce >= 1 flag"

@@ -55,6 +55,7 @@ DEFAULT_SET = [
     "wordpiece_train_merges",  # vocab-table trainer: one corpus pass then model-sized (r14)
     "community_capped_select",  # LPA ∘ CCNet composition + grouped top-k (r14)
     "filter_ablation_matrix",  # map-only rules + rule-bounded self-join (r14)
+    "anomalous_hours_mad",  # one corpus agg + grid-sized median windows (r14)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
