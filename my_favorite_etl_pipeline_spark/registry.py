@@ -76,83 +76,98 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dataset-assembly, SCD2, and streaming. Names not yet registered are skipped,
 # so the list may lead the code; everything else follows in registration order.
 CURATED_FIRST: tuple[str, ...] = (
-    # R14 ROTATION (VERDICT r13 item 2): seat the ONLY two driver-unseen
-    # entries (epoch_repeat_shard_assignment, semantic_pack_shard_assignment
-    # — registered after the r13 window froze, local-green at 3 SFs +
-    # determinism + property tests, zero driver rows) and return the
-    # 13-entry band with no row since r12 (q5/q9/q18/pivot/cube/asof/
-    # typed_struct/variant/winnowing/pandas_udf/durable/two_layer/hll).
-    # hnsw_two_layer_search's return also discharges ADVICE r13 #3: its
-    # impl+oracle changed in r13 (layer-0 cascade, NOT EXISTS arm) while
-    # rotated out; it now re-proves driver-side. OUT: 15 r13-green
-    # veterans whose families stay represented (q8, grouping_sets,
-    # range_join, scd2, lang_id, qc_gd_scores, simhash_portable,
-    # matryoshka, ann_cell_report, span_profile, semantic_decontaminate,
-    # epoch_repeat_plan, semantic_packing_order) — plus the two pagerank
-    # entries (knn_graph_topk_auto_k, knn_graph_pagerank), which run over
-    # the BASE kNN graph and are the only graph entries NOT affected by
-    # this round's (W, CAP) 16→24 joint flip. Every refined-graph
-    # consumer (nn_descent, search topk/batch/durable, hnsw 2/3-layer,
-    # batch-routed — all 7) IS in-window, because the flip changes their
-    # values and each must re-prove green, the r13 rounds-flip discipline.
-    # 49 of 50 entries are oracle-checked; hll_sketch_merge is the one
-    # rows-only row (engine-internal sketch bytes; returning per VERDICT
-    # r13 item 2, invariant tests cover its values).
+    # R15 ROTATION (VERDICT r14 item 1): seat ALL THIRTEEN r14
+    # driver-unseen entries (the entire verification debt —
+    # knn_graph_nn_descent_hq, greedy_gram_coverage_select,
+    # greedy_coverage_select_batched, ivf_recall_report,
+    # curriculum_shard_order, fuzzy_decontaminate_minhash,
+    # stream_fuzzy_decontaminate, doremi_domain_weights,
+    # knn_graph_lpa_communities, wordpiece_train_merges,
+    # community_capped_select, filter_ablation_matrix,
+    # anomalous_hours_mad — each local-green at 3 SFs + determinism +
+    # ground-truth replay, zero driver rows) and return the 15-entry band
+    # displaced in r14 (q8, grouping_sets, range_join, scd2, lang_id,
+    # qc_gd_scores, simhash_portable, matryoshka, ann_cell_report,
+    # span_profile, semantic_decontaminate, epoch_repeat_plan,
+    # semantic_packing_order, knn_graph_topk_auto_k, knn_graph_pagerank).
+    # OUT: 28 r14-green veterans whose families stay represented —
+    # q5/q9/q18/pivot/cube/asof (q3+q1 flagships stay; q8/grouping_sets/
+    # range_join/scd2 return), the typed/variant twins (transform_chain
+    # stays), continuous rollup (timeseries monitoring now represented by
+    # anomalous_hours_mad), semdedup/canonical_pagerank/edit_distance/
+    # winnowing (exact+minhash anchors stay; simhash_portable returns,
+    # fuzzy decon ×2 and LPA/community entries enter), tfidf (ivf_recall
+    # enters), 5 of the 7 refined-graph consumers the r14 flip-proof
+    # deliberately held in-window (nn_descent + serving topk stay; the
+    # flip is proven, hq/auto_k/pagerank/LPA keep the family rich),
+    # gopher/contamination_13gram (ablation matrix + span_profile +
+    # semantic/fuzzy decon represent those families), both classifier
+    # entries (gd_scores returns; doremi/curriculum share the CCNet
+    # scorer), hll (rows-only; seated in r14 per the r13 verdict, row
+    # banked), token_budget + both r13 seams + pack_docs_histogram
+    # (epoch_repeat_plan/semantic_packing_order return;
+    # pack_efficiency/shard_manifest stay). knn_graph_nn_descent_hq adds
+    # ~30 s to the window check (inline (32,32) build) — seat it for the
+    # row, rotate it back out in r16. ALL 50 entries are oracle-checked
+    # this round: the window's first fully value-hashed composition.
     #
     # reference-parity pipeline anchors (SURVEY §2.1-§2.8): pinned always
     "incremental_extract",
     "merge_upsert",
     "dq_gate",
     "reconciliation",
-    # relational: flagships + the returning r12 band
+    # relational: flagships + the returning r14-displaced band
     "q3_shipping_priority",
     "q1_pricing_summary",
-    "q5_region_revenue",
-    "q9_profit_by_nation_year",
-    "q18_large_orders",
-    "pivot_status_by_segment",
-    "cube_events",
-    "asof_last_click_before_purchase",
-    # transform/flatten chains (F3/P/J families) + the typed/variant twins
+    "q8_market_share",
+    "grouping_sets_revenue",
+    "range_join_ship_latency",
+    "scd2_status_history",
+    # transform/flatten chains (F3/P/J families)
     "transform_chain",
-    "typed_struct_props_chain",
-    "variant_props_chain",
-    # timeseries (continuous_aggregate_rollup carries the cross-engine
-    # rounding scar tissue)
-    "continuous_aggregate_rollup",
-    # X1 exact dedup + X2 near-dup band + returning winnowing
+    # timeseries/monitoring: the MAD robust gate enters (r14 debt)
+    "anomalous_hours_mad",
+    # X1 exact dedup + X2 near-dup anchors + returning portable simhash
     "dedup_exact_groups",
     "minhash_near_dups",
-    "semdedup_cluster_pairs",
-    "dedup_canonical_pagerank",
-    "edit_distance_near_dups",
-    "winnowing_fingerprints",
-    # X3 similarity anchors + the returning Arrow-path twin
+    "simhash_near_dups_portable",
+    # X2 fuzzy decontamination (r14 debt, batch + at-ingest)
+    "fuzzy_decontaminate_minhash",
+    "stream_fuzzy_decontaminate",
+    # X3 similarity anchors + returning truncation/cell audits + the
+    # retrieval-quality readout (r14 debt)
     "embedding_topk_bruteforce",
     "embedding_topk_pandas_udf",
-    "tfidf_topk_similar_docs",
-    # X3 graph family — the (W, CAP) = (24, 24) joint flip lands this
-    # round, so EVERY refined-graph consumer re-proves (7 entries)
+    "matryoshka_prefix_recall",
+    "ann_cell_size_report",
+    "ivf_recall_report",
+    # X3 graph family: refined anchor + serving anchor stay (flip proven
+    # r14); base-graph auto-k/pagerank return; hq tier + LPA enter
     "knn_graph_nn_descent",
+    "knn_graph_nn_descent_hq",
     "graph_ann_search_topk",
-    "graph_ann_search_batch",
-    "graph_ann_search_durable",
-    "hnsw_two_layer_search",
-    "hnsw_three_layer_search",
-    "hnsw_batch_routed_search",
-    # X4 text anchors
-    "gopher_quality_flags",
-    "contamination_13gram",
-    "quality_classifier_linear",
-    "quality_classifier_train_gd",
-    # sketches: the one rows-only row (see header note)
-    "hll_sketch_merge",
-    # mixture/sampling + dataset assembly: the two r13 seam operators
-    # enter (the round's only verification debt)
-    "token_budget_select",
-    "epoch_repeat_shard_assignment",
-    "semantic_pack_shard_assignment",
-    "pack_docs_histogram",
+    "knn_graph_topk_auto_k",
+    "knn_graph_pagerank",
+    "knn_graph_lpa_communities",
+    # X4 text: returning lang-id + the ablation matrix (r14 debt) +
+    # returning contamination band
+    "lang_id_heuristic",
+    "filter_ablation_matrix",
+    "contamination_span_profile",
+    "semantic_decontaminate_topk",
+    # X4 classifiers/tokenizers: returning GD serving + WordPiece (r14 debt)
+    "quality_classifier_gd_scores",
+    "wordpiece_train_merges",
+    # mixture/sampling: DoReMi + curriculum (r14 debt)
+    "doremi_domain_weights",
+    "curriculum_shard_order",
+    # selection: greedy coverage ×2 + community-capped (r14 debt)
+    "greedy_gram_coverage_select",
+    "greedy_coverage_select_batched",
+    "community_capped_select",
+    # dataset assembly: returning repeat/packing seam twins + kept audits
+    "epoch_repeat_plan",
+    "semantic_packing_order",
     "pack_efficiency_report",
     "shard_manifest_checksums",
     # M4 time travel on the oracle path

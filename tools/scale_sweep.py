@@ -50,6 +50,9 @@ DEFAULT_SET = [
     "greedy_gram_coverage_select",  # 5-round anti-join + agg selection (r14)
     "greedy_coverage_select_batched",  # batch-greedy scale path, 2 rounds (r14)
     "fuzzy_decontaminate_minhash",  # cross-corpus LSH decontamination (r14)
+    "stream_fuzzy_decontaminate",  # the at-ingest arm of the fuzzy decon pair (r14)
+    "ivf_recall_report",  # retrieval-quality readout: exact arm is the instrument (r14)
+    "curriculum_shard_order",  # shared CCNet scorer + shard windows (r14)
     "doremi_domain_weights",  # shared scorer + |domains|-row MW state (r14)
     "knn_graph_lpa_communities",  # Pregel-shape LPA rounds over the kNN graph (r14)
     "wordpiece_train_merges",  # vocab-table trainer: one corpus pass then model-sized (r14)
