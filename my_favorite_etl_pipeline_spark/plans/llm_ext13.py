@@ -464,6 +464,26 @@ def q_curriculum_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZ_T = 0.5  # Jaccard threshold (matches the minhash_near_dups entry)
 
 
+def _assert_unique_doc_ids(docs: DataFrame, entry: str) -> None:
+    """Construction-time uniqueness probe (registry LAZINESS contract: a
+    plan may run a tiny scalar job while being built). The Spark mirror
+    of the oracle's ``uq`` error() guard — one count/count_distinct
+    aggregate over the bare id column (map-side partial agg, no text
+    shuffled), so the production path pays ~nothing and a duplicate-id
+    input fails LOUDLY on both engines instead of diverging silently
+    (ADVICE r14: per-row shingle arrays vs exploded postings inflate
+    differently on duplicates)."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("doc_id").alias("d")
+    ).first()
+    if row.n != row.d:
+        raise ValueError(
+            f"{entry}: duplicate doc_id rows in documents input "
+            f"(rows={row.n}, distinct ids={row.d}); fuzzy decontamination "
+            "requires unique ids — dedupe upstream (dedup_exact_groups)"
+        )
+
+
 def _fuzz_pair_ctes() -> str:
     """The SHARED exact train×bench pair table ``p (tid, bid, jaccard)``
     of QUALIFYING pairs: 3-gram Jaccard via the shared inverted-index
@@ -475,14 +495,38 @@ def _fuzz_pair_ctes() -> str:
     review) and lives HERE so every consumer inherits the same boundary
     rule. One text, two consumers (the batch per-doc rollup and the
     streaming pair emitter) — the _CCNET_CTES discipline, so the two
-    fuzzy-decontamination oracles cannot drift."""
+    fuzzy-decontamination oracles cannot drift.
+
+    Duplicate-id contract (ADVICE r14): a duplicated ``doc_id`` is a DATA
+    ERROR here, asserted loudly on BOTH engines rather than collapsed —
+    the ``uq`` guard below errors the oracle, and the Spark arms run the
+    matching construction-time probe (``_assert_unique_doc_ids``).
+    Rationale: the per-row shingle arrays (Spark) and the exploded
+    postings + one sizes row per document row (oracle) inflate
+    DIFFERENTLY on duplicate ids, and the union-collapse the greedy
+    entries use would cost this production path a full-corpus doc_id
+    shuffle of the shingle arrays (the greedy gram table is already
+    exploded+distinct, so its collapse was free). Pinned by the
+    duplicate-id fixture test: both engines must RAISE."""
     from .llm_ext import _DUCK_SHINGLES
     from .llm_ext3 import _BENCH_PRED_SQL
 
     return f"""{_DUCK_SHINGLES},
     sizes AS (SELECT doc_id, LEN(s) AS n FROM sh),
     ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
-    bench AS (SELECT doc_id FROM documents WHERE {_BENCH_PRED_SQL}),
+    uq AS (
+      SELECT CASE WHEN COUNT(*) <> COUNT(DISTINCT doc_id)
+                  THEN CAST(error('duplicate doc_id in documents: fuzzy decontamination requires unique ids') AS BIGINT)
+                  ELSE 1 END AS ok
+      FROM documents
+    ),
+    bench AS (
+      -- the uq guard rides the bench slice because bench is ALWAYS built
+      -- (inter's IN/NOT IN sides), so the assert fires even when the pair
+      -- table would come out empty; conjuncts evaluate eagerly in DuckDB
+      SELECT doc_id FROM documents
+      WHERE {_BENCH_PRED_SQL} AND (SELECT ok FROM uq) = 1
+    ),
     inter AS (
       SELECT a.doc_id AS tid, b.doc_id AS bid, COUNT(*) AS c
       FROM ex a JOIN ex b ON a.shingle = b.shingle
@@ -502,7 +546,8 @@ def _fuzz_pair_ctes() -> str:
 
 def _fuzzy_decon_oracle() -> str:
     """Per-doc rollup over the shared pair table (already thresholded on
-    the unrounded ratio inside ``p``). The oracle is exact all-pairs
+    the unrounded ratio inside ``p``; the shared ``uq`` uniqueness guard
+    rides the ``bench`` CTE). The oracle is exact all-pairs
     (the minhash_near_dups precedent: LSH recall at this threshold is
     overwhelmingly-probably 1, so the verified LSH output must equal the
     exact answer — a silent recall loss IS a red row)."""
@@ -547,6 +592,7 @@ def q_fuzzy_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     from .llm_ext3 import _bench_pred
 
     docs = load(spark, sf_dir, "documents")
+    _assert_unique_doc_ids(docs, "fuzzy_decontaminate_minhash")
     train = docs.filter(~_bench_pred())
     bench = docs.filter(_bench_pred())
     cand = (
@@ -691,6 +737,19 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = sorted(per_source, key=lambda r: r.source)
     loss = {r.source: r.sm // r.n_docs for r in srcs}
     excess = {s: max(v - l0, 0) for s, v in loss.items()}
+    # Loud-overflow bound (ADVICE r14): the oracle computes u·PPM in
+    # BIGINT where u = w·(DEN + excess) and w ≤ PPM, so excess must keep
+    # PPM·(DEN + excess)·PPM inside int64. Python ints never wrap, so
+    # without this assert the Spark arm would return values the oracle
+    # cannot represent — fail loudly and identically instead.
+    _mw_excess_max = (2**63 - 1) // (_MW_PPM * _MW_PPM) - _MW_DEN
+    for s, e in excess.items():
+        if e > _mw_excess_max:
+            raise ValueError(
+                f"doremi_domain_weights: excess_micro for source {s!r} "
+                f"({e}) exceeds the int64 fixed-point bound "
+                f"({_mw_excess_max}) - rescale the loss micro-units"
+            )
     w = {r.source: _MW_PPM // len(srcs) for r in srcs}
     acc = {r.source: 0 for r in srcs}
     for _ in range(_MW_ROUNDS):
@@ -852,6 +911,12 @@ def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WP_ROUNDS = 8  # merge rules learned
 _WP_SCALE = 10**12  # fixed-point quantum for the likelihood score
+# Loud-overflow bounds (ADVICE r14): Spark's non-ANSI int64 wraps silently
+# where DuckDB errors, so the score expression asserts its own operand
+# bounds — c*SCALE and ca*cb must both fit int64. Production rescales
+# counts before scoring (the score is scale-invariant).
+_WP_C_MAX = (2**63 - 1) // _WP_SCALE  # 9_223_372
+_WP_U_MAX = 3_037_000_499  # isqrt(int64 max): ca*cb cannot overflow
 
 
 def _wp_round_cte(r: int) -> str:
@@ -921,8 +986,10 @@ def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the two entries differ in exactly one CTE: the argmax rule.
 
     Determinism contract: the selection score is the 1e12-quantized
-    floor of the likelihood ratio in BIGINT (exact on both engines —
-    products bounded well inside int64 at fixture scale; production
+    floor of the likelihood ratio in BIGINT (exact on both engines; the
+    score expression ASSERTS its operand bounds with raise_error so a
+    corpus large enough to overflow fails LOUDLY on both engines instead
+    of wrapping silently in non-ANSI Spark — ADVICE r14; production
     rescales counts, the score is scale-invariant), ties → (score DESC,
     lhs, rhs) binary collation. Every round replays as generated
     MATERIALIZED CTEs — the driver hash-checks the full trajectory.
@@ -951,7 +1018,16 @@ def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "a",
                 "b",
                 "c",
-                F.expr(f"c * {_WP_SCALE} DIV (ca * cb)").alias("score"),
+                # guarded fixed-point score: wraps-silently is unacceptable
+                # where the oracle errors loudly (non-ANSI int64 vs DuckDB)
+                F.expr(
+                    f"IF(c <= {_WP_C_MAX} AND ca <= {_WP_U_MAX} "
+                    f"AND cb <= {_WP_U_MAX}, "
+                    f"c * {_WP_SCALE} DIV (ca * cb), "
+                    f"raise_error('wordpiece_train_merges: symbol count "
+                    f"exceeds the int64 fixed-point bound - rescale counts "
+                    f"before scoring'))"
+                ).alias("score"),
             )
             .orderBy(F.col("score").desc(), "a", "b")
             .limit(1)

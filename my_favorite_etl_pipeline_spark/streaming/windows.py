@@ -284,9 +284,16 @@ def stream_fuzzy_decon_pairs(
     # call-time import is cycle-safe (plans is fully imported before any
     # registered query runs) — the SHARED bench predicate, not a restatement
     from ..plans.llm_ext3 import _bench_pred
+    from ..plans.llm_ext13 import _assert_unique_doc_ids
 
     bench_pred = _bench_pred()
     sh = shingles(F.col("text"))
+    # the at-ingest arm's id contract, asserted on the batch view of the
+    # same input BEFORE the stream starts (an ingest gate validates ids
+    # upstream; mirrors the batch twin's probe + the oracle's uq guard)
+    _assert_unique_doc_ids(
+        load(spark, sf_dir, "documents"), "stream_fuzzy_decontaminate"
+    )
     bench = (
         load(spark, sf_dir, "documents")
         .filter(bench_pred)

@@ -353,3 +353,72 @@ def test_anomalous_hours_mad_matches_pure_python(spark, qs):
     }
     assert got == expected and expected
     assert any(v[3] for v in got.values()), "fixture must produce >= 1 flag"
+
+
+def test_anomalous_hours_mad_zero_mad_branch(spark, tmp_path):
+    """The MAD=0 degenerate branch pinned on BOTH engines (VERDICT r14
+    item 4 — the one-fixture-per-branch discipline): more than half of a
+    type's hourly totals sit exactly at the median, so MAD=0 and EVERY
+    off-median hour flags. A second type with nonzero MAD rides along so
+    the fixture exercises both arms in one run."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    # "flat": 5 of 7 hours at 200 cents -> lower median 200, MAD 0;
+    # the 100- and 250-cent hours are the every-off-median-hour flags.
+    flat = [2.0, 2.0, 1.0, 2.0, 2.5, 2.0, 2.0]
+    # "vary": all-distinct totals -> MAD > 0 (the ordinary arm).
+    vary = [1.0, 3.0, 7.0, 2.0, 9.0, 4.0, 5.0]
+    rows = {
+        "event_id": list(range(1, 15)),
+        "ts": [t0 + dt.timedelta(hours=h) for h in range(7)] * 2,
+        "user_id": [1] * 14,
+        "event_type": ["flat"] * 7 + ["vary"] * 7,
+        "value": flat + vary,
+        "props": ["{}"] * 14,
+    }
+    table = pa.table(rows).cast(
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    from my_favorite_etl_pipeline_spark.registry import REGISTRY
+
+    q = REGISTRY["anomalous_hours_mad"]
+    got = sorted(
+        (r.event_type, r.bucket, r.value_cents, r.med_cents, r.mad_cents,
+         bool(r.is_anomaly), bool(r.is_high))
+        for r in q.fn(spark, str(tmp_path)).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    duck = sorted(
+        (t, b, int(x), int(m), int(a), bool(f), bool(h))
+        for t, b, x, m, a, f, h in con.execute(q.oracle).fetchall()
+    )
+    assert got == duck, "Spark and DuckDB must agree through the MAD=0 arm"
+
+    flat_rows = [r for r in got if r[0] == "flat"]
+    assert all(r[4] == 0 for r in flat_rows), "flat type must hit MAD=0"
+    # every off-median hour flags, every on-median hour does not
+    assert sorted(r[5] for r in flat_rows) == [False] * 5 + [True] * 2
+    for r in flat_rows:
+        assert r[5] == (r[2] != r[3])
+    vary_rows = [r for r in got if r[0] == "vary"]
+    assert all(r[4] > 0 for r in vary_rows), "vary type must keep MAD>0"

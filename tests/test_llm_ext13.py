@@ -274,6 +274,30 @@ def test_duplicate_ids_collapse_identically(spark, dup_id_dir, entry):
     assert first[-3] == 1 and first[-2] == 12, got
 
 
+@pytest.mark.parametrize(
+    "entry", ["fuzzy_decontaminate_minhash", "stream_fuzzy_decontaminate"]
+)
+def test_fuzzy_decon_raises_on_duplicate_ids(spark, dup_id_dir, entry):
+    """ADVICE r14: the fuzzy pair's duplicate-id contract is ASSERT, not
+    collapse (a union collapse would cost the production path a
+    full-corpus doc_id shuffle of shingle arrays) — a duplicated doc_id
+    must fail LOUDLY on BOTH engines rather than letting per-row shingle
+    arrays (Spark) and exploded postings (oracle) inflate differently."""
+    import duckdb
+
+    from my_favorite_etl_pipeline_spark.registry import REGISTRY
+
+    q = REGISTRY[entry]
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        q.fn(spark, dup_id_dir)
+
+    con = duckdb.connect()
+    glob = os.path.join(dup_id_dir, "documents.parquet", "*.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')")
+    with pytest.raises(duckdb.Error, match="duplicate doc_id"):
+        con.execute(q.oracle).fetchall()
+
+
 # ---------------------------------------------------------------------------
 # ivf_recall_report
 
