@@ -22,9 +22,9 @@ curation and packing, each with an exact DuckDB oracle:
 - ``embedding_topk_pq_adc``      — product-quantization ADC retrieval with
   exact re-rank (the memory half of FAISS IVF-PQ billion-vector search),
   deterministic end-to-end so the oracle replays it.
-- ``curation_funnel_report``     — the per-stage survivor audit table
-  (raw → Gopher → classifier → dedup → decontamination) every corpus
-  release publishes, as ONE aggregate over a per-doc survival level.
+- ``curation_funnel_report``     — MOVED to ``llm_ext14`` (r15): the
+  funnel now composes the registered r14 entries (fuzzy decon /
+  community cap / coverage core), which load after this module.
 - ``embedding_topk_ivf_pq``      — the COMPOSED index: IVF cell probe ×
   PQ-ADC × exact re-rank, the way a production billion-vector index
   actually runs.
@@ -557,237 +557,6 @@ def q_embedding_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     return pq_adc_topk(emb, query, k=10, shortlist=50, kc=64)
-
-
-# ---------------------------------------------------------------------------
-# curation_funnel_report
-
-# The benchmark-subset predicate, restated from llm_ext3 (oracles must be
-# self-contained SQL strings).
-_BENCH_SQL_5 = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
-
-
-@register(
-    "curation_funnel_report",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, text FROM documents WHERE NOT ({_BENCH_SQL_5})),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
-    m AS (
-      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS ntok,
-             ROUND(list_sum(list_transform(t, w -> CAST(len(w) AS DOUBLE)))
-                   / len(t), 4) AS mwl,
-             len(list_filter(t,
-               w -> w IN ('a','the','and','of','to','in'))) AS nstop,
-             ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
-                   AS DOUBLE) / len(t), 4) AS af
-      FROM toks
-    ),
-    g AS (SELECT doc_id, t, ntok,
-                 (ntok BETWEEN 50 AND 100000) AND (mwl BETWEEN 3 AND 10)
-                 AND (nstop >= 2) AND (af >= 0.8) AS gp
-          FROM m),
-    feats AS (
-      SELECT doc_id,
-             list_concat(t, CASE WHEN len(t) >= 2
-               THEN list_transform(range(len(t) - 1), i -> t[i+1] || '_' || t[i+2])
-               ELSE [] END) AS fs
-      FROM toks
-    ),
-    clf AS (SELECT doc_id,
-                   CAST(LIST_SUM(LIST_TRANSFORM(fs, x ->
-                     ({_duck_md5_32('x')}) % 20001 - 10000)) AS BIGINT) >= 0 AS cp
-            FROM feats),
-    fp AS (SELECT doc_id, md5(text) AS fp FROM d),
-    surv2 AS (SELECT g.doc_id, fp.fp
-              FROM g JOIN clf USING (doc_id) JOIN fp USING (doc_id)
-              WHERE g.gp AND clf.cp),
-    first AS (SELECT MIN(doc_id) AS doc_id FROM surv2 GROUP BY fp),
-    bgr AS (
-      SELECT DISTINCT array_to_string(t[pos + 1:pos + 13], ' ') AS gram
-      FROM (SELECT t, UNNEST(range(len(t) - 12)) AS pos
-            FROM (SELECT string_split(text, ' ') AS t FROM documents
-                  WHERE {_BENCH_SQL_5})
-            WHERE len(t) >= 13)
-    ),
-    cont AS (
-      SELECT DISTINCT doc_id FROM (
-        SELECT doc_id, array_to_string(t[pos + 1:pos + 13], ' ') AS gram
-        FROM (SELECT doc_id, t, UNNEST(range(len(t) - 12)) AS pos
-              FROM toks WHERE len(t) >= 13)
-      ) WHERE gram IN (SELECT gram FROM bgr)
-    ),
-    lvl AS (
-      SELECT g.doc_id, g.ntok,
-             CASE WHEN NOT g.gp THEN 0
-                  WHEN NOT clf.cp THEN 1
-                  WHEN f.doc_id IS NULL THEN 2
-                  WHEN c.doc_id IS NOT NULL THEN 3
-                  ELSE 4 END AS lv
-      FROM g JOIN clf USING (doc_id)
-      LEFT JOIN first f ON g.doc_id = f.doc_id
-      LEFT JOIN cont c ON g.doc_id = c.doc_id
-    )
-    SELECT stage_idx, stage, n_docs, n_tokens FROM (
-      SELECT 0 AS stage_idx, 'raw' AS stage,
-             CAST(COUNT(*) FILTER (WHERE lv >= 0) AS BIGINT) AS n_docs,
-             CAST(COALESCE(SUM(ntok) FILTER (WHERE lv >= 0), 0) AS BIGINT) AS n_tokens
-      FROM lvl
-      UNION ALL SELECT 1, 'gopher',
-             CAST(COUNT(*) FILTER (WHERE lv >= 1) AS BIGINT),
-             CAST(COALESCE(SUM(ntok) FILTER (WHERE lv >= 1), 0) AS BIGINT) FROM lvl
-      UNION ALL SELECT 2, 'classifier',
-             CAST(COUNT(*) FILTER (WHERE lv >= 2) AS BIGINT),
-             CAST(COALESCE(SUM(ntok) FILTER (WHERE lv >= 2), 0) AS BIGINT) FROM lvl
-      UNION ALL SELECT 3, 'exact_dedup',
-             CAST(COUNT(*) FILTER (WHERE lv >= 3) AS BIGINT),
-             CAST(COALESCE(SUM(ntok) FILTER (WHERE lv >= 3), 0) AS BIGINT) FROM lvl
-      UNION ALL SELECT 4, 'decontaminated',
-             CAST(COUNT(*) FILTER (WHERE lv >= 4) AS BIGINT),
-             CAST(COALESCE(SUM(ntok) FILTER (WHERE lv >= 4), 0) AS BIGINT) FROM lvl
-    ) ORDER BY stage_idx
-    """,
-)
-def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4+ (r7) — the curation-funnel audit table: per-stage surviving
-    document and token counts through raw → Gopher rules → model-based
-    classifier → exact dedup (keep-first among survivors) →
-    benchmark decontamination. Every corpus release publishes this table
-    (it is how filter regressions and over-aggressive rules get caught);
-    here it is ONE query composing four already-oracled operator families
-    over the non-benchmark corpus side.
-
-    Plan at 100 TB: the Gopher/classifier gates are map-only expressions;
-    dedup adds one fingerprint hash agg over stage-2 survivors;
-    decontamination adds the distinct-ref-gram semi-join (benchmark side
-    broadcasts). The funnel itself is ONE aggregate over the per-doc
-    survival level — five FILTERed sums, no per-stage rescans — and the
-    five report rows explode from that single row.
-    """
-    from .llm_ext3 import _bench_pred
-
-    docs_all = load(spark, sf_dir, "documents")
-    docs = docs_all.filter(~_bench_pred())
-    toks = TX.tokens("text")
-    ntok = F.size(toks).cast("long")
-    mwl = F.round(
-        F.aggregate(toks, F.lit(0.0), lambda a, w: a + F.length(w).cast("double"))
-        / F.size(toks),
-        4,
-    )
-    nstop = F.size(
-        F.filter(toks, lambda w: w.isin("a", "the", "and", "of", "to", "in"))
-    )
-    af = F.round(
-        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double")
-        / F.size(toks),
-        4,
-    )
-    gp = (
-        ntok.between(50, 100000)
-        & mwl.between(3, 10)
-        & (nstop >= 2)
-        & (af >= 0.8)
-    )
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat(F.get(toks, i), F.lit("_"), F.get(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wsum = F.aggregate(
-        F.transform(
-            F.concat(toks, bigrams), lambda c: _spark_md5_32(c) % 20001 - 10000
-        ),
-        F.lit(0).cast("long"),
-        lambda s, x: s + x,
-    )
-    grams13 = F.when(
-        F.size(toks) >= 13,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 13),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 13)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # Two consumers read `base` (the dedup groupBy and the final level
-    # join); without a materialization point Spark re-runs the whole
-    # Gopher + classifier expression tree — the funnel's dominant cost —
-    # once per consumer (VERDICT r7 item 4). tracked_persist keeps it one
-    # scan; the harness's materialized_scope releases it after the action.
-    base = tracked_persist(
-        docs.select(
-            "doc_id",
-            ntok.alias("ntok"),
-            gp.alias("gp"),
-            (wsum >= 0).alias("cp"),
-            F.md5("text").alias("fp"),
-        )
-    )
-    first = (
-        base.filter(F.col("gp") & F.col("cp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", F.lit(True).alias("isfirst"))
-    )
-    bench_grams = (
-        docs_all.filter(_bench_pred())
-        .select(F.explode(grams13).alias("gram"))
-        .distinct()
-    )
-    cont = (
-        docs.select("doc_id", F.explode(grams13).alias("gram"))
-        .join(bench_grams, "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .select("doc_id", F.lit(True).alias("contam"))
-    )
-    lv = (
-        F.when(~F.col("gp"), 0)
-        .when(~F.col("cp"), 1)
-        .when(F.col("isfirst").isNull(), 2)
-        .when(F.col("contam").isNotNull(), 3)
-        .otherwise(4)
-    )
-    lvl = (
-        base.join(first, "doc_id", "left")
-        .join(cont, "doc_id", "left")
-        .select("doc_id", "ntok", lv.alias("lv"))
-    )
-    stats = lvl.agg(
-        *[
-            F.sum((F.col("lv") >= i).cast("long")).alias(f"d{i}")
-            for i in range(5)
-        ],
-        *[
-            F.coalesce(
-                F.sum(F.when(F.col("lv") >= i, F.col("ntok")).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(f"t{i}")
-            for i in range(5)
-        ],
-    )
-    names = ["raw", "gopher", "classifier", "exact_dedup", "decontaminated"]
-    return (
-        stats.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("stage_idx"),
-                            F.lit(n).alias("stage"),
-                            F.col(f"d{i}").alias("n_docs"),
-                            F.col(f"t{i}").alias("n_tokens"),
-                        )
-                        for i, n in enumerate(names)
-                    ]
-                )
-            ).alias("r")
-        )
-        .select("r.*")
-        .orderBy("stage_idx")
-    )
 
 
 # ---------------------------------------------------------------------------

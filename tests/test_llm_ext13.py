@@ -298,6 +298,30 @@ def test_fuzzy_decon_raises_on_duplicate_ids(spark, dup_id_dir, entry):
         con.execute(q.oracle).fetchall()
 
 
+def test_lpa_labels_durable_commits_once_and_matches_fresh(spark):
+    """The r15 durable promotion: the committed label table must equal a
+    fresh propagation exactly, and a second consumer must READ the
+    snapshot (same version, no rebuild) — the `_knn_refined_tables`
+    contract applied to the LPA frame."""
+    from my_favorite_etl_pipeline_spark.plans import llm_ext13 as m
+    from my_favorite_etl_pipeline_spark.sources.mart import VersionedMart
+
+    fresh = sorted((r.node, r.lab) for r in m.lpa_labels(spark, SF_DIR).collect())
+    d1 = sorted(
+        (r.node, r.lab) for r in m.lpa_labels_durable(spark, SF_DIR).collect()
+    )
+    assert d1 == fresh and fresh
+
+    parts = spark.conf.get("spark.sql.shuffle.partitions", "")
+    base = m._LPA_MART_MEMO[(os.path.abspath(SF_DIR), parts)]
+    v = VersionedMart(base).current_version()
+    d2 = sorted(
+        (r.node, r.lab) for r in m.lpa_labels_durable(spark, SF_DIR).collect()
+    )
+    assert d2 == fresh
+    assert VersionedMart(base).current_version() == v, "second call rebuilt"
+
+
 # ---------------------------------------------------------------------------
 # ivf_recall_report
 

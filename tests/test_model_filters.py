@@ -213,7 +213,8 @@ def test_pq_lloyd_round_reduces_quantization_error(spark, sf_dir):
 def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
     rows = REGISTRY["curation_funnel_report"].fn(spark, sf_dir).collect()
     assert [r.stage for r in rows] == [
-        "raw", "gopher", "classifier", "exact_dedup", "decontaminated"
+        "raw", "gopher", "classifier", "exact_dedup", "decontaminated",
+        "fuzzy_decontaminated", "community_capped", "coverage_core",
     ]
     docs = [r.n_docs for r in rows]
     toks = [r.n_tokens for r in rows]
@@ -227,6 +228,23 @@ def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
         for r in REGISTRY["quality_classifier_linear"].fn(spark, sf_dir).collect()
     }
     assert any(clf.values())
+    # r15 composition checks against the REGISTERED frames the funnel
+    # embeds: the stage-5 drop count is bounded by the registered fuzzy
+    # drop list, stage 6 by the registered keeper set, stage 7 by the
+    # registered pick count — the funnel can never drop more than the
+    # composed entry defines.
+    n_fuzzy = REGISTRY["fuzzy_decontaminate_minhash"].fn(spark, sf_dir).count()
+    assert docs[4] - docs[5] <= n_fuzzy
+    n_keep = (
+        REGISTRY["community_capped_select"]
+        .fn(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert docs[6] <= n_keep
+    n_core = REGISTRY["greedy_gram_coverage_select"].fn(spark, sf_dir).count()
+    assert docs[7] <= n_core
 
 
 def test_ivf_pq_recall_and_subset_of_probed_cells(spark, sf_dir):
