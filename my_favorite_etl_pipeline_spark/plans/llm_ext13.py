@@ -64,13 +64,17 @@ def _cov_round_cte(r: int, b: int = 1) -> str:
     )"""
 
 
-_COV_PREFIX = f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# The distinct (doc_id, gram) table — factored (r15) so the coverage
+# trainer and the novelty readout (llm_ext14) share ONE gram definition.
+_DG_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     dg AS MATERIALIZED (
       SELECT DISTINCT doc_id, array_to_string(t[pos + 1:pos + {_COV_N}], ' ') AS g
       FROM (SELECT doc_id, t, UNNEST(range(len(t) - {_COV_N - 1})) AS pos
             FROM toks WHERE len(t) >= {_COV_N})
-    ),
+    )"""
+
+_COV_PREFIX = f"""
+    WITH {_DG_CTES},
     ids AS (SELECT DISTINCT doc_id FROM documents),
     sel0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0),
     cov0 AS (SELECT CAST(NULL AS VARCHAR) AS g WHERE 1 = 0)"""
@@ -132,6 +136,15 @@ def q_greedy_gram_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _dg_frame(docs: DataFrame) -> DataFrame:
+    """The distinct ``(doc_id, g)`` {_COV_N}-token gram table — the Spark
+    twin of ``_DG_CTES``, factored (r15) so the coverage trainer and the
+    novelty readout (llm_ext14) share ONE gram definition per engine."""
+    return docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), n=_COV_N)).alias("g")
+    ).distinct()
+
+
 def _greedy_select(
     spark: SparkSession, sf_dir: str, rounds: int, batch: int
 ) -> list[tuple[int, int, int, int, int]]:
@@ -143,11 +156,7 @@ def _greedy_select(
     from ..caching import tracked_persist
 
     docs = load(spark, sf_dir, "documents")
-    dg = tracked_persist(
-        docs.select(
-            "doc_id", F.explode(TX.shingles(F.col("text"), n=_COV_N)).alias("g")
-        ).distinct()
-    )
+    dg = tracked_persist(_dg_frame(docs))
     # DISTINCT ids, mirrored in the oracle's ``ids`` CTE: on duplicate-id
     # input an undeduped candidate list would let the engines diverge
     # (the oracle's LEFT JOIN would multiply a gain by the id's
@@ -799,21 +808,29 @@ def _lpa_round_cte(i: int) -> str:
     )"""
 
 
-def _lpa_cte_chain() -> str:
-    """The full LPA trajectory as a reusable CTE chain ending at
-    ``lp{_LPA_ROUNDS}(node, lab)`` — factored (late r14) so the
-    community-capped selection composes the IDENTICAL clustering (the
-    `_pagerank_cte` precedent)."""
+def _und_ctes() -> str:
+    """The undirected base-kNN edge table ``und(node, nbr)`` (plus the
+    shared ``qassign`` vector table it rides in on) — factored (r15) so
+    label propagation and the k-core peel (llm_ext14) share ONE
+    undirected-graph definition."""
     from .llm_ext7 import _KNN_K, _knn_base_cte
 
-    rounds = "".join(_lpa_round_cte(i) for i in range(1, _LPA_ROUNDS + 1))
     return f"""
     {_knn_base_cte()},
     ed AS (SELECT src_id, nbr_id FROM e0 WHERE rnk <= {_KNN_K}),
     und AS (SELECT DISTINCT node, nbr FROM (
       SELECT src_id AS node, nbr_id AS nbr FROM ed
       UNION ALL
-      SELECT nbr_id AS node, src_id AS nbr FROM ed)),
+      SELECT nbr_id AS node, src_id AS nbr FROM ed))"""
+
+
+def _lpa_cte_chain() -> str:
+    """The full LPA trajectory as a reusable CTE chain ending at
+    ``lp{_LPA_ROUNDS}(node, lab)`` — factored (late r14) so the
+    community-capped selection composes the IDENTICAL clustering (the
+    `_pagerank_cte` precedent)."""
+    rounds = "".join(_lpa_round_cte(i) for i in range(1, _LPA_ROUNDS + 1))
+    return f"""{_und_ctes()},
     lp0 AS (SELECT vec_id AS node, vec_id AS lab FROM qassign){rounds}"""
 
 
@@ -871,13 +888,10 @@ def q_knn_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNORDERED shared label frame ``(node, lab)`` after
-    ``_LPA_ROUNDS`` rounds — the Spark twin of ``_lpa_cte_chain``,
-    consumed by the registered community query and the community-capped
-    selection (one propagation definition, two consumers)."""
-    from pyspark.sql import Window
-
+def _und_frame(spark: SparkSession, sf_dir: str):
+    """``(assign, und)`` — the Spark twin of ``_und_ctes``: the full
+    vector assignment plus the persisted undirected base-kNN edge table,
+    shared by label propagation and the k-core peel (llm_ext14)."""
     from ..caching import tracked_persist
     from .llm_ext7 import _knn_base_edges
 
@@ -888,6 +902,17 @@ def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(ed.select(F.col("nbr_id").alias("node"), F.col("src_id").alias("nbr")))
         .distinct()
     )
+    return assign, und
+
+
+def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED shared label frame ``(node, lab)`` after
+    ``_LPA_ROUNDS`` rounds — the Spark twin of ``_lpa_cte_chain``,
+    consumed by the registered community query and the community-capped
+    selection (one propagation definition, two consumers)."""
+    from pyspark.sql import Window
+
+    assign, und = _und_frame(spark, sf_dir)
     # seed from EVERY vector, not just edge endpoints: an isolated vector
     # (alone in its cell — no kNN edge) is its own singleton community
     # under LPA semantics, and must stay eligible for the capped

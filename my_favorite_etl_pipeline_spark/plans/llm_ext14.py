@@ -22,6 +22,22 @@ subqueries (their CTE names scope locally, so ``toks``/``sh`` collide
 with nothing). The funnel therefore CANNOT drift from the entries it
 audits; any change to a composed entry changes the funnel identically
 on both engines.
+
+Plus three r15 breadth operators:
+
+- ``knn_graph_kcore``        — k-core peel over the shared undirected
+  base-kNN graph (llm_ext13's ``_und_ctes``/``_und_frame`` — one graph,
+  three consumers): the graph-DENSITY tier between degree (too local)
+  and LPA communities (partition, not density) — dense cores are the
+  boilerplate/spam signature near-dup curation inspects.
+- ``gram_novelty_scores``    — per-document novelty: the share of a
+  document's distinct 13-grams that are corpus-UNIQUE (df = 1), over
+  the coverage trainer's shared gram table (``_DG_CTES``/``_dg_frame``)
+  — the memorization-risk/duplication readout per document.
+- ``unimax_language_budget`` — UniMax (Chung et al. 2022) epoch-capped
+  language allocation as a CLOSED-FORM exact-integer water-fill: sort
+  languages by capacity, cap the small ones, split the rest evenly —
+  no iteration, every value a BIGINT.
 """
 
 from __future__ import annotations
@@ -335,4 +351,329 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r.*")
         .orderBy("stage_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_kcore — the graph-density tier over the shared undirected graph
+
+_KCORE_K = 4  # minimum surviving degree (measured: the base graph's
+# undirected degrees sit at 3–9 with median 4, so K=4 peels ~45% in
+# round 1 and leaves a small dense core — both arms fire at every SF;
+# K=3 peels nothing (min degree 3), K=5 empties the graph)
+_KCORE_ROUNDS = 3  # peel rounds (a knob; one join + agg each)
+
+
+def _kcore_oracle() -> str:
+    """Replays every peel round as generated CTEs over the SHARED
+    undirected-graph text (llm_ext13._und_ctes — the same ``und`` LPA
+    propagates over): alive set ``a{i}`` = nodes of ``a{i-1}`` whose
+    degree WITHIN ``a{i-1}`` is >= K. Pure integer counts and ids."""
+    from .llm_ext13 import _und_ctes
+
+    rounds = "".join(
+        f""",
+    d{i} AS (
+      SELECT u.node, CAST(COUNT(*) AS BIGINT) AS c
+      FROM und u
+      JOIN a{i - 1} x ON u.node = x.node
+      JOIN a{i - 1} y ON u.nbr = y.node
+      GROUP BY u.node
+    ),
+    a{i} AS (SELECT node FROM d{i} WHERE c >= {_KCORE_K})"""
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    survive = "".join(
+        f"""
+             WHEN n.node NOT IN (SELECT node FROM a{i}) THEN {i - 1}"""
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    # _und_ctes opens with the shared _knn_base_cte, which already emits
+    # the WITH keyword (the _lpa_cte_chain convention)
+    return f"""
+    {_und_ctes()},
+    a0 AS (SELECT vec_id AS node FROM qassign),
+    deg AS (
+      SELECT a.node, CAST(COUNT(u.nbr) AS BIGINT) AS d
+      FROM a0 a LEFT JOIN und u ON u.node = a.node GROUP BY a.node
+    ){rounds}
+    SELECT n.node AS vec_id, deg.d AS degree,
+           CAST(CASE{survive}
+             ELSE {_KCORE_ROUNDS} END AS INT) AS rounds_survived,
+           n.node IN (SELECT node FROM a{_KCORE_ROUNDS}) AS in_core
+    FROM a0 n JOIN deg ON deg.node = n.node
+    ORDER BY vec_id
+    """
+
+
+@register("knn_graph_kcore", oracle=_kcore_oracle())
+def q_knn_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r15) — k-core PEEL over the undirected base kNN graph
+    (Seidman 1983; Batagelj & Zaversnik 2003): iteratively remove nodes
+    with fewer than {_KCORE_K} surviving neighbors. The graph family's
+    DENSITY tier — degree is too local (a hub of singletons reads
+    dense), LPA partitions without measuring density; the k-core is the
+    standard "mutually-dense region" readout, and over a NEAR-DUP graph
+    dense cores are exactly the boilerplate/template/spam signature a
+    curation run inspects before sampling (the near-dup analog of the
+    Gopher repetition rules). Emits (vec_id, degree, rounds_survived,
+    in_core) after {_KCORE_ROUNDS} peel rounds — the peel trajectory, so
+    a reader sees HOW a node left, not just whether.
+
+    Determinism contract: degrees are integer counts over integer-id
+    edges; the alive sets are pure set operations — nothing to round,
+    nothing order-dependent, so every round replays exactly in the
+    oracle's generated CTEs (the LPA/PageRank trajectory precedent).
+
+    Plan at 100 TB: the SHARED undirected edge table (one definition
+    with LPA — `_und_frame`, persisted once) plus, per round, ONE
+    self-equi-join of edges against the alive set on both endpoints +
+    one per-node hash agg — the Pregel peel; alive sets stay
+    distributed, zero driver state, rounds a fixed knob. Full coreness
+    (peel to convergence) would wrap the same round body in an
+    until-fixed-point loop with localCheckpoint truncation.
+    """
+    from .llm_ext13 import _und_frame
+
+    assign, und = _und_frame(spark, sf_dir)
+    nodes = assign.select(F.col("vec_id").alias("node"))
+    deg = (
+        nodes.join(und, "node", "left")
+        .groupBy("node")
+        .agg(F.count("nbr").cast("long").alias("degree"))
+    )
+    alive = nodes
+    flags = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        d = (
+            und.join(alive.withColumnRenamed("node", "nbr"), "nbr")
+            .join(alive, "node")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = d.filter(F.col("c") >= _KCORE_K).select("node")
+        flags.append(alive.select("node", F.lit(True).alias(f"__a{i}")))
+    out = deg
+    for i, fl in enumerate(flags, start=1):
+        out = out.join(fl, "node", "left")
+    surv = F.lit(_KCORE_ROUNDS)
+    for i in range(_KCORE_ROUNDS, 0, -1):
+        surv = F.when(F.col(f"__a{i}").isNull(), i - 1).otherwise(surv)
+    return out.select(
+        F.col("node").alias("vec_id"),
+        "degree",
+        surv.cast("int").alias("rounds_survived"),
+        F.col(f"__a{_KCORE_ROUNDS}").isNotNull().alias("in_core"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# gram_novelty_scores — per-document corpus-uniqueness readout
+
+
+def _novelty_oracle() -> str:
+    """One gram-df aggregate over the SHARED coverage gram table
+    (llm_ext13._DG_CTES — the trainer's own definition) and a per-doc
+    rollup; the ratio is 10000-scaled integer floor division so both
+    engines emit identical BIGINTs."""
+    from .llm_ext13 import _DG_CTES
+
+    return f"""
+    WITH {_DG_CTES},
+    df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM dg GROUP BY g)
+    SELECT dg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE df.c = 1) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) FILTER (WHERE df.c = 1) * 10000
+                // COUNT(*) AS BIGINT) AS novelty_bp
+    FROM dg JOIN df USING (g)
+    GROUP BY dg.doc_id
+    ORDER BY doc_id
+    """
+
+
+@register("gram_novelty_scores", oracle=_novelty_oracle())
+def q_gram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r15) — per-document GRAM NOVELTY: of a document's distinct
+    13-token grams, the share that appear NOWHERE else in the corpus
+    (document frequency 1), as exact basis points. The per-document
+    inverse of the coverage/dedup families: coverage selection maximizes
+    new grams across picks, the dedup funnels remove low-novelty PAIRS —
+    this scores every document individually, the memorization-risk /
+    near-duplication readout a curation run ranks by (a 0-novelty
+    document is entirely reconstructible from the rest of the corpus;
+    Lee et al. 2022's motivation at document grain). Emits (doc_id,
+    n_grams, n_unique, novelty_bp) for every document with >= 1 gram.
+
+    Shared-definition discipline: the gram table IS the coverage
+    trainer's (`_dg_frame` / `_DG_CTES` — one definition per engine), so
+    this readout and the greedy selection can never disagree about what
+    a gram is.
+
+    Plan at 100 TB: one (doc, gram) distinct table (the trainer's own
+    build), one gram-keyed hash agg for df, one equi-join back, one
+    per-doc hash agg — all map-side-combinable, nothing quadratic,
+    output corpus-sized. The 10000-scaled floor division keeps the
+    ratio integer-exact on both engines (the epochs_bp/score_x1e12
+    precedent).
+    """
+    from ..caching import tracked_persist
+    from .llm_ext13 import _dg_frame
+
+    dg = tracked_persist(_dg_frame(load(spark, sf_dir, "documents")))
+    df_ = dg.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        dg.join(df_, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.expr("n_unique * 10000 DIV n_grams").alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# unimax_language_budget — UniMax epoch-capped language allocation
+
+_UMX_EPOCHS = 2  # per-language epoch cap (UniMax's N)
+# budget = total corpus tokens * 3 // 2 — scale-free (proportions, not
+# magnitudes, decide the allocation shape), sized so the fixture
+# exercises BOTH arms: small languages hit their 2-epoch cap, the
+# largest shares the remainder.
+_UMX_B_NUM, _UMX_B_DEN = 3, 2
+# Loud-overflow bound (the wordpiece/doremi discipline): epochs_bp
+# multiplies alloc by 10^4 in int64.
+_UMX_ALLOC_MAX = (2**63 - 1) // 10_000
+
+
+@register(
+    "unimax_language_budget",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM lt),
+    c AS (
+      SELECT lang, n_docs, t, {_UMX_EPOCHS} * t AS cap,
+             ROW_NUMBER() OVER (ORDER BY {_UMX_EPOCHS} * t, lang) AS rn
+      FROM lt
+    ),
+    lv AS (
+      SELECT rn, lang, n_docs, t, cap,
+             ((SELECT tt * {_UMX_B_NUM} // {_UMX_B_DEN} FROM tot)
+              - COALESCE(SUM(cap) OVER (ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+             // ((SELECT n FROM tot) - rn + 1) AS level
+      FROM c
+    ),
+    rs AS (SELECT COALESCE(MIN(rn), (SELECT n FROM tot) + 1) AS r
+           FROM lv WHERE cap > level)
+    SELECT lang, n_docs, t AS lang_tokens, cap AS cap_tokens,
+           CASE WHEN rn < (SELECT r FROM rs) THEN cap
+                ELSE (SELECT level FROM lv WHERE rn = (SELECT r FROM rs))
+           END AS alloc_tokens,
+           CAST(CASE WHEN rn < (SELECT r FROM rs) THEN cap
+                ELSE (SELECT level FROM lv WHERE rn = (SELECT r FROM rs))
+           END * 10000 // t AS BIGINT) AS epochs_bp
+    FROM lv ORDER BY lang
+    """,
+)
+def q_unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r15) — UniMax language-budget allocation (Chung et al.
+    2022): spread a total training-token budget as UNIFORMLY as possible
+    across languages, capping every language at {_UMX_EPOCHS} epochs of
+    its own corpus — the multilingual mixture rule that beats
+    temperature sampling's head-overfit/tail-starve tradeoff (the
+    registered `corpus_mix_temperature` is the baseline it replaces).
+    Emits per language: (lang, n_docs, lang_tokens, cap_tokens,
+    alloc_tokens, epochs_bp).
+
+    The water-fill is CLOSED-FORM, not iterative: sort languages by
+    capacity cap_l = {_UMX_EPOCHS}·tokens_l ascending; at rank r the
+    even share of what remains is level_r = (B − Σ_(j<r) cap_j) DIV
+    (n − r + 1); the first rank r* with cap_r* > level_r* splits the
+    list — every smaller language is capped, every language from r* on
+    gets exactly level_r* (caps ascend, so none of them can cap). All
+    floor-division BIGINT arithmetic — the whole allocation
+    value-hash-replays in SQL with zero rounds. Budget B =
+    {_UMX_B_NUM}/{_UMX_B_DEN} of total corpus tokens (scale-free;
+    proportions decide the shape, so the fixture exercises both arms at
+    every SF).
+
+    Plan at 100 TB: ONE corpus pass (the per-language token hash agg —
+    map-side combinable) and then |languages|-row work: a window cumsum
+    and three scalar subqueries on a model-sized frame. Nothing
+    iterative, no driver state at all — the allocation is a plan, not a
+    loop (contrast DoReMi's inherently-sequential MW rounds).
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    lt = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(TX.tokens("text"))).cast("long").alias("t"),
+    )
+    tot = lt.agg(
+        F.sum("t").cast("long").alias("tt"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    c = lt.withColumn("cap", F.lit(_UMX_EPOCHS) * F.col("t")).withColumn(
+        "rn", F.row_number().over(Window.orderBy("cap", "lang"))
+    )
+    wcum = (
+        Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lv = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("cum_prev", F.coalesce(F.sum("cap").over(wcum), F.lit(0)))
+        .withColumn(
+            "level",
+            F.expr(
+                f"(tt * {_UMX_B_NUM} DIV {_UMX_B_DEN} - cum_prev) DIV (n - rn + 1)"
+            ),
+        )
+    )
+    rs = lv.agg(
+        F.coalesce(
+            F.min(F.when(F.col("cap") > F.col("level"), F.col("rn"))),
+            (F.max("n") + 1).cast("int"),
+        ).alias("rstar")
+    )
+    final_level = (
+        lv.join(F.broadcast(rs), F.col("rn") == F.col("rstar"))
+        .select(F.col("level").alias("final_level"))
+    )
+    alloc = F.when(F.col("rn") < F.col("rstar"), F.col("cap")).otherwise(
+        F.col("final_level")
+    )
+    guarded_bp = F.expr(
+        f"IF(alloc_tokens <= {_UMX_ALLOC_MAX}, alloc_tokens * 10000 DIV t, "
+        f"raise_error('unimax_language_budget: allocation exceeds the int64 "
+        f"fixed-point bound - rescale token counts'))"
+    )
+    return (
+        lv.crossJoin(F.broadcast(rs))
+        .crossJoin(F.broadcast(final_level))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("t").alias("lang_tokens"),
+            F.col("cap").alias("cap_tokens"),
+            alloc.alias("alloc_tokens"),
+            "t",
+        )
+        .withColumn("epochs_bp", guarded_bp)
+        .select(
+            "lang", "n_docs", "lang_tokens", "cap_tokens", "alloc_tokens", "epochs_bp"
+        )
+        .orderBy("lang")
     )
