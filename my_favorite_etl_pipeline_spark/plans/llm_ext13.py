@@ -989,7 +989,6 @@ _WP_SCALE = 10**12  # fixed-point quantum for the likelihood score
 # bounds — c*SCALE and ca*cb must both fit int64. Production rescales
 # counts before scoring (the score is scale-invariant).
 _WP_C_MAX = (2**63 - 1) // _WP_SCALE  # 9_223_372
-_WP_U_MAX = 3_037_000_499  # isqrt(int64 max): ca*cb cannot overflow
 
 
 def _wp_round_cte(r: int) -> str:
@@ -1092,10 +1091,12 @@ def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "b",
                 "c",
                 # guarded fixed-point score: wraps-silently is unacceptable
-                # where the oracle errors loudly (non-ANSI int64 vs DuckDB)
+                # where the oracle errors loudly (non-ANSI int64 vs DuckDB).
+                # The product bound is exact: ca*cb <= M iff ca <= M DIV cb
+                # for positive ints (counts are >= 1), so the guard raises
+                # only where DuckDB itself would overflow — not one-sided
                 F.expr(
-                    f"IF(c <= {_WP_C_MAX} AND ca <= {_WP_U_MAX} "
-                    f"AND cb <= {_WP_U_MAX}, "
+                    f"IF(c <= {_WP_C_MAX} AND ca <= {2**63 - 1} DIV cb, "
                     f"c * {_WP_SCALE} DIV (ca * cb), "
                     f"raise_error('wordpiece_train_merges: symbol count "
                     f"exceeds the int64 fixed-point bound - rescale counts "

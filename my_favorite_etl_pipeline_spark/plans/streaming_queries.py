@@ -700,11 +700,13 @@ def q_stream_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding (right when both join sides grow); this arm hash-joins each
     micro-batch against the eval suite's FULL shingle posting list (right
     when the static side is eval-suite-sized — fixed at any corpus
-    scale). Both verify candidates with the exact array-intersect
-    Jaccard, so both hash-check against the SAME exact all-pairs pair
-    table (shared CTE text). availableNow + complete mode makes the
-    final streaming state equal the batch join; streaming state is ONE
-    row per qualifying (doc, bench) pair.
+    scale). Both arms compute the EXACT Jaccard — the batch twin via
+    array_intersect, this arm by counting posting collisions (shingle
+    sets are distinct, so the collision count is the intersection size)
+    — so both hash-check against the SAME exact all-pairs pair table
+    (shared CTE text). availableNow + complete mode makes the final
+    streaming state equal the batch join; streaming state is one small
+    (c, na, nb) row per CANDIDATE pair (>= 1 shared shingle).
     """
     from ..streaming.windows import stream_fuzzy_decon_pairs
 

@@ -270,12 +270,13 @@ def stream_fuzzy_decon_pairs(
     static side of decontamination is the EVAL SUITE, fixed-size at any
     corpus scale, so its complete shingle posting list is small enough to
     hash-join every micro-batch against (banding pays when BOTH sides
-    grow — the near-dup self-join — not here). Candidates are exact
-    posting-list collisions (recall 1 by construction), verified with
-    the exact array-intersect Jaccard, then ONE stateful aggregate
-    collapses duplicate candidate rows (a pair hits once per shared
-    shingle) — the ``stream_ingest_dedup_pairs`` recipe pointed across
-    the corpus boundary.
+    grow — the near-dup self-join — not here). Because shingle sets are
+    DISTINCT, the number of posting collisions per (doc, bench) pair IS
+    the exact intersection size, so the ONE stateful aggregate the arm
+    keeps (count + na + nb per candidate pair) is simultaneously the
+    candidate collapse AND the exact-Jaccard verify — no shingle array
+    ever crosses the join, only (doc_id, na, sh) rows. State is one
+    small row per candidate pair (pairs sharing >= 1 shingle).
     """
     from ..functions.text import shingles
 
@@ -300,22 +301,50 @@ def stream_fuzzy_decon_pairs(
         .select(F.col("doc_id").alias("bench_id"), sh.alias("s_b"))
         .select("bench_id", "s_b", F.size("s_b").alias("nb"))
     )
-    bench_idx = bench.select("bench_id", F.explode("s_b").alias("sh"))
+    # Materialize the static side ONCE per (process, sf_dir) — a stream-
+    # static join re-evaluates the static plan EVERY micro-batch, so the
+    # lazy form re-ran the bench slice's corpus scan + shingle regex per
+    # trigger (measured 5.0× sf0.01→sf0.1 growth vs the batch twin's
+    # 1.0×; mid-r15). Same parquet-memo posture as _static_dedup_index
+    # (VERDICT r7 item 6): production precomputes the eval-suite index
+    # offline and serves many streams from it.
+    bench_idx = _fuzzy_bench_index(spark, sf_dir, bench)
     stream = read_documents_stream(spark, sf_dir).filter(~bench_pred)
-    s = stream.select(
-        "doc_id", sh.alias("s_a"), F.size(sh).alias("na"), F.explode(sh).alias("sh")
+    # Shingles are DISTINCT sets (functions.text.shingles wraps
+    # array_distinct), so |s_a ∩ s_b| IS the posting-collision count:
+    # count rows per (doc, bench) pair instead of carrying each doc's
+    # full shingle array through the join and re-verifying with
+    # array_intersect once per shared shingle (the lazy wide form read
+    # 5.7× sf0.01→sf0.1 in the mid-r15 sweep; this narrow form keeps
+    # only (doc_id, na, sh) int/short-string rows in flight and folds
+    # the verify INTO the one stateful aggregate the arm already had)
+    # TWO projections, not one: inlining size(sh)/explode(sh) as sibling
+    # expressions makes Catalyst re-derive na AFTER the Generate — the
+    # full shingle pipeline (split + transform + array_distinct) re-ran
+    # once per EXPLODED row, not per document (measured 10.9 s → 1.4 s
+    # at sf0.1). Projecting the array first leaves na a per-doc compute;
+    # CollapseProject keeps the split because s_a is referenced twice.
+    s0 = stream.select("doc_id", sh.alias("s_a"))
+    s = s0.select("doc_id", F.size("s_a").alias("na"), F.explode("s_a").alias("sh"))
+    hits = s.join(bench_idx, "sh")  # stream-static equi, stateless
+    agg = (
+        hits.groupBy("doc_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("na").alias("na"),  # constant within a (doc, bench) group
+            F.max("nb").alias("nb"),
+        )
     )
-    cand = s.join(bench_idx, "sh").select("doc_id", "bench_id", "s_a", "na")
-    ver = cand.join(bench, "bench_id")  # stream-static equi, stateless
-    c = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
-    jac = c.cast("double") / (F.col("na") + F.col("nb") - c)
+    c = F.col("c").cast("double")
+    jac = c / (F.col("na") + F.col("nb") - c)
     pairs = (
         # UNROUNDED threshold compare — the shared p CTE's boundary rule
-        # (llm_ext13._fuzz_pair_ctes); rounding is display-only
-        ver.filter(jac >= threshold)
-        .select("doc_id", "bench_id", F.round(jac, 4).alias("jaccard"))
-        .groupBy("doc_id", "bench_id")
-        .agg(F.min("jaccard").alias("jaccard"))  # identical on every dup row
+        # (llm_ext13._fuzz_pair_ctes); rounding is display-only. Filter
+        # and projection AFTER the aggregation are stateless row ops,
+        # legal in complete mode.
+        agg.filter(jac >= threshold).select(
+            "doc_id", "bench_id", F.round(jac, 4).alias("jaccard")
+        )
     )
     sink_name = f"fuzzy_decon_sink_{int(time.time() * 1000) % 10_000_000}"
     with stream_shuffle_scope(spark, n=16):
@@ -328,6 +357,39 @@ def stream_fuzzy_decon_pairs(
         )
         q.awaitTermination()
     return spark.table(sink_name).orderBy("doc_id", "bench_id")
+
+
+# Session-scoped memo for the fuzzy-decontamination bench index: the
+# exploded (sh, bench_id, nb) posting list, parquet-materialized once per
+# (process, sf_dir). The fuzzy gate joins the FULL posting list (no
+# prefix cut — the static side is eval-suite-sized), so the index is
+# threshold-independent; nb rides each posting row so the collision
+# count folds straight into the Jaccard without a second static join.
+_FUZZY_BENCH_MEMO: dict[str, str] = {}
+
+
+def _fuzzy_bench_index(
+    spark: SparkSession, sf_dir: str, bench: DataFrame
+) -> DataFrame:
+    """Return the parquet-backed (sh, bench_id, nb) posting list — built
+    from ``bench`` on first call per (process, sf_dir), scanned
+    thereafter."""
+    key = os.path.abspath(sf_dir)
+    idx_path = _FUZZY_BENCH_MEMO.get(key)
+    if idx_path is None:
+        import hashlib
+
+        digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+        idx_path = os.path.join(
+            _prefix_idx_root(), "fuzzy_bench", digest, "postings"
+        )
+        (
+            bench.select("bench_id", "nb", F.explode("s_b").alias("sh"))
+            .write.mode("overwrite")
+            .parquet(idx_path)
+        )
+        _FUZZY_BENCH_MEMO[key] = idx_path
+    return spark.read.parquet(idx_path)
 
 
 # Session-scoped memo for the materialized static-side dedup index
@@ -385,7 +447,13 @@ def _static_dedup_index(
                 F.col("f").asc(), F.col("sh").asc()
             )
         )
-        prefix_len = F.col("nb") - F.ceil(F.lit(threshold) * F.col("nb")) + 1
+        # exact rational ceiling (mid-r15 audit): the theorem's prefix
+        # bound deserves arithmetic exact by construction, not a float
+        # product whose integral cases round correctly only by a
+        # half-ULP margin (see ceil_frac)
+        from ..operators.dedup import ceil_frac
+
+        prefix_len = F.col("nb") - ceil_frac(F.col("nb"), threshold) + 1
         (
             ex_b.join(freq, "sh")
             .withColumn("__rn", rn)
@@ -442,8 +510,13 @@ def stream_ingest_dedup_pairs(
     # serializes 50-string arrays row-wise per consumer.
     prefix_idx, static = _static_dedup_index(spark, sf_dir, threshold, static)
     stream = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
-    s = stream.select(
-        "doc_id", sh.alias("s_a"), F.size(sh).alias("na"), F.explode(sh).alias("sh")
+    # TWO projections (the stream_fuzzy_decon_pairs lesson, mid-r15):
+    # inlining s_a/size(sh)/explode(sh) as sibling expressions in one
+    # select made Catalyst re-derive s_a and na AFTER the Generate —
+    # the full shingle pipeline re-ran once per exploded row
+    s0 = stream.select("doc_id", sh.alias("s_a"))
+    s = s0.select(
+        "doc_id", "s_a", F.size("s_a").alias("na"), F.explode("s_a").alias("sh")
     )
     cand = s.join(prefix_idx, "sh").select("doc_id", "ref_id", "s_a", "na")
     ver = cand.join(static, "ref_id")  # stream-static equi, stateless

@@ -59,6 +59,10 @@ DEFAULT_SET = [
     "community_capped_select",  # LPA ∘ CCNet composition + grouped top-k (r14)
     "filter_ablation_matrix",  # map-only rules + rule-bounded self-join (r14)
     "anomalous_hours_mad",  # one corpus agg + grid-sized median windows (r14)
+    "knn_graph_kcore",  # shared undirected graph + per-round peel join (r15)
+    "gram_novelty_scores",  # shared gram table + df agg + per-doc rollup (r15)
+    "unimax_language_budget",  # one corpus agg + model-sized water-fill (r15)
+    "stream_ingest_dedup_ssjoin",  # prefix-cut stream-static funnel (r15)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
