@@ -110,6 +110,27 @@ def lsh_candidate_pairs(
     )
 
 
+def ceil_frac(n, threshold: float):
+    """Exact ``ceil(threshold·n)`` for an integer column ``n``.
+
+    ``F.ceil(F.lit(t) * n)`` is correct only by a delicate argument: when
+    t·n is integral, the product's float error (n times the constant's
+    representation error) must stay inside half an ULP so rounding
+    recovers the exact integer — true for 0.9·10 (measured), but the
+    margin is a factor ~2 at worst-case constants and there is no test
+    that would catch a threshold where it crosses. Ceiling a boundary
+    that a RECALL THEOREM depends on deserves arithmetic that is exact
+    by construction (mid-r15 audit): rationalize t (p/q — exact for
+    0.5/0.8/0.9/...) and compute (n·p + q − 1) // q in integers; the
+    double division below is exact (operands ≪ 2⁵³) so floor is exact.
+    """
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10**6)
+    p, q = fr.numerator, fr.denominator
+    return F.floor((n * F.lit(p) + F.lit(q - 1)) / F.lit(q)).cast("int")
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -147,7 +168,7 @@ def prefix_filter_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("f", "t"))).alias("ord"))
     )
     n = F.size("ord")
-    plen = F.greatest(n - F.ceil(F.lit(threshold) * n).cast("int") + 1, F.lit(1))
+    plen = F.greatest(n - ceil_frac(n, threshold) + 1, F.lit(1))
     pref = ranked.select(
         F.col(id_col),
         n.alias("n"),
@@ -165,6 +186,75 @@ def prefix_filter_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num: int = 4,
+    den: int = 5,
+) -> DataFrame:
+    """X2 — ordered CONTAINMENT pairs C(A,B) = |A∩B|/|A| >= num/den over
+    3-gram shingles (Broder 1997's second coefficient — the
+    doc-inside-doc direction the symmetric Jaccard funnels are blind to).
+
+    Asymmetric prefix theorem: if C(A,B) >= t then at most
+    n_a − ceil(t·n_a) of A's shingles miss B, so among A's first
+    n_a − ceil(t·n_a) + 1 shingles under any fixed global order at least
+    one lands in B — joining A's PREFIX (rarest-first order) against B's
+    FULL posting list is a 100%-recall candidate funnel; ``ceil_frac``
+    keeps the ceiling exact where float ceil loses a slot. Candidates
+    verify exactly via array_intersect; the threshold compares
+    c·den >= n_a·num in integers so the boundary is engine-portable.
+
+    Returns (doc_id, container_id, n_shingles, n_shared, containment_bp).
+    """
+    t = num / den
+    sh = tracked_persist(
+        ensure_min_partitions(df).select(
+            F.col(id_col), shingles(F.col(text_col)).alias("sh")
+        )
+    )
+    tok = tracked_persist(sh.select(id_col, F.explode("sh").alias("t")))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    ranked = (
+        tok.join(freq, "t")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("f", "t"))).alias("ord"))
+    )
+    n = F.size("ord")
+    plen = F.greatest(n - ceil_frac(n, t) + 1, F.lit(1))
+    pref = ranked.select(
+        F.col(id_col).alias("ida"),
+        F.explode(
+            F.slice(F.transform("ord", lambda s: s["t"]), F.lit(1), plen)
+        ).alias("t"),
+    )
+    cand = (
+        pref.join(tok.select(F.col(id_col).alias("idb"), "t"), "t")
+        .filter(F.col("ida") != F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+    a, b = sh.alias("sa"), sh.alias("sb")
+    c = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    na = F.size(F.col("sa.sh"))
+    return (
+        cand.join(a, cand.ida == F.col(f"sa.{id_col}"))
+        .join(b, cand.idb == F.col(f"sb.{id_col}"))
+        .select(
+            F.col("ida").alias("doc_id"),
+            F.col("idb").alias("container_id"),
+            na.cast("long").alias("n_shingles"),
+            c.cast("long").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") * den >= F.col("n_shingles") * num)
+        .withColumn(
+            "containment_bp",
+            F.expr("CAST(n_shared * 10000 DIV n_shingles AS BIGINT)"),
+        )
     )
 
 

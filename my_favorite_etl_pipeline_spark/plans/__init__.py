@@ -56,6 +56,7 @@ _import_or_warn("llm_ext11")
 _import_or_warn("llm_ext12")
 _import_or_warn("llm_ext13")
 _import_or_warn("llm_ext14")
+_import_or_warn("llm_ext15")
 _import_or_warn("forensics")
 _import_or_warn("streaming_queries")
 _import_or_warn("docstore_queries")

@@ -55,6 +55,20 @@ from .llm_ext5 import _duck_md5_32, _spark_md5_32
 # self-contained SQL strings). Moved here with the funnel from llm_ext5.
 _BENCH_SQL_5 = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
 
+#: funnel stage names, in survival-level order — ONE list consumed by both
+#: the oracle generator and the Spark arm so a rename/insertion cannot
+#: drift between engines (mid-r15 review)
+_FUNNEL_STAGES = [
+    "raw",
+    "gopher",
+    "classifier",
+    "exact_dedup",
+    "decontaminated",
+    "fuzzy_decontaminated",
+    "community_capped",
+    "coverage_core",
+]
+
 
 def _funnel_oracle() -> str:
     """The r7 five-stage funnel oracle extended with the three r14
@@ -64,16 +78,7 @@ def _funnel_oracle() -> str:
     fz = REGISTRY["fuzzy_decontaminate_minhash"].oracle
     ck = REGISTRY["community_capped_select"].oracle
     cr = REGISTRY["greedy_gram_coverage_select"].oracle
-    stages = [
-        "raw",
-        "gopher",
-        "classifier",
-        "exact_dedup",
-        "decontaminated",
-        "fuzzy_decontaminated",
-        "community_capped",
-        "coverage_core",
-    ]
+    stages = _FUNNEL_STAGES
     rows = "\n      UNION ALL ".join(
         f"""SELECT {i}, '{n}',
              CAST(COUNT(*) FILTER (WHERE lv >= {i}) AS BIGINT),
@@ -307,7 +312,7 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(core_pick), "doc_id", "left")
         .select("doc_id", "ntok", lv.alias("lv"))
     )
-    n_stages = 8
+    n_stages = len(_FUNNEL_STAGES)
     stats = lvl.agg(
         *[
             F.sum((F.col("lv") >= i).cast("long")).alias(f"d{i}")
@@ -323,16 +328,7 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(n_stages)
         ],
     )
-    names = [
-        "raw",
-        "gopher",
-        "classifier",
-        "exact_dedup",
-        "decontaminated",
-        "fuzzy_decontaminated",
-        "community_capped",
-        "coverage_core",
-    ]
+    names = _FUNNEL_STAGES
     return (
         stats.select(
             F.explode(
@@ -451,7 +447,11 @@ def q_knn_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        alive = d.filter(F.col("c") >= _KCORE_K).select("node")
+        # each alive set feeds the NEXT round's two joins AND its own
+        # survival flag below: persist per round (the lpa_labels per-round
+        # pattern) so round i's join lineage runs once, not once per later
+        # consumer — O(rounds), not O(rounds²), as the knob grows
+        alive = tracked_persist(d.filter(F.col("c") >= _KCORE_K).select("node"))
         flags.append(alive.select("node", F.lit(True).alias(f"__a{i}")))
     out = deg
     for i, fl in enumerate(flags, start=1):
@@ -517,7 +517,6 @@ def q_gram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio integer-exact on both engines (the epochs_bp/score_x1e12
     precedent).
     """
-    from ..caching import tracked_persist
     from .llm_ext13 import _dg_frame
 
     dg = tracked_persist(_dg_frame(load(spark, sf_dir, "documents")))
@@ -619,9 +618,14 @@ def q_unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    lt = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(TX.tokens("text"))).cast("long").alias("t"),
+    # lt is THE corpus pass (per-language token hash agg) and feeds tot,
+    # the rank frame, and the final select: persist it so the plan scans
+    # the corpus once, as the docstring claims (mid-r15 review)
+    lt = tracked_persist(
+        docs.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(TX.tokens("text"))).cast("long").alias("t"),
+        )
     )
     tot = lt.agg(
         F.sum("t").cast("long").alias("tt"), F.count(F.lit(1)).cast("long").alias("n")
@@ -648,9 +652,21 @@ def q_unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n") + 1).cast("int"),
         ).alias("rstar")
     )
+    # ALWAYS exactly one row: an aggregate, not a filter-join — in the
+    # all-languages-capped case (budget >= sum of caps) rstar = n+1
+    # matches no rank, a filter-join would go EMPTY, and the crossJoin
+    # below would annihilate the whole result while the oracle keeps
+    # every language capped. Here final_level is a never-read NULL
+    # instead (every rn < rstar takes the cap branch), so both engines
+    # emit one capped row per language (mid-r15 review; fixture-pinned
+    # in tests/test_llm_ext14.py)
     final_level = (
-        lv.join(F.broadcast(rs), F.col("rn") == F.col("rstar"))
-        .select(F.col("level").alias("final_level"))
+        lv.crossJoin(F.broadcast(rs))
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("rstar"), F.col("level"))
+            ).alias("final_level")
+        )
     )
     alloc = F.when(F.col("rn") < F.col("rstar"), F.col("cap")).otherwise(
         F.col("final_level")
@@ -677,3 +693,100 @@ def q_unimax_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_triangles — local clustering coefficient over the shared graph
+
+
+def _triangles_oracle() -> str:
+    """Wedge join + closing-edge join over the SHARED undirected graph
+    CTE (llm_ext13._und_ctes — one graph definition, four consumers);
+    the coefficient is 2·tri·10⁴ DIV deg·(deg−1) so both engines emit
+    identical BIGINTs, NULL where deg < 2 leaves it undefined."""
+    from .llm_ext13 import _und_ctes
+
+    return f"""
+    {_und_ctes()},
+    deg AS (
+      SELECT a.vec_id AS node, CAST(COUNT(u.nbr) AS BIGINT) AS d
+      FROM qassign a LEFT JOIN und u ON u.node = a.vec_id GROUP BY a.vec_id
+    ),
+    tr AS (
+      SELECT e1.node, CAST(COUNT(*) AS BIGINT) AS t
+      FROM und e1
+      JOIN und e2 ON e2.node = e1.node AND e1.nbr < e2.nbr
+      JOIN und e3 ON e3.node = e1.nbr AND e3.nbr = e2.nbr
+      GROUP BY e1.node
+    )
+    SELECT deg.node AS vec_id, deg.d AS degree,
+           CAST(COALESCE(tr.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.d >= 2
+                THEN CAST(COALESCE(tr.t, 0) * 20000 // (deg.d * (deg.d - 1))
+                          AS BIGINT)
+           END AS clustering_bp
+    FROM deg LEFT JOIN tr ON tr.node = deg.node
+    ORDER BY vec_id
+    """
+
+
+@register("knn_graph_triangles", oracle=_triangles_oracle())
+def q_knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r15) — per-node TRIANGLE count and local clustering
+    coefficient (Watts & Strogatz 1998) over the shared undirected base
+    kNN graph. Completes the graph family's density ladder: degree
+    (volume), k-core (mutually-dense region membership — a SET), and now
+    the clustering coefficient (HOW interlocked a node's neighborhood
+    is — a per-node RATIO). Over a near-dup graph, high-coefficient
+    nodes sit inside template/boilerplate cliques even when their degree
+    is modest — the k-core flags the region, the coefficient ranks
+    within it. Emits (vec_id, degree, triangles, clustering_bp) for
+    every vector; clustering_bp = 2·tri·10⁴ DIV (deg·(deg−1)) in exact
+    basis points, NULL where deg < 2 leaves the coefficient undefined
+    (the correlation entry's zero-variance NULL precedent).
+
+    Determinism contract: triangles are integer counts over integer-id
+    edges; the coefficient is integer floor division — nothing floats,
+    the whole readout value-hash-replays in the oracle's SQL.
+
+    Plan at 100 TB: the SHARED persisted edge table (one definition with
+    LPA and the k-core — ``_und_frame``), then ONE equi-self-join on the
+    wedge apex (per-node volume ≤ C(2K, 2), K the kNN fan-out — bounded
+    per node, linear in n) and ONE (v, w) equi-join against the edge
+    table to close each wedge, both hash joins on integer keys; one
+    per-node hash agg. No driver state, nothing quadratic in n.
+    """
+    from .llm_ext13 import _und_frame
+
+    assign, und = _und_frame(spark, sf_dir)
+    nodes = assign.select(F.col("vec_id").alias("node"))
+    deg = (
+        nodes.join(und, "node", "left")
+        .groupBy("node")
+        .agg(F.count("nbr").cast("long").alias("degree"))
+    )
+    e1 = und.select(F.col("node").alias("u"), F.col("nbr").alias("v"))
+    e2 = und.select(F.col("node").alias("u"), F.col("nbr").alias("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    closing = und.select(F.col("node").alias("v"), F.col("nbr").alias("w"))
+    tri = (
+        wedges.join(closing, ["v", "w"])
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .withColumnRenamed("u", "node")
+    )
+    out = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+    )
+    cb = F.when(
+        F.col("degree") >= 2,
+        F.expr("triangles * 20000 DIV (degree * (degree - 1))"),
+    ).cast("long")
+    return out.select(
+        F.col("node").alias("vec_id"),
+        "degree",
+        "triangles",
+        cb.alias("clustering_bp"),
+    ).orderBy("vec_id")

@@ -322,3 +322,25 @@ def test_mmr_rerank_respects_id_col(spark):
     assert len({r.item_id for r in out}) == 5
     # rank 1 is pure relevance: the query's own vector wins
     assert out[0].item_id == 0
+
+
+def test_ceil_frac_exact_on_integral_products(spark):
+    """ceil_frac must equal the true rational ceiling everywhere — in
+    particular at integral t·n, the boundary the PPJoin prefix theorem
+    depends on (the float form is correct there only by a half-ULP
+    rounding margin; this helper is exact by construction)."""
+    from fractions import Fraction
+
+    from my_favorite_etl_pipeline_spark.operators.dedup import ceil_frac
+
+    ns = list(range(1, 64))
+    df = spark.createDataFrame([Row(n=n) for n in ns])
+    for t in (0.5, 0.8, 0.9):
+        got = {
+            r.n: r.c
+            for r in df.select("n", ceil_frac(F.col("n"), t).alias("c")).collect()
+        }
+        fr = Fraction(t).limit_denominator(10**6)
+        for n in ns:
+            exact = -((-n * fr.numerator) // fr.denominator)  # true ceil
+            assert got[n] == exact == math.ceil(fr * n), (t, n, got[n])

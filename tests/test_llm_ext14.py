@@ -68,6 +68,37 @@ def test_kcore_matches_pure_python_peel(spark, qs):
     # survivors — exactly what the replay asserts row by row above
 
 
+def test_triangles_matches_pure_python(spark, qs):
+    """Replay per-node triangle counts and the clustering coefficient
+    over the SAME undirected edges the entry consumes."""
+    from my_favorite_etl_pipeline_spark.plans.llm_ext13 import _und_frame
+
+    assign, und = _und_frame(spark, SF_DIR)
+    nodes = {r.vec_id for r in assign.select("vec_id").collect()}
+    adj = defaultdict(set)
+    for r in und.collect():
+        adj[r.node].add(r.nbr)
+
+    rows = qs["knn_graph_triangles"](spark, SF_DIR).collect()
+    assert {r.vec_id for r in rows} == nodes
+    for r in rows:
+        nbrs = adj[r.vec_id]
+        tri = sum(
+            1 for v in nbrs for w in nbrs if v < w and w in adj[v]
+        )
+        assert r.degree == len(nbrs), r.vec_id
+        assert r.triangles == tri, r.vec_id
+        if r.degree >= 2:
+            assert r.clustering_bp == tri * 20000 // (
+                r.degree * (r.degree - 1)
+            ), r.vec_id
+        else:
+            assert r.clustering_bp is None, r.vec_id
+    # non-vacuous: the graph must contain closed AND open neighborhoods
+    assert any(r.triangles > 0 for r in rows)
+    assert any(r.triangles == 0 and r.degree >= 2 for r in rows)
+
+
 def test_gram_novelty_matches_pure_python(spark, qs):
     """Replay gram df + per-doc unique share from the raw parquet."""
     t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
@@ -112,6 +143,29 @@ def _unimax_python(tokens_by_lang: dict[str, int]):
         else:
             alloc[lang] = final_level
     return alloc, budget
+
+
+def test_unimax_all_capped_branch(spark, qs, monkeypatch):
+    """Pin the rstar = n+1 fallback (budget >= sum of caps): EVERY
+    language must come back capped, not an annihilated empty frame
+    (mid-r15 review — the filter-join form returned 0 rows here while
+    the oracle kept each language at its cap). The Spark arm reads the
+    budget knob from the module global at call time, so monkeypatching
+    _UMX_B_NUM = 2*_UMX_EPOCHS + 1 drives budget strictly above the
+    total epoch-cap mass at any corpus shape."""
+    import my_favorite_etl_pipeline_spark.plans.llm_ext14 as m
+
+    monkeypatch.setattr(m, "_UMX_B_NUM", 2 * _UMX_EPOCHS * _UMX_B_DEN + 1)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["lang", "text"])
+    tk = Counter()
+    for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        tk[lang] += len(text.split(" "))
+
+    rows = qs["unimax_language_budget"](spark, SF_DIR).collect()
+    assert sorted(r.lang for r in rows) == sorted(tk)  # nobody vanishes
+    for r in rows:
+        assert r.alloc_tokens == r.cap_tokens == _UMX_EPOCHS * tk[r.lang]
+        assert r.epochs_bp == _UMX_EPOCHS * 10000
 
 
 def test_unimax_matches_pure_python_waterfill(spark, qs):

@@ -1,0 +1,132 @@
+"""Ground-truth tests for the r15 containment/contrastive operators
+(plans/llm_ext15.py) — pure-Python replays sharing no code with either
+engine, plus the funnel-recall proof for the asymmetric prefix cut."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+import my_favorite_etl_pipeline_spark as engine
+from my_favorite_etl_pipeline_spark.plans.llm_ext15 import (
+    _CONT_DEN,
+    _CONT_NUM,
+    _HN_DUP_T,
+    _HN_K,
+    _HN_QMOD,
+    _HN_QREM,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return engine.queries()
+
+
+def _shingle_sets(path):
+    t = pq.read_table(f"{path}/documents.parquet", columns=["doc_id", "text"])
+    out = {}
+    for d, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        w = tx.split(" ")
+        out[d] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    return out
+
+
+def test_containment_matches_bruteforce_python(spark, qs):
+    """All-pairs containment in pure Python == the prefix-funneled entry:
+    this IS the 100%-recall theorem check (a funnel-lost pair would be a
+    missing row)."""
+    sh = _shingle_sets(SF_DIR)
+    expected = {}
+    for a, sa in sh.items():
+        if not sa:
+            continue
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            c = len(sa & sb)
+            if c * _CONT_DEN >= len(sa) * _CONT_NUM:
+                expected[(a, b)] = (len(sa), c, c * 10000 // len(sa))
+
+    rows = qs["containment_overlap_pairs"](spark, SF_DIR).collect()
+    got = {
+        (r.doc_id, r.container_id): (r.n_shingles, r.n_shared, r.containment_bp)
+        for r in rows
+    }
+    assert got == expected
+    assert expected  # the fixture corpus must contain qualifying pairs
+
+
+def test_containment_asymmetric_quote_fixture(spark):
+    """The direction the entry EXISTS for, pinned on a constructed
+    corpus (the synthetic fixtures contain only mutual near-dup twins,
+    never a quote-inside-host pair — measured across all three SFs): doc
+    1 is a verbatim 15-token chunk of the 120-token doc 2, so C(1,2) = 1
+    but J(1,2) ≈ 0.11 — below every registered Jaccard threshold. The
+    containment funnel must emit (1, 2) and must NOT emit (2, 1)."""
+    from pyspark.sql import Row
+
+    from my_favorite_etl_pipeline_spark.operators.dedup import containment_pairs
+
+    host_words = [f"w{i}" for i in range(120)]
+    quote = " ".join(host_words[40:55])
+    other = " ".join(f"x{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=quote),
+            Row(doc_id=2, text=" ".join(host_words)),
+            Row(doc_id=3, text=other),
+        ]
+    )
+    rows = containment_pairs(docs).collect()
+    got = {(r.doc_id, r.container_id): r for r in rows}
+    assert (1, 2) in got and (2, 1) not in got
+    r = got[(1, 2)]
+    assert r.n_shingles == 13  # 15 tokens -> 13 distinct 3-gram shingles
+    assert r.n_shared == 13 and r.containment_bp == 10000
+    # the quoted doc is NOT a Jaccard near-dup of its host at any
+    # registered threshold: J = 13 / (13 + 118 - 13) < 0.5
+    assert 13 / 118 < 0.5
+
+
+def test_hard_negatives_match_bruteforce_python(spark, qs):
+    """Replay the panel scoring, the dup split, and the top-k in pure
+    Python over the raw embedding parquet (integer-quantized cosine, the
+    graph family's arithmetic)."""
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = {
+        v: [math.floor(float(x) * 10000) for x in e]
+        for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+    s = {v: math.isqrt(sum(x * x for x in qv)) for v, qv in q.items()}
+
+    def cos(a, b):
+        if s[a] < 2 or s[b] < 2:
+            return 0
+        d = sum(x * y for x, y in zip(q[a], q[b]))
+        return (d + 2 * s[a] * s[b]) * 10000 // (s[a] * s[b]) - 20000
+
+    panel = [v for v in q if v % _HN_QMOD == _HN_QREM]
+    assert panel  # fixture must seat a panel
+    expected = {}
+    for p in panel:
+        scored = [(cos(p, c), c) for c in q if c != p]
+        negs = sorted(
+            ((sc, c) for sc, c in scored if sc < _HN_DUP_T),
+            key=lambda x: (-x[0], x[1]),
+        )[:_HN_K]
+        nd = sum(1 for sc, _ in scored if sc >= _HN_DUP_T)
+        for rk, (sc, c) in enumerate(negs, start=1):
+            expected[(p, c)] = (rk, sc, nd)
+
+    rows = qs["hard_negative_pairs"](spark, SF_DIR).collect()
+    got = {
+        (r.query_id, r.negative_id): (r.rank, r.score_x1e4, r.n_dups_excluded)
+        for r in rows
+    }
+    assert got == expected
+    # the exclusion arm must FIRE somewhere or the dup split is vacuous
+    assert any(nd > 0 for _, _, nd in expected.values())
