@@ -63,6 +63,9 @@ DEFAULT_SET = [
     "gram_novelty_scores",  # shared gram table + df agg + per-doc rollup (r15)
     "unimax_language_budget",  # one corpus agg + model-sized water-fill (r15)
     "stream_ingest_dedup_ssjoin",  # prefix-cut stream-static funnel (r15)
+    "knn_graph_triangles",  # wedge + closing-edge equi-joins (r15)
+    "containment_overlap_pairs",  # asymmetric prefix funnel (r15)
+    "hard_negative_pairs",  # panel-broadcast map-only scoring (r15)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
