@@ -241,3 +241,410 @@ def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# lsh_recall_report — measured banding recall, the MinHash family's audit
+
+_LSH_PERMS = 32  # portable twin of operators.dedup.MINHASH_PERMS
+_LSH_BAND_ROWS = 2  # 16 bands x 2 rows — the registered banding geometry
+_LSH_RPT_NUM, _LSH_RPT_DEN = 1, 2  # J >= 1/2, minhash_near_dups' threshold
+
+
+def _lsh_recall_oracle() -> str:
+    """Replays the ENTIRE report in SQL: md5-permutation minhash
+    signatures (the portable-simhash precedent — production uses
+    xxhash64, the audit twin pays ~2x hash cost for replayability),
+    tuple-banding candidates, the exact inverted-index pair table, and
+    the per-band + union coverage rollup."""
+    from .llm_ext import _DUCK_SHINGLES
+
+    n_bands = _LSH_PERMS // _LSH_BAND_ROWS
+    md5_32 = (
+        "CAST(LIST_SUM(LIST_TRANSFORM(range(8), h -> "
+        "CAST(strpos('0123456789abcdef', substr(md5(g || '#' || CAST(i AS VARCHAR)), h + 1, 1)) - 1 "
+        "AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (7 - h))))) AS BIGINT)"
+    )
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, LEN(s) AS n FROM sh),
+    ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT ida, idb FROM inter
+      JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+      WHERE ({_LSH_RPT_DEN} + {_LSH_RPT_NUM}) * c >= {_LSH_RPT_NUM} * (sa.n + sb.n)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM exact),
+    mh AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(range({_LSH_PERMS}), i ->
+               LIST_MIN(LIST_TRANSFORM(s, g -> {md5_32}))) AS sig
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band_idx,
+             sig[{_LSH_BAND_ROWS} * b + 1] AS v1,
+             sig[{_LSH_BAND_ROWS} * b + 2] AS v2
+      FROM mh, UNNEST(range({n_bands})) AS u(b)
+    ),
+    cand AS (
+      SELECT a.band_idx, a.doc_id AS ida, b.doc_id AS idb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.v1 = b.v1 AND a.v2 = b.v2
+       AND a.doc_id < b.doc_id
+    ),
+    per_band AS (
+      SELECT band_idx, CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+             CAST(COUNT(*) FILTER (WHERE e.ida IS NOT NULL) AS BIGINT)
+               AS n_qualifying_hit
+      FROM cand c LEFT JOIN exact e ON e.ida = c.ida AND e.idb = c.idb
+      GROUP BY band_idx
+    ),
+    uni AS (
+      SELECT CAST(-1 AS INT) AS band_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+             CAST(COUNT(*) FILTER (WHERE e.ida IS NOT NULL) AS BIGINT)
+               AS n_qualifying_hit
+      FROM (SELECT DISTINCT ida, idb FROM cand) c
+      LEFT JOIN exact e ON e.ida = c.ida AND e.idb = c.idb
+    ),
+    grid AS (SELECT CAST(b AS INT) AS band_idx
+             FROM UNNEST(range({n_bands})) AS u(b)
+             UNION ALL SELECT CAST(-1 AS INT))
+    SELECT g.band_idx,
+           CAST(COALESCE(r.n_candidate_pairs, 0) AS BIGINT) AS n_candidate_pairs,
+           CAST(COALESCE(r.n_qualifying_hit, 0) AS BIGINT) AS n_qualifying_hit,
+           (SELECT t FROM tot) AS n_qualifying_total,
+           CASE WHEN (SELECT t FROM tot) > 0
+                THEN CAST(COALESCE(r.n_qualifying_hit, 0) * 10000
+                          // (SELECT t FROM tot) AS BIGINT)
+           END AS recall_bp
+    FROM grid g
+    LEFT JOIN (SELECT * FROM per_band UNION ALL SELECT * FROM uni) r
+      ON r.band_idx = g.band_idx
+    ORDER BY g.band_idx
+    """
+
+
+@register("lsh_recall_report", oracle=_lsh_recall_oracle())
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+ (r15) — the MEASURED recall of MinHash LSH banding against
+    the exact qualifying pair set (J >= {_LSH_RPT_NUM}/{_LSH_RPT_DEN},
+    the registered near-dup threshold): per band, candidate pairs
+    produced and how many are truly qualifying; the band_idx = -1 row is
+    the union over all bands — its recall_bp IS the banding's measured
+    recall, the number `minhash_near_dups` relies on probabilistically
+    (P(miss | J >= 0.9) ≈ 3e-12 in theory; THIS entry turns the theory
+    into a driver-checkable measurement, `ivf_recall_report`'s contract
+    for the lexical family). Emits (band_idx, n_candidate_pairs,
+    n_qualifying_hit, n_qualifying_total, recall_bp).
+
+    Portability: the audit twin runs md5-derived permutations (the
+    simhash_portable precedent — production banding stays xxhash64; the
+    ~2x hash cost is the documented price of a value-hash-replayable
+    oracle), and bands join on the raw VALUE TUPLE instead of a second
+    hash — one fewer hash layer, identical bucketing semantics.
+
+    Plan at 100 TB: signatures are one map-only pass (minhash is
+    array_min per permutation, no explode); banding self-joins on
+    (band_idx, v1, v2) equi-keys — bucket collisions only, never
+    all-pairs; the exact pair table is the inverted-index equi-join. In
+    production the exact arm runs on a SAMPLED slice (the instrument
+    pattern); the banding arm is the production shape itself.
+    """
+    from ..functions.text import shingles
+    from ..operators.scaling import ensure_min_partitions
+
+    n_bands = _LSH_PERMS // _LSH_BAND_ROWS
+    docs = ensure_min_partitions(load(spark, sf_dir, "documents"))
+    sh = tracked_persist(
+        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    )
+    # exact qualifying pairs via the inverted-index equi-join
+    tok = sh.select("doc_id", F.explode("sh").alias("t"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    inter = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exact = tracked_persist(
+        inter.join(sizes.withColumnRenamed("doc_id", "ida"), "ida")
+        .withColumnRenamed("n", "na")
+        .join(
+            sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed(
+                "n", "nb"
+            ),
+            "idb",
+        )
+        .filter(
+            (_LSH_RPT_DEN + _LSH_RPT_NUM) * F.col("c")
+            >= _LSH_RPT_NUM * (F.col("na") + F.col("nb"))
+        )
+        .select("ida", "idb", F.lit(True).alias("__q"))
+    )
+    tot = exact.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    # portable md5 minhash signatures (project the array COLUMN first —
+    # the sibling-projection lesson)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_LSH_PERMS - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda g: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", g, i.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+    mh = sh.select("doc_id", sig.alias("sig"))
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    F.element_at(
+                        F.col("sig"), (_LSH_BAND_ROWS * b + 1).cast("int")
+                    ).alias("v1"),
+                    F.element_at(
+                        F.col("sig"), (_LSH_BAND_ROWS * b + 2).cast("int")
+                    ).alias("v2"),
+                ),
+            )
+        ).alias("band_idx", "bv"),
+    ).select("doc_id", F.col("band_idx").cast("int"), "bv.v1", "bv.v2")
+    cand = tracked_persist(
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.v2") == F.col("b.v2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.band_idx").alias("band_idx"),
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+        )
+    )
+    per_band = (
+        cand.join(exact, ["ida", "idb"], "left")
+        .groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            F.count("__q").cast("long").alias("n_qualifying_hit"),
+        )
+    )
+    uni = (
+        cand.select("ida", "idb")
+        .distinct()
+        .join(exact, ["ida", "idb"], "left")
+        .agg(
+            F.lit(-1).cast("int").alias("band_idx"),
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            F.count("__q").cast("long").alias("n_qualifying_hit"),
+        )
+    )
+    grid = spark.range(n_bands).select(
+        F.col("id").cast("int").alias("band_idx")
+    ).unionAll(
+        spark.range(1).select(F.lit(-1).cast("int").alias("band_idx"))
+    )
+    return (
+        grid.join(per_band.unionByName(uni), "band_idx", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band_idx",
+            F.coalesce("n_candidate_pairs", F.lit(0)).cast("long").alias(
+                "n_candidate_pairs"
+            ),
+            F.coalesce("n_qualifying_hit", F.lit(0)).cast("long").alias(
+                "n_qualifying_hit"
+            ),
+            F.col("t").alias("n_qualifying_total"),
+            F.when(
+                F.col("t") > 0,
+                F.expr(
+                    "CAST(COALESCE(n_qualifying_hit, 0) * 10000 DIV t AS BIGINT)"
+                ),
+            ).alias("recall_bp"),
+        )
+        .orderBy("band_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_ranking_report — MRR + integer nDCG for the IVF serving arm
+
+_ARR_K = 10  # panel depth, matches ivf_recall_report/_IVR_K
+
+#: log2 discount grid in integer micro-units, generated ONCE here and
+#: embedded as literals in BOTH engines (Spark array literal + SQL VALUES)
+#: — the only transcendental in the metric becomes a shared constant, so
+#: the whole ranking readout is exact integer arithmetic downstream.
+import math as _math
+
+_ARR_DISC = tuple(
+    round(1_000_000 / _math.log2(1 + r)) for r in range(1, _ARR_K + 1)
+)
+
+
+def _ann_ranking_oracle() -> str:
+    """Shares the serving pipeline's own CTE prefix (llm_ext8
+    ``IVF_BATCH_CTES`` — the ivf_recall_report discipline) and replays
+    rank-join → gain×discount sums in SQL off the literal grid."""
+    from .llm_ext8 import IVF_BATCH_CTES
+
+    disc_rows = ", ".join(f"({r + 1}, {d})" for r, d in enumerate(_ARR_DISC))
+    return f"""
+    WITH {IVF_BATCH_CTES},
+    iv AS (
+      SELECT query_id, vec_id, rn AS rs FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM cand) WHERE rn <= {_ARR_K}
+    ),
+    exs AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> e.v[i] * q.qv[i]))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(range(1, 65), i -> e.v[i] * e.v[i]))) * q.qn),
+             4) AS cos_sim
+      FROM e CROSS JOIN qs q
+    ),
+    ex AS (
+      SELECT query_id, vec_id, rn AS re FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM exs) WHERE rn <= {_ARR_K}
+    ),
+    disc AS (SELECT * FROM (VALUES {disc_rows}) AS t(r, d)),
+    ideal AS (
+      SELECT ex.query_id,
+             CAST(SUM(({_ARR_K} - ex.re + 1) * disc.d) AS BIGINT) AS idcg
+      FROM ex JOIN disc ON disc.r = ex.re GROUP BY ex.query_id
+    ),
+    hits AS (
+      SELECT iv.query_id,
+             CAST(MIN(iv.rs) AS INT) AS first_hit_rank,
+             CAST(SUM(({_ARR_K} - ex.re + 1) * disc.d) AS BIGINT) AS dcg
+      FROM iv JOIN ex ON ex.query_id = iv.query_id AND ex.vec_id = iv.vec_id
+      JOIN disc ON disc.r = iv.rs
+      GROUP BY iv.query_id
+    )
+    SELECT i.query_id, h.first_hit_rank,
+           CAST(COALESCE(1000000 // h.first_hit_rank, 0) AS BIGINT) AS mrr_x1e6,
+           CAST(COALESCE(h.dcg, 0) AS BIGINT) AS dcg_micro,
+           CAST(COALESCE(h.dcg, 0) * 10000 // i.idcg AS BIGINT) AS ndcg_bp
+    FROM ideal i LEFT JOIN hits h ON h.query_id = i.query_id
+    ORDER BY i.query_id
+    """
+
+
+@register("ann_ranking_report", oracle=_ann_ranking_oracle())
+def q_ann_ranking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+ (r15) — RANKING quality of the IVF serving arm, completing
+    `ivf_recall_report` (set overlap is blind to ORDER — an index that
+    returns the right ten neighbors ranked backwards reads recall 1.0):
+    per panel query, MRR (reciprocal rank of the first truly-relevant
+    served item) and nDCG@{_ARR_K} with graded gains (exact rank re →
+    gain {_ARR_K}−re+1) and the log2 discount as a LITERAL integer
+    micro-unit grid generated once and embedded in both engines — the
+    metric's only transcendental becomes a shared constant, everything
+    downstream exact integer sums and floor divisions. Emits (query_id,
+    first_hit_rank, mrr_x1e6, dcg_micro, ndcg_bp); first_hit_rank NULL
+    and mrr 0 when no served item is in the exact top-{_ARR_K}.
+
+    Plan at 100 TB: the served arm is the serving entry's own plan
+    (broadcast probe table, one corpus pass); the exact arm is the
+    instrument (broadcast panel × corpus map pass + top-k window, run
+    over a sampled panel in production). The metric tail is |panel|·k
+    rows of joins against a {_ARR_K}-row literal grid.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        cosine,
+        ensure_min_partitions,
+        ivf_topk_batch,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    iv = ivf_topk_batch(emb, queries, k=_ARR_K, n_probe=3).select(
+        "query_id", "vec_id", F.col("rank").alias("rs")
+    )
+    qpanel = F.broadcast(
+        queries.select("query_id", F.col("embedding").alias("__qvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    ex = (
+        ensure_min_partitions(emb)
+        .crossJoin(qpanel)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("re", F.row_number().over(wq))
+        .filter(F.col("re") <= _ARR_K)
+        .select("query_id", "vec_id", "re")
+    )
+    ex = tracked_persist(ex)  # feeds the ideal agg AND the hit join
+    disc = F.array(*[F.lit(d) for d in _ARR_DISC])
+    gain = F.lit(_ARR_K) - F.col("re") + 1
+    ideal = ex.groupBy("query_id").agg(
+        F.sum(gain * F.element_at(disc, F.col("re")))
+        .cast("long")
+        .alias("idcg")
+    )
+    hits = (
+        iv.join(ex, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(
+            F.min("rs").cast("int").alias("first_hit_rank"),
+            F.sum(gain * F.element_at(disc, F.col("rs")))
+            .cast("long")
+            .alias("dcg"),
+        )
+    )
+    return (
+        ideal.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "first_hit_rank",
+            F.coalesce(
+                F.expr("CAST(1000000 DIV first_hit_rank AS BIGINT)"), F.lit(0)
+            ).alias("mrr_x1e6"),
+            F.coalesce("dcg", F.lit(0)).cast("long").alias("dcg_micro"),
+            F.expr("CAST(COALESCE(dcg, 0) * 10000 DIV idcg AS BIGINT)").alias(
+                "ndcg_bp"
+            ),
+        )
+        .orderBy("query_id")
+    )

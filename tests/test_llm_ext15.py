@@ -130,3 +130,135 @@ def test_hard_negatives_match_bruteforce_python(spark, qs):
     assert got == expected
     # the exclusion arm must FIRE somewhere or the dup split is vacuous
     assert any(nd > 0 for _, _, nd in expected.values())
+
+
+def test_lsh_recall_report_matches_pure_python(spark, qs):
+    """Full report replay: md5-permutation signatures, tuple banding,
+    exact qualifying pairs, per-band and union coverage — no shared code
+    with either engine."""
+    import hashlib
+
+    from my_favorite_etl_pipeline_spark.plans.llm_ext15 import (
+        _LSH_BAND_ROWS,
+        _LSH_PERMS,
+        _LSH_RPT_DEN,
+        _LSH_RPT_NUM,
+    )
+
+    sh = _shingle_sets(SF_DIR)
+    n_bands = _LSH_PERMS // _LSH_BAND_ROWS
+
+    def md5_32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    exact = set()
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a >= b or not sa or not sb:
+                continue
+            c = len(sa & sb)
+            if (_LSH_RPT_DEN + _LSH_RPT_NUM) * c >= _LSH_RPT_NUM * (
+                len(sa) + len(sb)
+            ):
+                exact.add((a, b))
+
+    sig = {
+        d: [
+            min(md5_32(f"{g}#{i}") for g in gs) if gs else None
+            for i in range(_LSH_PERMS)
+        ]
+        for d, gs in sh.items()
+    }
+    per_band_cand = {b: set() for b in range(n_bands)}
+    docs = sorted(sh)
+    from collections import defaultdict
+
+    for b in range(n_bands):
+        buckets = defaultdict(list)
+        for d in docs:
+            if sh[d]:
+                key = (sig[d][2 * b], sig[d][2 * b + 1])
+                buckets[key].append(d)
+        for ids in buckets.values():
+            for i, x in enumerate(ids):
+                for y in ids[i + 1 :]:
+                    per_band_cand[b].add((min(x, y), max(x, y)))
+    union_cand = set().union(*per_band_cand.values())
+
+    rows = {r.band_idx: r for r in qs["lsh_recall_report"](spark, SF_DIR).collect()}
+    assert set(rows) == set(range(n_bands)) | {-1}
+    tot = len(exact)
+    assert tot > 0  # the fixture must contain qualifying pairs
+    for b in range(n_bands):
+        r = rows[b]
+        assert r.n_candidate_pairs == len(per_band_cand[b]), b
+        assert r.n_qualifying_hit == len(per_band_cand[b] & exact), b
+        assert r.n_qualifying_total == tot
+        assert r.recall_bp == len(per_band_cand[b] & exact) * 10000 // tot
+    u = rows[-1]
+    assert u.n_candidate_pairs == len(union_cand)
+    assert u.n_qualifying_hit == len(union_cand & exact)
+    # the banding geometry is tuned for J >= 0.9 but must still catch
+    # nearly every 0.5-threshold pair on this corpus (P(candidate|J=0.5)
+    # = 1-(1-J^2)^16 ~ 0.99); a large miss means the signature or
+    # banding drifted
+    assert u.recall_bp >= 9000
+
+
+def test_ann_ranking_report_matches_composed_metrics(spark, qs):
+    """The metric tail replayed in pure Python over (a) the REGISTERED
+    serving entry's own output (embedding_topk_ivf_batch — same panel,
+    k, and probes) and (b) an independent exact arm (numpy cosine, 4dp)
+    — the composition-testing discipline: the report must describe
+    exactly the serving pipeline it audits."""
+    from my_favorite_etl_pipeline_spark.plans.llm_ext15 import (
+        _ARR_DISC,
+        _ARR_K,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        v: [float(x) for x in e]
+        for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+
+    def cos4(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(num / (na * nb), 4)
+
+    served = {}
+    for r in qs["embedding_topk_ivf_batch"](spark, SF_DIR).collect():
+        served.setdefault(r.query_id, {})[r.vec_id] = r.rank
+
+    panel = sorted(served)
+    assert panel == sorted(v for v in vecs if v % 100 == 0)
+    expected = {}
+    for p in panel:
+        ranked = sorted(
+            ((cos4(vecs[p], vecs[c]), c) for c in vecs),
+            key=lambda x: (-x[0], x[1]),
+        )[:_ARR_K]
+        re = {c: i + 1 for i, (_, c) in enumerate(ranked)}
+        idcg = sum((_ARR_K - r + 1) * _ARR_DISC[r - 1] for r in re.values())
+        hits = [(rs, re[c]) for c, rs in served[p].items() if c in re]
+        dcg = sum((_ARR_K - e + 1) * _ARR_DISC[s - 1] for s, e in hits)
+        first = min((s for s, _ in hits), default=None)
+        expected[p] = (
+            first,
+            1_000_000 // first if first else 0,
+            dcg,
+            dcg * 10000 // idcg,
+        )
+
+    rows = qs["ann_ranking_report"](spark, SF_DIR).collect()
+    got = {
+        r.query_id: (r.first_hit_rank, r.mrr_x1e6, r.dcg_micro, r.ndcg_bp)
+        for r in rows
+    }
+    assert got == expected
+    # non-vacuous: a probe-3 IVF on this corpus must MISS something the
+    # exact arm ranks (ndcg < 10000 somewhere), else the report measures
+    # nothing the recall floors don't already pin
+    assert any(v[3] < 10000 for v in expected.values())

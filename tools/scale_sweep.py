@@ -66,6 +66,8 @@ DEFAULT_SET = [
     "knn_graph_triangles",  # wedge + closing-edge equi-joins (r15)
     "containment_overlap_pairs",  # asymmetric prefix funnel (r15)
     "hard_negative_pairs",  # panel-broadcast map-only scoring (r15)
+    "lsh_recall_report",  # portable banding audit + exact pair join (r15)
+    "ann_ranking_report",  # serving arm + exact instrument + metric tail (r15)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
