@@ -648,3 +648,88 @@ def q_ann_ranking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# benford_amount_audit — first-digit distribution DQ screen
+
+#: Benford expected proportions log10(1 + 1/d) in integer ppm, generated
+#: once and embedded as literals in BOTH engines (the _ARR_DISC trick).
+_BENFORD_EXP_PPM = tuple(
+    round(1_000_000 * _math.log10(1 + 1 / d)) for d in range(1, 10)
+)
+
+
+def _benford_oracle() -> str:
+    rows = ", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_EXP_PPM))
+    return f"""
+    WITH amounts AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM amounts GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM obs),
+    exp AS (SELECT * FROM (VALUES {rows}) AS v(digit, exp_ppm))
+    SELECT e.digit,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(COALESCE(o.n_obs, 0) * 1000000 // (SELECT t FROM tot)
+                AS BIGINT) AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(COALESCE(o.n_obs, 0) * 1000000 // (SELECT t FROM tot)
+                - e.exp_ppm AS BIGINT) AS dev_ppm
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit
+    ORDER BY e.digit
+    """
+
+
+@register("benford_amount_audit", oracle=_benford_oracle())
+def q_benford_amount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ+ (r15) — BENFORD first-significant-digit audit over order
+    amounts (Benford 1938; Nigrini's fraud/DQ screen): the leading-digit
+    distribution of naturally-occurring multi-magnitude amounts follows
+    log10(1 + 1/d); synthetic, capped, or fabricated amounts deviate
+    hard. Emits per digit 1-9: observed count, observed ppm, expected
+    ppm (the law as a LITERAL integer grid generated once for both
+    engines — the discount-grid trick), and the signed deviation. The
+    audit MEASURES; thresholds belong to the consuming DQ policy (on
+    this fixture's band-uniform TPC-H-ish prices the deviation reads
+    large BY DESIGN — exactly what the screen exists to surface).
+
+    Plan at 100 TB: first digit is a map-only string projection of the
+    floored amount (integer formatting is engine-identical; values < 1
+    excluded by contract), then ONE 9-row hash agg — map-side
+    combinable, model-sized everything after.
+    """
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("t"))
+    grid = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_EXP_PPM)],
+        "digit int, exp_ppm long",
+    )
+    return (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr(
+                "CAST(COALESCE(n_obs, 0) * 1000000 DIV t AS BIGINT)"
+            ).alias("obs_ppm"),
+            F.col("exp_ppm").cast("long"),
+            F.expr(
+                "CAST(COALESCE(n_obs, 0) * 1000000 DIV t - exp_ppm AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -711,3 +711,63 @@ def q_stream_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import stream_fuzzy_decon_pairs
 
     return stream_fuzzy_decon_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# stream_containment_screen — the quote/containment direction at ingest
+
+
+def _containment_screen_oracle() -> str:
+    """Exact cross-corpus containment over the even(lake)/odd(arriving)
+    split via the inverted-index equi-join; the uq uniqueness guard rides
+    the always-built ref side (the _fuzz_pair_ctes pattern)."""
+    from .llm_ext import _DUCK_SHINGLES
+
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, LEN(s) AS n FROM sh),
+    ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+    uq AS (
+      SELECT CASE WHEN COUNT(*) <> COUNT(DISTINCT doc_id)
+                  THEN CAST(error('duplicate doc_id in documents: the containment screen requires unique ids') AS BIGINT)
+                  ELSE 1 END AS ok
+      FROM documents
+    ),
+    ref AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 2 = 0 AND (SELECT ok FROM uq) = 1
+    ),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS refid, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle
+      WHERE a.doc_id % 2 = 1 AND b.doc_id IN (SELECT doc_id FROM ref)
+      GROUP BY 1, 2
+    )
+    SELECT ida AS doc_id, refid AS ref_id,
+           CAST(sa.n AS BIGINT) AS n_shingles, c AS n_shared,
+           CAST(c * 10000 // sa.n AS BIGINT) AS containment_bp
+    FROM inter JOIN sizes sa ON sa.doc_id = ida
+    WHERE c * 5 >= sa.n * 4
+    ORDER BY doc_id, ref_id
+    """
+
+
+@register("stream_containment_screen", oracle=_containment_screen_oracle())
+def q_stream_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 × X2 (r15) — the CONTAINMENT direction of the ingest gate:
+    arriving documents (odd ids) screened for C(A, B) >= 4/5 against the
+    static lake half (even ids) — "is this arrival already contained in
+    what we hold?", the quote/boilerplate case the resemblance gate
+    (``stream_ingest_dedup_ssjoin``) is blind to. Emits (doc_id, ref_id,
+    n_shingles, n_shared, containment_bp).
+
+    The count-agg streaming shape proven on ``stream_fuzzy_decontaminate``
+    (mid-r15): narrow exploded rows, memoized reference posting list,
+    ONE stateful aggregate that is simultaneously candidate collapse and
+    exact verify, integer threshold after it. availableNow + complete
+    makes the final state equal the batch join, which is what the exact
+    all-pairs oracle checks.
+    """
+    from ..streaming.windows import stream_containment_screen
+
+    return stream_containment_screen(spark, sf_dir)

@@ -638,3 +638,93 @@ def stream_current_window_histogram(
         )
         q.awaitTermination()
     return spark.table(sink_name)
+
+
+# Session-scoped memo for the containment screen's reference posting list
+# (sh, ref_id) — the lake-half shingle postings, parquet-materialized once
+# per (process, sf_dir); nb is NOT carried (containment divides by the
+# ARRIVING doc's size only).
+_CONT_REF_MEMO: dict[str, str] = {}
+
+
+def _containment_ref_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles
+    from ..sources.tables import load
+
+    key = os.path.abspath(sf_dir)
+    idx_path = _CONT_REF_MEMO.get(key)
+    if idx_path is None:
+        import hashlib
+
+        digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+        idx_path = os.path.join(
+            _prefix_idx_root(), "containment_ref", digest, "postings"
+        )
+        (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 0)
+            .select(
+                F.col("doc_id").alias("ref_id"),
+                F.explode(shingles(F.col("text"))).alias("sh"),
+            )
+            .write.mode("overwrite")
+            .parquet(idx_path)
+        )
+        _CONT_REF_MEMO[key] = idx_path
+    return spark.read.parquet(idx_path)
+
+
+def stream_containment_screen(
+    spark: SparkSession, sf_dir: str, num: int = 4, den: int = 5
+) -> DataFrame:
+    """X6 × X2 — STREAMING containment screen: documents arriving on a
+    stream are checked for C(A, B) = |A∩B|/|A| >= num/den against the
+    static lake half — "is this arrival ALREADY CONTAINED in what we
+    hold?", the quote/boilerplate direction the resemblance ingest gate
+    (``stream_ingest_dedup_pairs``) cannot see (a short doc quoted from
+    a long lake doc reads J ≈ 0 but C ≈ 1). Emits the evidence pairs
+    (doc_id, ref_id, n_shingles, n_shared, containment_bp).
+
+    The count-agg shape of ``stream_fuzzy_decon_pairs``: the arriving
+    doc's FULL distinct shingles explode into narrow (doc_id, na, sh)
+    rows, hash-join the memoized reference posting list, and ONE
+    stateful (doc, ref) count aggregate IS the exact verify (distinct
+    sets ⇒ collision count = |A∩B|); the containment threshold and the
+    basis-point readout are integer floor arithmetic after the
+    aggregate — no arrays cross the join, no second stateful op.
+    """
+    from ..functions.text import shingles
+    from ..plans.llm_ext13 import _assert_unique_doc_ids
+    from ..sources.tables import load
+
+    _assert_unique_doc_ids(
+        load(spark, sf_dir, "documents"), "stream_containment_screen"
+    )
+    ref_idx = _containment_ref_index(spark, sf_dir)
+    sh = shingles(F.col("text"))
+    stream = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    s0 = stream.select("doc_id", sh.alias("s_a"))
+    s = s0.select("doc_id", F.size("s_a").alias("na"), F.explode("s_a").alias("sh"))
+    agg = (
+        s.join(ref_idx, "sh")
+        .groupBy("doc_id", "ref_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("na").alias("na"))
+    )
+    pairs = agg.filter(F.col("c") * den >= F.col("na") * num).select(
+        "doc_id",
+        "ref_id",
+        F.col("na").cast("long").alias("n_shingles"),
+        F.col("c").cast("long").alias("n_shared"),
+        F.expr("CAST(c * 10000 DIV na AS BIGINT)").alias("containment_bp"),
+    )
+    sink_name = f"containment_screen_sink_{int(time.time() * 1000) % 10_000_000}"
+    with stream_shuffle_scope(spark, n=16):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink_name).orderBy("doc_id", "ref_id")

@@ -262,3 +262,82 @@ def test_ann_ranking_report_matches_composed_metrics(spark, qs):
     # exact arm ranks (ndcg < 10000 somewhere), else the report measures
     # nothing the recall floors don't already pin
     assert any(v[3] < 10000 for v in expected.values())
+
+
+def test_benford_audit_matches_pure_python(spark, qs):
+    from my_favorite_etl_pipeline_spark.plans.llm_ext15 import _BENFORD_EXP_PPM
+
+    t = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"])
+    digits = [
+        int(str(int(math.floor(v)))[0])
+        for v in t["o_totalprice"].to_pylist()
+        if v >= 1
+    ]
+    tot = len(digits)
+    rows = {r.digit: r for r in qs["benford_amount_audit"](spark, SF_DIR).collect()}
+    assert set(rows) == set(range(1, 10))
+    for d in range(1, 10):
+        n = sum(1 for x in digits if x == d)
+        r = rows[d]
+        assert r.n_obs == n
+        assert r.obs_ppm == n * 1_000_000 // tot
+        assert r.exp_ppm == _BENFORD_EXP_PPM[d - 1]
+        assert r.dev_ppm == r.obs_ppm - r.exp_ppm
+    # the audit must MEASURE something on this corpus: band-uniform
+    # synthetic prices are non-Benford by construction
+    assert any(abs(rows[d].dev_ppm) > 10_000 for d in range(1, 10))
+
+
+def test_stream_containment_screen_matches_pure_python(spark, qs):
+    """Cross-split containment replay: odd (arriving) vs even (lake)."""
+    sh = _shingle_sets(SF_DIR)
+    expected = {}
+    for a, sa in sh.items():
+        if a % 2 == 0 or not sa:
+            continue
+        for b, sb in sh.items():
+            if b % 2 == 1:
+                continue
+            c = len(sa & sb)
+            if c * 5 >= len(sa) * 4:
+                expected[(a, b)] = (len(sa), c, c * 10000 // len(sa))
+    rows = qs["stream_containment_screen"](spark, SF_DIR).collect()
+    got = {
+        (r.doc_id, r.ref_id): (r.n_shingles, r.n_shared, r.containment_bp)
+        for r in rows
+    }
+    assert got == expected
+    assert expected  # fixture must fire the screen
+
+
+def test_stream_containment_screen_asymmetric_direction(spark, tmp_path):
+    """The quote-inside-host asymmetry through the STREAMING arm, on a
+    constructed corpus written as a real parquet source: the arriving
+    quote (odd id) of a lake host (even id) must flag; an arriving host
+    whose quote sits in the lake must NOT (C = 13/118 < 4/5)."""
+    import pyarrow as pa
+
+    from my_favorite_etl_pipeline_spark.streaming.windows import (
+        stream_containment_screen,
+    )
+
+    host = " ".join(f"w{i}" for i in range(120))
+    quote = " ".join(f"w{i}" for i in range(40, 55))
+    host2 = " ".join(f"y{i}" for i in range(120))
+    quote2 = " ".join(f"y{i}" for i in range(40, 55))
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            # 1 = arriving quote, 2 = lake host  -> must flag (1, 2)
+            # 3 = arriving host, 4 = lake quote  -> must NOT flag (3, 4)
+            "text": [quote, host, host2, quote2],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = stream_containment_screen(spark, str(tmp_path)).collect()
+    got = {(r.doc_id, r.ref_id) for r in rows}
+    assert (1, 2) in got and (3, 4) not in got
+    r = next(x for x in rows if (x.doc_id, x.ref_id) == (1, 2))
+    assert r.n_shingles == 13 and r.n_shared == 13 and r.containment_bp == 10000

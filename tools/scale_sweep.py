@@ -68,6 +68,8 @@ DEFAULT_SET = [
     "hard_negative_pairs",  # panel-broadcast map-only scoring (r15)
     "lsh_recall_report",  # portable banding audit + exact pair join (r15)
     "ann_ranking_report",  # serving arm + exact instrument + metric tail (r15)
+    "stream_containment_screen",  # count-agg ingest gate, containment arm (r15)
+    "benford_amount_audit",  # map-only digit projection + 9-row agg (r15)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
