@@ -135,3 +135,48 @@ def reconcile_content(src: DataFrame, dst: DataFrame) -> int:
     left = src.select(*cols).exceptAll(dst.select(*cols)).count()
     right = dst.select(*cols).exceptAll(src.select(*cols)).count()
     return left + right
+
+
+def fk_orphan_counts(
+    child: DataFrame,
+    fk_col: str,
+    parent: DataFrame,
+    pk_col: str,
+    child_name: str,
+    parent_name: str,
+) -> DataFrame:
+    """One referential-integrity edge as a 1-row audit frame:
+    (child_table, fk_col, parent_table, n_child_rows, n_orphans,
+    orphan_ppm). An orphan is a NON-NULL foreign key with no parent —
+    NULL FKs are the completeness check's business (add_not_null), not a
+    referential violation.
+
+    Shape: left join child→distinct parent keys, then ONE conditional
+    aggregate — the anti-join folded into a count so the edge costs a
+    single equi-shuffle (dims broadcast by size under AQE)."""
+    pk = parent.select(F.col(pk_col).alias("__pk")).distinct()
+    joined = child.select(F.col(fk_col).alias("__fk")).join(
+        pk, F.col("__fk") == F.col("__pk"), "left"
+    )
+    return (
+        joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+            F.sum(
+                (F.col("__fk").isNotNull() & F.col("__pk").isNull()).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .select(
+            F.lit(child_name).alias("child_table"),
+            F.lit(fk_col).alias("fk_col"),
+            F.lit(parent_name).alias("parent_table"),
+            "n_child_rows",
+            "n_orphans",
+            F.expr(
+                "CAST(n_orphans * 1000000 DIV n_child_rows AS BIGINT)"
+            ).alias("orphan_ppm"),
+        )
+    )

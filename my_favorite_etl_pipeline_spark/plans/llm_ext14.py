@@ -578,9 +578,12 @@ _UMX_ALLOC_MAX = (2**63 - 1) // 10_000
     rs AS (SELECT COALESCE(MIN(rn), (SELECT n FROM tot) + 1) AS r
            FROM lv WHERE cap > level)
     SELECT lang, n_docs, t AS lang_tokens, cap AS cap_tokens,
-           CASE WHEN rn < (SELECT r FROM rs) THEN cap
+           -- CAST is load-bearing: level inherits HUGEINT from the
+           -- SUM-fed budget expression (the r12 promotion class the
+           -- oracle-type lint exists for); values always fit BIGINT
+           CAST(CASE WHEN rn < (SELECT r FROM rs) THEN cap
                 ELSE (SELECT level FROM lv WHERE rn = (SELECT r FROM rs))
-           END AS alloc_tokens,
+           END AS BIGINT) AS alloc_tokens,
            CAST(CASE WHEN rn < (SELECT r FROM rs) THEN cap
                 ELSE (SELECT level FROM lv WHERE rn = (SELECT r FROM rs))
            END * 10000 // t AS BIGINT) AS epochs_bp

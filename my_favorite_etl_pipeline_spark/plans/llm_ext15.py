@@ -1,5 +1,11 @@
-"""[EXT] curation round 15 — containment dedup and contrastive pair
-mining (SURVEY.md §2.9 X2/X3+).
+"""[EXT] curation round 15 — containment dedup, contrastive pair
+mining, retrieval-quality audits, weighted sampling, and DQ breadth
+(SURVEY.md §2.9 X2/X3+/X4+, §2 Q/DQ).
+
+Entries: ``containment_overlap_pairs``, ``hard_negative_pairs``,
+``lsh_recall_report``, ``ann_ranking_report``, ``benford_amount_audit``,
+``weighted_sample_es_topn``, ``fk_orphan_audit`` (and
+``stream_containment_screen`` lives with the streaming registrations).
 
 - ``containment_overlap_pairs`` — Broder (1997) distinguishes
   RESEMBLANCE (Jaccard — what every registered near-dup funnel
@@ -733,3 +739,153 @@ def q_benford_amount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_es_topn — quality-weighted corpus subsampling
+
+_ES_TOP = 100  # sample size
+_ES_SEED = 7  # draw seed — the md5 replayable-randomness idiom
+
+
+def _es_sample_oracle() -> str:
+    """Rides the SHARED CCNet scoring chain (llm_ext5._CCNET_CTES — one
+    scoring definition across its consumers) and replays the seeded
+    ES key exactly: u from the portable md5 idiom, key = ln(u)·s rounded
+    4dp with the doc_id tie-break (the Gumbel sampler's precedent)."""
+    from .llm_ext5 import _CCNET_CTES, _duck_md5_32
+
+    u32 = _duck_md5_32(
+        f"'es-sample|' || CAST(doc_id AS VARCHAR) || '|{_ES_SEED}'"
+    )
+    return f"""
+    WITH {_CCNET_CTES},
+    keyed AS (
+      SELECT doc_id, s AS unigram_nlp,
+             ROUND(ln((({u32}) + 0.5) / 4294967296.0) * s, 4) AS es_key
+      FROM dl
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS INT)
+             AS rank,
+           doc_id, unigram_nlp, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {_ES_TOP}
+    """
+
+
+@register("weighted_sample_es_topn", oracle=_es_sample_oracle())
+def q_weighted_sample_es_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+ (r15) — WEIGHTED sampling without replacement (Efraimidis &
+    Spirakis 2006, A-Res): keep the {_ES_TOP} documents with the largest
+    u_i^(1/w_i) — equivalently rank on ln(u_i)/w_i — which draws a
+    without-replacement sample with inclusion probability ∝ w_i in ONE
+    distributed pass, no sequential draws. The quality-weighted
+    subsampling move of a data-mixing stage: here w_i = 1/s_i, the
+    inverse of the SHARED CCNet unigram-NLP surprise score (one scoring
+    definition across five entries — low-perplexity docs are sampled
+    more), so the ranking key is ln(u_i)·s_i. Completes the sampling
+    family: uniform md5 order (leakage split), per-source quotas,
+    deterministic DSIR top-N, seeded Gumbel-top-k (∝ importance), and
+    now inclusion-∝-weight WITHOUT replacement.
+
+    Portability: u_i derives from the portable md5 idiom on
+    (doc_id, seed={_ES_SEED}), the key rounds to 4dp with the doc_id
+    tie-break (measure-zero boundary argument, the Gumbel/impact_truncate
+    idiom), so the draw is seeded, replayable, and engine-portable.
+
+    Plan at 100 TB: the scoring frame is the shared one-corpus-pass
+    CCNet chain; the key is one map-only hash + ln + multiply per doc;
+    the global top-N runs as TakeOrdered on one-row-per-doc — no sort,
+    no new shuffle.
+    """
+    from .llm_ext5 import _spark_md5_32, ccnet_bucketed
+
+    docw = ccnet_bucketed(spark, sf_dir).select("doc_id", "unigram_nlp")
+    u = (
+        _spark_md5_32(
+            F.concat_ws(
+                "|", F.lit("es-sample"), F.col("doc_id"), F.lit(_ES_SEED)
+            )
+        )
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docw.select(
+        "doc_id",
+        "unigram_nlp",
+        F.round(F.log(u) * F.col("unigram_nlp"), 4).alias("es_key"),
+    )
+    from pyspark.sql import Window
+
+    rk = Window.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rank") <= _ES_TOP)
+        .select("rank", "doc_id", "unigram_nlp", "es_key")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fk_orphan_audit — cross-table referential-integrity audit matrix
+
+#: every FK edge of the star schema: (child, fk_col, parent, pk_col)
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_audit_oracle() -> str:
+    arms = "\n      UNION ALL ".join(
+        f"""SELECT '{c}' AS child_table, '{ck}' AS fk_col,
+             '{p}' AS parent_table,
+             CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+             CAST(COUNT(*) FILTER (WHERE {ck} IS NOT NULL
+               AND {ck} NOT IN (SELECT {pk} FROM {p})) AS BIGINT) AS n_orphans
+      FROM {c}"""
+        for c, ck, p, pk in _FK_EDGES
+    )
+    return f"""
+    SELECT child_table, fk_col, parent_table, n_child_rows, n_orphans,
+           CAST(n_orphans * 1000000 // n_child_rows AS BIGINT) AS orphan_ppm
+    FROM ({arms})
+    ORDER BY child_table, fk_col
+    """
+
+
+@register("fk_orphan_audit", oracle=_fk_audit_oracle())
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ+ (r15) — the cross-TABLE referential-integrity audit the
+    per-table DQSuite classes (null/unique/regex/type/range) cannot
+    express: for EVERY foreign-key edge of the star schema, the child
+    row count, orphan count (non-null FK with no parent), and orphan
+    rate in ppm — one row per edge, the constraint-audit matrix a
+    warehouse load publishes next to its DQ gate. On this fixture every
+    edge reads 0 BY CONSTRUCTION (the generator is referentially
+    intact); the detection arm is pinned on a constructed corpus in
+    tests (the dup-id fixture discipline).
+
+    Plan at 100 TB: each edge is ONE left-anti-shaped aggregate — the
+    orphan count folds into a conditional count over an existence join;
+    dims (nation/region) broadcast by size, the big edges
+    (lineitem→orders/part/supplier) are plain equi-shuffles AQE handles;
+    the union tail is |edges| rows.
+    """
+    from ..operators.dq import fk_orphan_counts
+
+    frames = [
+        fk_orphan_counts(
+            load(spark, sf_dir, c), ck, load(spark, sf_dir, p), pk, c, p
+        )
+        for c, ck, p, pk in _FK_EDGES
+    ]
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.orderBy("child_table", "fk_col")

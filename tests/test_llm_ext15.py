@@ -341,3 +341,78 @@ def test_stream_containment_screen_asymmetric_direction(spark, tmp_path):
     assert (1, 2) in got and (3, 4) not in got
     r = next(x for x in rows if (x.doc_id, x.ref_id) == (1, 2))
     assert r.n_shingles == 13 and r.n_shared == 13 and r.containment_bp == 10000
+
+
+def test_weighted_sample_es_matches_pure_python(spark, qs):
+    """Replay the whole draw — corpus unigram-NLP score, md5 uniform,
+    ES key, top-N — in pure Python; also pin the WEIGHTING direction
+    (conditioned on equal luck, lower-surprise docs must rank higher)."""
+    import hashlib
+    from collections import Counter
+
+    from my_favorite_etl_pipeline_spark.plans.llm_ext15 import (
+        _ES_SEED,
+        _ES_TOP,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        d: tx.split(" ")
+        for d, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    freq = Counter(w for ws in toks.values() for w in ws)
+    tot = sum(freq.values())
+    s = {
+        d: round(sum(-math.log(freq[w] / tot) for w in ws) / len(ws), 4)
+        for d, ws in toks.items()
+        if ws
+    }
+
+    def u(d):
+        h = int(
+            hashlib.md5(f"es-sample|{d}|{_ES_SEED}".encode()).hexdigest()[:8],
+            16,
+        )
+        return (h + 0.5) / 4294967296.0
+
+    keyed = sorted(
+        ((round(math.log(u(d)) * sv, 4), d) for d, sv in s.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:_ES_TOP]
+
+    rows = qs["weighted_sample_es_topn"](spark, SF_DIR).collect()
+    assert len(rows) == _ES_TOP
+    for rk, (k, d) in enumerate(keyed, start=1):
+        r = rows[rk - 1]
+        assert (r.rank, r.doc_id) == (rk, d), rk
+        assert abs(r.es_key - k) < 5e-4, rk
+        assert abs(r.unigram_nlp - s[d]) < 5e-4, rk
+    # weighting direction: among sampled docs the mean surprise must sit
+    # BELOW the corpus mean (low-perplexity docs are upweighted)
+    sampled = {r.doc_id for r in rows}
+    m_in = sum(s[d] for d in sampled) / len(sampled)
+    m_all = sum(s.values()) / len(s)
+    assert m_in < m_all
+
+
+def test_fk_orphan_audit_fixture_clean_and_detection_arm(spark, qs):
+    """The registered audit must read 0 orphans on the referentially
+    intact fixture; the DETECTION arm is pinned on a constructed corpus
+    (orphans + NULL FKs — NULLs are completeness, not referential)."""
+    from pyspark.sql import Row
+
+    from my_favorite_etl_pipeline_spark.operators.dq import fk_orphan_counts
+    from my_favorite_etl_pipeline_spark.plans.llm_ext15 import _FK_EDGES
+
+    rows = qs["fk_orphan_audit"](spark, SF_DIR).collect()
+    assert len(rows) == len(_FK_EDGES)
+    assert all(r.n_orphans == 0 and r.orphan_ppm == 0 for r in rows)
+    assert all(r.n_child_rows > 0 for r in rows)
+
+    child = spark.createDataFrame(
+        [Row(k=1), Row(k=2), Row(k=99), Row(k=None), Row(k=98)]
+    )
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2), Row(pk=3)])
+    r = fk_orphan_counts(child, "k", parent, "pk", "c", "p").collect()[0]
+    assert (r.n_child_rows, r.n_orphans) == (5, 2)  # 99, 98; NULL excluded
+    assert r.orphan_ppm == 2 * 1_000_000 // 5

@@ -18,49 +18,40 @@ DRIVER_CAP = 50
 # freezes (decimal_surface proved why: six rounds of local green, red on
 # first driver contact). r8 burned the never-checked backlog to zero.
 FAMILY_SENTINELS = {
-    # r14 window (VERDICT r13 item 2): seat the only two driver-unseen
-    # entries (the r13 assembly seams) + return the 13-entry band with no
-    # row since r12 (q5/q9/q18/pivot/cube/asof/typed_struct/variant/
-    # winnowing/pandas_udf/durable/two_layer/hll); drop 15 r13-green
-    # veterans whose families stay represented. 49/50 oracle-checked
-    # (hll_sketch_merge is the one rows-only row, returning per the
-    # verdict; its values are invariant-tested).
+    # r15 window (VERDICT r14 item 1 / the rotation in registry.py): all
+    # THIRTEEN r14 driver-unseen entries seated + the 15-entry band
+    # displaced in r14 returned; 28 green veterans out with every family
+    # still represented. First fully oracle-checked window (50/50).
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
-    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q5_region_revenue",
-                   "q9_profit_by_nation_year", "q18_large_orders",
-                   "pivot_status_by_segment", "cube_events"],
-    "asof": ["asof_last_click_before_purchase"],
-    "transform-chains": ["transform_chain", "typed_struct_props_chain",
-                         "variant_props_chain"],
-    "timeseries": ["continuous_aggregate_rollup"],
-    "model-filters": ["quality_classifier_linear", "quality_classifier_train_gd"],
+    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q8_market_share",
+                   "grouping_sets_revenue", "range_join_ship_latency",
+                   "scd2_status_history"],
+    "transform-chains": ["transform_chain"],
+    "timeseries-monitoring": ["anomalous_hours_mad"],
     "X1-exact-dedup": ["dedup_exact_groups"],
-    "X2-near-dup": ["minhash_near_dups", "semdedup_cluster_pairs",
-                    "dedup_canonical_pagerank", "edit_distance_near_dups",
-                    "winnowing_fingerprints"],
+    "X2-near-dup": ["minhash_near_dups", "simhash_near_dups_portable"],
+    "X2-fuzzy-decontamination": ["fuzzy_decontaminate_minhash",
+                                 "stream_fuzzy_decontaminate"],
     "X3-similarity": ["embedding_topk_bruteforce", "embedding_topk_pandas_udf",
-                      "tfidf_topk_similar_docs"],
-    # the round's only verification debt: the two r13 seam operators
-    "r14-new": ["epoch_repeat_shard_assignment", "semantic_pack_shard_assignment"],
-    "X4-text": ["gopher_quality_flags", "contamination_13gram"],
+                      "matryoshka_prefix_recall", "ann_cell_size_report",
+                      "ivf_recall_report"],
+    "graph-family": ["knn_graph_nn_descent", "knn_graph_nn_descent_hq",
+                     "graph_ann_search_topk", "knn_graph_topk_auto_k",
+                     "knn_graph_pagerank", "knn_graph_lpa_communities"],
+    "X4-text": ["lang_id_heuristic", "filter_ablation_matrix",
+                "contamination_span_profile", "semantic_decontaminate_topk"],
+    "model-filters-tokenizers": ["quality_classifier_gd_scores",
+                                 "wordpiece_train_merges"],
+    "mixture-sampling": ["doremi_domain_weights", "curriculum_shard_order"],
+    "selection": ["greedy_gram_coverage_select", "greedy_coverage_select_batched",
+                  "community_capped_select"],
+    "assembly": ["epoch_repeat_plan", "semantic_packing_order",
+                 "pack_efficiency_report", "shard_manifest_checksums"],
+    "M4-time-travel": ["mart_snapshot_diff"],
     "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
-    "sketches": ["hll_sketch_merge"],
-    "mixture-sampling": ["token_budget_select"],
-    "assembly": ["epoch_repeat_shard_assignment", "semantic_pack_shard_assignment",
-                 "pack_docs_histogram", "pack_efficiency_report",
-                 "shard_manifest_checksums"],
-    "M4-time-travel": ["mart_snapshot_diff"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join",
                      "stream_merge_into_mart", "stream_shard_manifest"],
-    # the (W, CAP) = (24, 24) joint flip changes every refined-graph
-    # consumer's VALUES this round, so all 7 re-prove in-window; the two
-    # base-graph entries (topk_auto_k, pagerank) are the only
-    # flip-UNaffected graph entries and yield their slots
-    "graph-integer-contract": ["knn_graph_nn_descent", "graph_ann_search_topk",
-                               "graph_ann_search_batch", "graph_ann_search_durable",
-                               "hnsw_two_layer_search", "hnsw_three_layer_search",
-                               "hnsw_batch_routed_search"],
 }
 
 

@@ -70,6 +70,8 @@ DEFAULT_SET = [
     "ann_ranking_report",  # serving arm + exact instrument + metric tail (r15)
     "stream_containment_screen",  # count-agg ingest gate, containment arm (r15)
     "benford_amount_audit",  # map-only digit projection + 9-row agg (r15)
+    "weighted_sample_es_topn",  # shared scorer + map-only key + TakeOrdered (r15)
+    "fk_orphan_audit",  # one existence-join agg per FK edge (r15)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
