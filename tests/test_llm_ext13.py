@@ -275,7 +275,14 @@ def test_duplicate_ids_collapse_identically(spark, dup_id_dir, entry):
 
 
 @pytest.mark.parametrize(
-    "entry", ["fuzzy_decontaminate_minhash", "stream_fuzzy_decontaminate"]
+    "entry",
+    [
+        "fuzzy_decontaminate_minhash",
+        "stream_fuzzy_decontaminate",
+        # r15: the containment screen shares the same count-agg shape and
+        # the same assert-not-collapse contract
+        "stream_containment_screen",
+    ],
 )
 def test_fuzzy_decon_raises_on_duplicate_ids(spark, dup_id_dir, entry):
     """ADVICE r14: the fuzzy pair's duplicate-id contract is ASSERT, not
