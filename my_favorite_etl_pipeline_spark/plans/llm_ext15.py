@@ -889,3 +889,82 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f_ in frames[1:]:
         out = out.unionByName(f_)
     return out.orderBy("child_table", "fk_col")
+
+
+# ---------------------------------------------------------------------------
+# containment_dedup_drops — the drop decision over the containment pairs
+
+
+def _containment_drops_oracle() -> str:
+    """Rollup over the SAME exact pair table as the pairs entry (shared
+    inverted-index CTE text) — best container by (containment DESC,
+    container_id), plus the container count as evidence strength."""
+    from .llm_ext import _DUCK_SHINGLES
+
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, LEN(s) AS n FROM sh),
+    ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT ida, idb, c, CAST(c * 10000 // sa.n AS BIGINT) AS cbp
+      FROM inter JOIN sizes sa ON sa.doc_id = ida
+      WHERE c * {_CONT_DEN} >= sa.n * {_CONT_NUM}
+    )
+    SELECT ida AS doc_id,
+           CAST(MIN(idb) FILTER (WHERE (cbp, -idb) = mx) AS BIGINT)
+             AS best_container,
+           CAST(MAX(cbp) AS BIGINT) AS containment_bp,
+           CAST(COUNT(*) AS BIGINT) AS n_containers
+    FROM (SELECT ida, idb, cbp,
+                 MAX((cbp, -idb)) OVER (PARTITION BY ida) AS mx
+          FROM p)
+    GROUP BY ida
+    ORDER BY doc_id
+    """
+
+
+@register("containment_dedup_drops", oracle=_containment_drops_oracle())
+def q_containment_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (r15) — the DROP DECISION over the containment evidence: every
+    document that is >= {_CONT_NUM}/{_CONT_DEN}-contained in at least one
+    OTHER document contributes (almost) nothing beyond its container, so
+    a curation run drops it and keeps the host — the quote/boilerplate
+    consumer of ``containment_overlap_pairs`` (same funnel, same shared
+    pair semantics; the oracle rides the identical pair CTE text). Emits
+    per dropped doc: (doc_id, best_container, containment_bp,
+    n_containers) — best container by (containment DESC, lowest id), the
+    container count as evidence strength. The keep set is the complement;
+    the funnel's exact-dedup stage already collapsed IDENTICAL texts, so
+    these drops are the strictly-subset/quoted remainder.
+
+    Plan at 100 TB: the pairs funnel's plan (prefix candidates + verify)
+    plus one per-doc hash agg — nothing new shuffles; the max-by rollup
+    rides the candidate-sized frame.
+    """
+    from ..operators.dedup import containment_pairs
+
+    pairs = containment_pairs(
+        load(spark, sf_dir, "documents"), num=_CONT_NUM, den=_CONT_DEN
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.col("container_id"),
+                F.struct(
+                    (-F.col("containment_bp")).alias("nc"),
+                    F.col("container_id").alias("i"),
+                ),
+            )
+            .cast("long")
+            .alias("best_container"),
+            F.max("containment_bp").cast("long").alias("containment_bp"),
+            F.count(F.lit(1)).cast("long").alias("n_containers"),
+        )
+        .orderBy("doc_id")
+    )

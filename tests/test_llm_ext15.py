@@ -416,3 +416,39 @@ def test_fk_orphan_audit_fixture_clean_and_detection_arm(spark, qs):
     r = fk_orphan_counts(child, "k", parent, "pk", "c", "p").collect()[0]
     assert (r.n_child_rows, r.n_orphans) == (5, 2)  # 99, 98; NULL excluded
     assert r.orphan_ppm == 2 * 1_000_000 // 5
+
+
+def test_containment_drops_match_pure_python(spark, qs):
+    """The drop rollup replayed over the brute-force pair set: best
+    container by (containment DESC, lowest id), container counts, and
+    consistency with the REGISTERED pairs entry."""
+    sh = _shingle_sets(SF_DIR)
+    pairs = {}
+    for a, sa in sh.items():
+        if not sa:
+            continue
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            c = len(sa & sb)
+            if c * _CONT_DEN >= len(sa) * _CONT_NUM:
+                pairs.setdefault(a, []).append((c * 10000 // len(sa), b))
+    expected = {
+        a: (
+            min(b for bp, b in lst if (bp, -b) == max((bp, -b) for bp, b in lst)),
+            max(bp for bp, _ in lst),
+            len(lst),
+        )
+        for a, lst in pairs.items()
+    }
+    rows = qs["containment_dedup_drops"](spark, SF_DIR).collect()
+    got = {
+        r.doc_id: (r.best_container, r.containment_bp, r.n_containers)
+        for r in rows
+    }
+    assert got == expected
+    assert expected  # the fixture must produce drops
+    # consistency with the registered pairs entry: drops == distinct
+    # contained doc ids
+    pair_rows = qs["containment_overlap_pairs"](spark, SF_DIR).collect()
+    assert set(got) == {r.doc_id for r in pair_rows}

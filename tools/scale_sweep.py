@@ -72,6 +72,7 @@ DEFAULT_SET = [
     "benford_amount_audit",  # map-only digit projection + 9-row agg (r15)
     "weighted_sample_es_topn",  # shared scorer + map-only key + TakeOrdered (r15)
     "fk_orphan_audit",  # one existence-join agg per FK edge (r15)
+    "containment_dedup_drops",  # pairs funnel + per-doc max-by rollup (r15)
     "shard_manifest_checksums",    # map-only manifest (r12)
     "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
 ]
