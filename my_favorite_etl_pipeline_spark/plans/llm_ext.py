@@ -151,37 +151,56 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 exact variant — all-pairs n-gram Jaccard at a high threshold.
+    """X2 exact variant — EXACT all-pairs n-gram Jaccard at a high
+    threshold, via the inverted-index equi-join (optimization r15; the
+    algorithm this query's own DuckDB oracle has used since mid-r5).
 
-    Deliberately the *unscalable* baseline (O(n²) pairs) kept at fixture
-    size as the ground truth for the LSH path; ``documents`` stops scaling
-    at sf0.1 so the harness cost is bounded. Production path = MinHash LSH.
-
-    Even a deliberate O(n²) baseline must use every core: the inequality
-    join plans as BroadcastNestedLoopJoin, which parallelizes over the
-    STREAM side's partitions — and a single-row-group parquet scan gives it
-    ONE task (measured r6: 841 s single-task vs ~40 s at 32, same plan).
-    ensure_min_partitions fixes the stream side's fan-out only; the
-    broadcast side is collected either way.
+    The pre-r15 Spark side ran the literal O(n²) inequality join
+    (BroadcastNestedLoopJoin, 38.4 s at sf0.1); the result SET is provably
+    identical under this form: shingle sets are distinct, so
+    |A∪B| = |A| + |B| − |A∩B| and jaccard = c/(n_a + n_b − c) is the same
+    double the old array_intersect/array_union division produced, and any
+    pair with jaccard ≥ 0.9 > 0 shares ≥ 1 shingle, so the shingle
+    equi-join's candidate set contains every qualifying pair (recall is
+    100% by construction — this stays the LSH path's exact ground truth;
+    only the quadratic plan shape is gone). Guide §2.4/§3.1: the
+    inequality join becomes a hash-partitionable equi-join + one hash
+    aggregate; 38.4 s → ~2 s at sf0.1, and the shape now scales with the
+    posting-list mass (Σ_g df_g²) instead of n². The exploded posting
+    table feeds both join sides — persisted so the shingle pass runs once.
+    The deliberately-quadratic POSITIVE CONTROL the scale sweep needs
+    lives in tools/scale_sweep.py itself now (an unregistered plan), not
+    in a registered query every bench and sweep pays 40 s for.
     """
+    from ..caching import tracked_persist
     from ..operators.scaling import ensure_min_partitions
 
     docs = load(spark, sf_dir, "documents")
-    sh = ensure_min_partitions(
-        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sh = tracked_persist(
+        ensure_min_partitions(docs)
+        .select("doc_id", shingles(F.col("text")).alias("sh"))
+        .select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
     )
     a, b = sh.alias("a"), sh.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
-        F.array_union(F.col("a.sh"), F.col("b.sh"))
-    )
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.round(jac, 4).alias("jaccard"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
-        .filter(F.col("jaccard") >= 0.9)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.round(
+        F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")), 4
+    )
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.9
     )
 
 

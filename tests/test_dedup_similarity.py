@@ -344,3 +344,37 @@ def test_ceil_frac_exact_on_integral_products(spark):
         for n in ns:
             exact = -((-n * fr.numerator) // fr.denominator)  # true ceil
             assert got[n] == exact == math.ceil(fr * n), (t, n, got[n])
+
+
+def test_ngram_jaccard_pairs_matches_literal_allpairs(spark, sf_dir):
+    """r15-opt: the registered ngram_jaccard_pairs now runs the exact
+    inverted-index equi-join (the shape its DuckDB oracle always used);
+    this pins the rewrite's result against the literal O(n²) inequality
+    join it replaced — same pairs, same rounded jaccard values."""
+    from my_favorite_etl_pipeline_spark.caching import materialized_scope
+    from my_favorite_etl_pipeline_spark.registry import REGISTRY
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    with materialized_scope():
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, sf_dir).collect()
+        }
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    expected = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.9)
+        .collect()
+    }
+    assert got == expected and len(got) > 0

@@ -74,8 +74,45 @@ DEFAULT_SET = [
     "fk_orphan_audit",  # one existence-join agg per FK edge (r15)
     "containment_dedup_drops",  # pairs funnel + per-doc max-by rollup (r15)
     "shard_manifest_checksums",    # map-only manifest (r12)
-    "ngram_jaccard_pairs",         # POSITIVE CONTROL: labeled O(n²) baseline
+    "ngram_jaccard_pairs",         # exact inverted-index Jaccard (near-linear since r15-opt)
+    "__allpairs_control__",        # POSITIVE CONTROL: tool-internal O(n²) plan (r15-opt)
 ]
+
+
+def _allpairs_control(spark, sf_dir: str):
+    """The deliberately-quadratic POSITIVE CONTROL (tool-internal, r15-opt).
+
+    Until r15 the registered ``ngram_jaccard_pairs`` carried this role; its
+    Spark side now runs the exact inverted-index equi-join (same result,
+    near-linear), so the sweep keeps its own literal O(n²) inequality-join
+    plan here — the methodology must still READ a quadratic blowup as ~100×
+    on 10× data, or it could not detect a real one. Same math as the old
+    registered plan (array_intersect/array_union over distinct shingles);
+    never registered, never benched, timed only by this tool.
+    """
+    from pyspark.sql import functions as F
+
+    from my_favorite_etl_pipeline_spark.functions.text import shingles
+    from my_favorite_etl_pipeline_spark.operators.scaling import ensure_min_partitions
+    from my_favorite_etl_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    sh = ensure_min_partitions(
+        docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.9)
+    )
 
 
 def main() -> int:
@@ -92,7 +129,8 @@ def main() -> int:
     from my_favorite_etl_pipeline_spark.session import get_spark
 
     spark = get_spark("scale-sweep")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs["__allpairs_control__"] = _allpairs_control
     missing = [n for n in names if n not in qs]
     if missing:
         print(f"unknown queries: {missing}", file=sys.stderr)
