@@ -95,7 +95,12 @@ def lsh_candidate_pairs(
     only documents sharing a band bucket ever meet. Returns distinct
     (id_a, id_b) with id_a < id_b.
     """
-    banded = lsh_band_frame(df, id_col, text_col, num_perms, band_rows)
+    # the band frame feeds BOTH sides of the bucket self-join — persist so
+    # the 32-permutation minhash signature runs once per doc, not twice
+    # (r15-opt, guide §5)
+    banded = tracked_persist(
+        lsh_band_frame(df, id_col, text_col, num_perms, band_rows)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -416,8 +421,14 @@ def simhash_near_dups(
     sigs = ensure_min_partitions(df).select(
         F.col(id_col), bits_fn(F.col(text_col)).alias("sig")
     )
-    blocked = sigs.select(
-        id_col, "sig", F.posexplode("sig").alias("chunk_idx", "chunk_val")
+    # blocked feeds BOTH sides of the chunk-bucket self-join — persist so
+    # the signature fold (64-bit accumulator over every token hash; the
+    # portable variant pays two md5s per token) runs once, not twice
+    # (r15-opt, guide §5)
+    blocked = tracked_persist(
+        sigs.select(
+            id_col, "sig", F.posexplode("sig").alias("chunk_idx", "chunk_val")
+        )
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     hamming = F.aggregate(
@@ -836,12 +847,17 @@ def edit_distance_pairs(
         ).cast("long").alias(f"__c{i}")
         for i, c in enumerate(chars)
     ]
-    d = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        F.length(text_col).cast("long").alias("__n"),
-        F.floor(F.length(text_col) / band).cast("long").alias("__band"),
-        *hist,
+    # the banded projection feeds FOUR join inputs (two self-joins × two
+    # sides); persisting it runs the len(chars) per-row replace() histogram
+    # scans once instead of four times (r15-opt, guide §5)
+    d = tracked_persist(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+            F.length(text_col).cast("long").alias("__n"),
+            F.floor(F.length(text_col) / band).cast("long").alias("__band"),
+            *hist,
+        )
     )
     a, b = d.alias("a"), d.alias("b")
     l1 = sum(

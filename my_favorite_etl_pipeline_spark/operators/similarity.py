@@ -1067,6 +1067,17 @@ def pq_codebook(
     subspace's codes — all bit-identical across engines and partitionings.
     Output is m·kc rows — O(1) in the corpus, always broadcastable: the
     codebook is a model artifact, not data.
+
+    Persistence (optimization r15, guide §3.3/§5): the codebook is
+    ``tracked_persist``-ed at init and after every Lloyd round. Each round
+    references the previous codebook TWICE (assignment join + empty-code
+    coalesce) and downstream consumers fold it twice more (``cbn`` +
+    ``ptab``), so without a materialization point the whole
+    corpus-pass-per-round training chain duplicated multiplicatively into
+    the final plan — embedding_topk_ivf_pq's physical plan was 306
+    Exchanges / 3,248 lines, re-running PQ training several times per
+    execution. Persisting an m·kc-row model table per round is the same
+    contract :func:`kmeans_iterate` has always had.
     """
     pd_ = (
         corpus.select(
@@ -1087,13 +1098,15 @@ def pq_codebook(
             ),
         )
     )
-    cb = (
+    cb = tracked_persist(
         pd_.groupBy("s", "c")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("p"))
         .select("s", "c", F.transform("p", lambda x: x.mean_val).alias("cv"))
     )
     for _ in range(n_iter):
-        cb = _pq_lloyd_round(corpus, cb, kc=kc, id_col=id_col, vec_col=vec_col)
+        cb = tracked_persist(
+            _pq_lloyd_round(corpus, cb, kc=kc, id_col=id_col, vec_col=vec_col)
+        )
     return cb
 
 

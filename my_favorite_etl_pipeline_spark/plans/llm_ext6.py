@@ -474,6 +474,7 @@ def rrf_hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding half), so the fused ordering is an integer comparison with a
     doc-id tie-break both engines replay identically.
     """
+    from ..caching import tracked_persist
     from ..operators.retrieval import impact_truncate, term_postings
 
     K1, B = 1.2, 0.75
@@ -497,7 +498,11 @@ def rrf_hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrm = wts.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nv"))
-    unit = (
+    # unit feeds TWO consumers (query side + truncated candidate side) —
+    # persist it exactly as tfidf_topk_similar_docs does for the same frame
+    # (r15-opt: without it the wts/nrm join chain re-ran per consumer; the
+    # before-plan was 146 Exchanges / 1,739 lines)
+    unit = tracked_persist(
         wts.join(nrm, "doc_id")
         .filter(F.col("nv") > 0)
         .select("doc_id", "w", (F.col("wt") / F.col("nv")).alias("u"))

@@ -29,6 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..functions import text as TX
 from ..registry import register
 from ..sources.tables import load
@@ -257,9 +258,18 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "is_t", (_spark_md5_32(F.col("x")) % _DSIR_B).alias("b")
     )
-    counts = fb.groupBy("b").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("cr"),
+    # r15-opt (guide §2.3 "aggregate before you shuffle" + §5 persist): the
+    # tokenize+md5 explode fed TWO consumers (bucket multinomials and the
+    # per-doc scoring agg) and ran twice. Collapse it map-side to per-
+    # (doc, side, bucket) counts — exploded volume shrinks to ≤ features-
+    # per-doc rows — and persist THAT; both consumers aggregate from it
+    # with identical integer counts.
+    g = tracked_persist(
+        fb.groupBy("doc_id", "is_t", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    counts = g.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(0)).alias("cr"),
     )
     tot = counts.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
@@ -272,9 +282,7 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lw"),
     )
     docw = (
-        fb.filter(~F.col("is_t"))
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        g.filter(~F.col("is_t"))
         .join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("c") * F.col("lw")), 4).alias("dsir_logw"))
@@ -585,7 +593,11 @@ def _knn_base_edges(spark: SparkSession, sf_dir: str, k=8):
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    assign = quantize_vectors(nearest_centroid(emb, k=k))
+    # assign feeds BOTH sides of the within-cell self-join — persist it so
+    # the centroid build + nearest-cell max_by + exact-isqrt quantization
+    # runs once, not twice (r15-opt; same contract as prefix_filter_pairs'
+    # posting persist)
+    assign = tracked_persist(quantize_vectors(nearest_centroid(emb, k=k)))
     a = assign.select(
         F.col("vec_id").alias("src_id"),
         F.col("cluster"),
