@@ -82,3 +82,22 @@ def materialized_scope() -> Iterator[list[DataFrame]]:
                 df.unpersist()
             except Exception:
                 pass  # session torn down mid-scope: nothing left to release
+
+
+def presentation_sort(df: DataFrame, *cols) -> DataFrame:
+    """``tracked_persist(df).orderBy(*cols)`` — the final-sort idiom.
+
+    A global ``orderBy`` plans as a range exchange whose partitioner runs
+    a SEPARATE sampling job over its child, re-executing the entire
+    upstream plan once before the real pass (r15-opt: measured 1.4 s →
+    3.0 s on edit_distance_near_dups from the sort alone). Queries that
+    end in a small presentation-ordered result atop an expensive plan
+    persist the result first: the sampling pass then materializes the
+    (result-sized) cache and the real pass reads it back, so the upstream
+    plan executes once. Rows and order are identical; only the execution
+    shape changes. Use only where the pre-sort result is result-sized —
+    persisting a corpus-scale frame to save a sampling pass is a bad
+    trade (cache pressure; see the stream_ingest parquet-vs-persist
+    note in streaming/windows.py).
+    """
+    return tracked_persist(df).orderBy(*cols)

@@ -849,9 +849,12 @@ def edit_distance_pairs(
     ]
     # the banded projection feeds FOUR join inputs (two self-joins × two
     # sides); persisting it runs the len(chars) per-row replace() histogram
-    # scans once instead of four times (r15-opt, guide §5)
+    # scans once instead of four times, and ensure_min_partitions fans the
+    # single-row-group scan out to core count — without it the cached frame
+    # kept the scan's 2 partitions and the whole band join + Levenshtein
+    # verify ran on 2 tasks (r15-opt, guide §5 / §2.5 input skew)
     d = tracked_persist(
-        df.select(
+        ensure_min_partitions(df).select(
             F.col(id_col).alias("__id"),
             F.col(text_col).alias("__t"),
             F.length(text_col).cast("long").alias("__n"),

@@ -126,14 +126,16 @@ def q_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = sh.select("doc_id", F.explode("sh").alias("g"))
     bench = g.filter(_bench_pred()).select(F.col("doc_id").alias("bench_id"), "g")
     train = g.filter(~_bench_pred())
-    return (
+    from ..caching import presentation_sort
+
+    return presentation_sort(
         train.join(bench, "g")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("g").alias("n_grams_hit"),
             F.countDistinct("bench_id").alias("n_bench_docs"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -409,11 +411,16 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     staged = docs.select("doc_id", out.alias("o"))
-    return staged.select(
+    from ..caching import presentation_sort
+
+    return presentation_sort(
+        staged.select(
+            "doc_id",
+            F.col("o.n").alias("n_fingerprints"),
+            F.col("o.d").alias("fp_digest"),
+        ),
         "doc_id",
-        F.col("o.n").alias("n_fingerprints"),
-        F.col("o.d").alias("fp_digest"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -620,7 +627,9 @@ def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("a.u") * F.col("b.u")), 4).alias("sim"))
     )
     win = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
-    return (
+    from ..caching import presentation_sort
+
+    return presentation_sort(
         sims.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= 5)
         .select(
@@ -628,8 +637,9 @@ def q_tfidf_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("similar_doc_id"),
             F.col("sim").alias("cosine_tfidf"),
             F.col("rn").cast("int").alias("rank"),
-        )
-        .orderBy("doc_id", "rank")
+        ),
+        "doc_id",
+        "rank",
     )
 
 

@@ -568,7 +568,9 @@ def rrf_hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wf = Window.partitionBy("query_id").orderBy(F.col("rrf_i").desc(), F.col("doc_id"))
-    return (
+    from ..caching import presentation_sort
+
+    return presentation_sort(
         fused.withColumn("rn", F.row_number().over(wf))
         .filter(F.col("rn") <= 5)
         .select(
@@ -576,6 +578,7 @@ def rrf_hybrid_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("rn").cast("int").alias("rank"),
             (F.col("rrf_i") / F.lit(1000000.0)).alias("rrf"),
-        )
-        .orderBy("query_id", "rank")
+        ),
+        "query_id",
+        "rank",
     )

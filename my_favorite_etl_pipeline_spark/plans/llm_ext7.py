@@ -999,8 +999,17 @@ def graph_beam_search(
     gund is additionally persisted (registry CACHE OWNERSHIP contract).
     An earlier uncached-lineage variant re-ran the whole NN-Descent
     build chain twice in one job and OOMed a default-1g driver.
+
+    r15-opt note (measured, kept as-is): a single-lazy-plan variant of
+    this loop (the oracle's gv CTE cascade as DataFrames, per-hop
+    tracked_persist) was built and MEASURED SLOWER — 5.4 s vs 3.4 s warm
+    at sf0.1 — because each hop's window + distinct adds shuffle stages
+    whose scheduling/AQE overhead exceeds the ~0.5 s/job collect cost it
+    saves. The driver-looped form with one job per hop stands; the id
+    set is broadcast explicitly so `assign` is never shuffled (§3.1).
     """
     from ..caching import tracked_persist
+    from ..operators.similarity import int_cos_x1e4
 
     gund = tracked_persist(
         work.select(F.col("src_id").alias("node"), F.col("nbr_id").alias("nbr"))
@@ -1012,13 +1021,14 @@ def graph_beam_search(
     qv = assign.filter(F.col("vec_id") == 0).select(
         F.col("__q").alias("qq"), F.col("__s").alias("qs")
     )
-    from ..operators.similarity import int_cos_x1e4
 
     def score(ids: DataFrame) -> list:
         # pure-integer quantized ten-thousandth scores end-to-end
-        # (score_id_pairs / int_cos_x1e4 contract — r11, no IEEE float)
+        # (score_id_pairs / int_cos_x1e4 contract — r11, no IEEE float);
+        # the id set is parameter-sized — broadcast it so assign is never
+        # shuffled for a point-lookup join (guide §3.1)
         return (
-            ids.join(assign, "vec_id")
+            F.broadcast(ids).join(assign, "vec_id")
             .crossJoin(F.broadcast(qv))
             .select(
                 "vec_id",
