@@ -513,7 +513,10 @@ def kmeans_iterate(
     probe pattern) is compared to the previous round's; identical digests
     mean every later round is the identity, so the loop stops early. The
     probe is safe for hash-checked oracles that unroll a FIXED round count
-    in SQL — skipped rounds are no-ops by construction. Each round's
+    in SQL — skipped rounds are no-ops by construction. Probing is gated
+    on ``n_iter >= 3`` (r15-opt): below that the probes' construction-time
+    collect jobs cost more than the one round they could skip, and running
+    a converged round anyway is bit-identical. Each round's
     centroid table is tracked_persist'ed (k rows) so the digest probe and
     the next round share one computation; construction therefore launches
     small jobs (see the registry LAZINESS note).
@@ -522,7 +525,16 @@ def kmeans_iterate(
         build_hash_centroids(corpus, k=k, id_col=id_col, vec_col=vec_col)
     )
     side = corpus.select(F.col(id_col), _dbl(F.col(vec_col)).alias("__v"))
-    digest = _centroid_digest(cent)
+    # Fixpoint probing is gated on the round count (r15-opt, guide §1.2
+    # per-task work): each digest is a collect() JOB at plan-construction
+    # time, so probing costs n_iter+1 driver round-trips to skip at most
+    # n_iter−1 converged rounds. At the serving tiers' n_iter ≤ 2 that is
+    # 3 jobs (~0.9 s/call measured) to maybe save one, a strict loss —
+    # and a skipped round is the identity by definition, so running it
+    # anyway yields bit-identical centroids. Probe only when the round
+    # count is big enough that skipping the converged tail can win.
+    use_probe = n_iter >= 3
+    digest = _centroid_digest(cent) if use_probe else None
     for _ in range(n_iter):
         c = F.broadcast(
             cent.select(
@@ -567,10 +579,11 @@ def kmeans_iterate(
             .join(refreshed, "cid", "left")
             .select("cid", F.coalesce(F.col("centroid"), F.col("__prev")).alias("centroid"))
         )
-        new_digest = _centroid_digest(cent)
-        if new_digest == digest:
-            break  # fixpoint: every further round is the identity
-        digest = new_digest
+        if use_probe:
+            new_digest = _centroid_digest(cent)
+            if new_digest == digest:
+                break  # fixpoint: every further round is the identity
+            digest = new_digest
     return cent
 
 

@@ -302,14 +302,16 @@ def skew_zipf_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = F.when(F.col("user_id") % 10 < 9, F.lit(0)).otherwise(F.col("user_id"))
     skewed = events.select(hot.cast("long").alias("hot_key"), "value")
     dim = skewed.select("hot_key").distinct()
-    return (
+    from ..caching import presentation_sort
+
+    return presentation_sort(
         salted_join(skewed, dim, on="hot_key", how="inner", salt=8)
         .groupBy("hot_key")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
-        )
-        .orderBy("hot_key")
+        ),
+        "hot_key",
     )
 
 
