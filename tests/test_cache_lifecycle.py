@@ -109,3 +109,27 @@ def test_scope_is_thread_local(spark):
         assert scope == []  # foreign-thread persist not captured
     assert worker_df[0].storageLevel.useMemory  # survived the scope exit
     worker_df[0].unpersist()
+
+
+def test_presentation_sort_same_rows_order_and_scope_release(spark):
+    """r15-opt: presentation_sort must return exactly orderBy's rows in
+    orderBy's order (it only changes the execution shape — persist first so
+    the range-partitioner's sampling pass reads the cache instead of
+    re-executing the upstream plan) and its persist must release with the
+    enclosing materialized_scope like any tracked persist."""
+    from pyspark.sql import functions as F
+
+    from my_favorite_etl_pipeline_spark.caching import (
+        materialized_scope,
+        presentation_sort,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), (F.lit(99) - F.col("id")).alias("v")
+    )
+    expected = df.orderBy("k", "v").collect()
+    with materialized_scope() as scope:
+        got = presentation_sort(df, "k", "v").collect()
+        assert len(scope) == 1
+    assert got == expected
+    assert not scope[0].storageLevel.useMemory  # released on scope exit
