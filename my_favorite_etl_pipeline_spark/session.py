@@ -83,6 +83,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
         # ns-parquet compatibility — session-wide by design (see get_spark);
         # normalize_event_time rebuilds the affected columns after scan
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # perf parity with get_spark (r15-opt): allow shuffled-hash joins on
+        # externally-created sessions too — runtime-settable, size-bounded
+        # (see the get_spark comment), results unchanged by construction
+        ("spark.sql.join.preferSortMergeJoin", "false"),
+        (
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        ),
     ):
         try:
             spark.conf.set(key, val)
