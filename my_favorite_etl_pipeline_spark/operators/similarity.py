@@ -647,6 +647,8 @@ def kmeans_assign_and_probe(
     n_iter: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cent: DataFrame | None = None,
+    assign: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The IVF coarse stage shared by :func:`ivf_topk_kmeans` and
     :func:`ivf_pq_topk` (factored r7 so the two cannot drift): k-means
@@ -656,36 +658,51 @@ def kmeans_assign_and_probe(
     (UNROUNDED centroid cosine, cid ties — the original ivf_topk contract
     the ivf_kmeans oracle replays). Returns (assign, probed):
     ``(id, __cid, __v, __n)`` and the broadcastable ``(__cid)`` probe set.
+
+    ``cent``/``assign`` (r16-opt, guide §5 "cache what is reused"): a
+    caller holding the TRAINED index as committed tables (the
+    ``_pq_serving_tables`` mart memo — the durable-graph posture) passes
+    the ``(cid, centroid)`` table and/or the ``(id, __cid)`` assignment;
+    training (and for ``assign`` the corpus-wide nearest-cell aggregate)
+    is then skipped entirely — serving becomes table reads + the O(k)
+    query-side probe. A passed ``assign`` is returned AS-IS (no
+    ``__v``/``__n`` re-attach): the only such caller (:func:`ivf_pq_topk`)
+    consumes ids alone; exact-scoring callers must train inline or pass
+    an assign that carries the vectors.
     """
-    side = ensure_min_partitions(corpus).select(
-        F.col(id_col), _dbl(F.col(vec_col)).alias("__v"), norm(F.col(vec_col)).alias("__n")
-    )
+    if cent is None:
+        cent = kmeans_iterate(
+            corpus, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
     cent = F.broadcast(
-        kmeans_iterate(corpus, k=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
-        .select(
+        cent.select(
             F.col("cid").alias("__cid"),
             F.col("centroid").alias("__cv"),
             norm(F.col("centroid")).alias("__cn"),
         )
     )
-    cos_c = F.round(dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")), 4)
-    assign = (
-        side.crossJoin(cent)
-        .withColumn("__cos_c", cos_c)
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.struct(F.col("__cid"), F.col("__v"), F.col("__n")),
-                F.struct(F.col("__cos_c").alias("c"), (-F.col("__cid")).alias("nc")),
-            ).alias("__best")
+    if assign is None:
+        side = ensure_min_partitions(corpus).select(
+            F.col(id_col), _dbl(F.col(vec_col)).alias("__v"), norm(F.col(vec_col)).alias("__n")
         )
-        .select(
-            F.col(id_col),
-            F.col("__best.__cid").alias("__cid"),
-            F.col("__best.__v").alias("__v"),
-            F.col("__best.__n").alias("__n"),
+        cos_c = F.round(dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")), 4)
+        assign = (
+            side.crossJoin(cent)
+            .withColumn("__cos_c", cos_c)
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("__cid"), F.col("__v"), F.col("__n")),
+                    F.struct(F.col("__cos_c").alias("c"), (-F.col("__cid")).alias("nc")),
+                ).alias("__best")
+            )
+            .select(
+                F.col(id_col),
+                F.col("__best.__cid").alias("__cid"),
+                F.col("__best.__v").alias("__v"),
+                F.col("__best.__n").alias("__n"),
+            )
         )
-    )
     q = F.broadcast(query.select(_dbl(F.col(vec_col)).alias("__qv"), norm(F.col(vec_col)).alias("__qn")))
     probed = F.broadcast(
         cent.crossJoin(q)
@@ -1224,6 +1241,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train: DataFrame | None = None,
+    cb: DataFrame | None = None,
 ) -> DataFrame:
     """X3 scale path — PQ-ADC retrieval with exact re-rank: encode every
     vector as ``m`` one-byte codes, score candidates by Asymmetric
@@ -1250,11 +1268,15 @@ def pq_adc_topk(
     assert m == 8, "fixture vectors are 64-dim; 8 dims per subspace"
     dsub = 8  # 64-dim fixture vectors / m
     # ``train`` separates codebook training from scan set: IVF-PQ trains on
-    # the full corpus but encodes/scores only probed cells (default: same)
-    cb = pq_codebook(
-        train if train is not None else corpus,
-        m=m, kc=kc, id_col=id_col, vec_col=vec_col,
-    )
+    # the full corpus but encodes/scores only probed cells (default: same).
+    # ``cb`` (r16-opt): a caller holding the TRAINED codebook as a committed
+    # (s, c, cv) table passes it and training is skipped — the serving-
+    # from-committed-artifacts posture (see plans/llm_ext5._pq_serving_tables).
+    if cb is None:
+        cb = pq_codebook(
+            train if train is not None else corpus,
+            m=m, kc=kc, id_col=id_col, vec_col=vec_col,
+        )
     # ONE broadcastable row: cbn[s][c][i] — nested sort_array folds keep
     # subspace and code order deterministic.
     cbn = (
@@ -1385,6 +1407,9 @@ def ivf_pq_topk(
     kc: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cent: DataFrame | None = None,
+    assign: DataFrame | None = None,
+    cb: DataFrame | None = None,
 ) -> DataFrame:
     """X3 — the COMPOSED FAISS-style index: IVF cell probe (scan cut) ×
     PQ-ADC codes (memory cut) × exact re-rank. The two halves the
@@ -1406,10 +1431,16 @@ def ivf_pq_topk(
     bottleneck (hash-init cells measured 0.42 mean recall@10; Lloyd+6
     probes ≈ 0.6+). Deterministic end-to-end, so the DuckDB oracle
     replays the full composition.
+
+    ``cent``/``assign``/``cb`` (r16-opt): the trained index artifacts as
+    committed tables (see :func:`kmeans_assign_and_probe` /
+    :func:`pq_adc_topk`) — with all three provided, serving runs ZERO
+    training passes: probe the committed centroids, semi-join the
+    committed assignment, ADC-score against the committed codebook.
     """
     assign, probed = kmeans_assign_and_probe(
         corpus, query, n_clusters=n_cells, n_probe=n_probe, n_iter=n_iter,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, cent=cent, assign=assign,
     )
     in_cells = assign.join(probed, "__cid", "left_semi").select(id_col)
     # NO broadcast hint: in_cells is (n_probe/n_cells)·corpus — it SCALES.
@@ -1426,6 +1457,7 @@ def ivf_pq_topk(
         id_col=id_col,
         vec_col=vec_col,
         train=corpus,
+        cb=cb,
     )
 
 
