@@ -45,6 +45,25 @@ rounds (r7 idle box 0.142 s, r8 contended box 0.139 s). So now:
 - ``contention_spike`` = true when calibration_max > 3 × calibration_sec:
   contention moved mid-bench, so treat RAW values as operative and both
   normalized fields as suspect — flagged, not silently scaled.
+
+SCOPED PROTOCOL (r16 — the persist-lifecycle measurement fix, VERDICT r15
+item 1): the legacy warm+median protocol keeps ``tracked_persist`` caches
+alive ACROSS the timed runs (outside a ``materialized_scope`` a persist is
+never released, and Spark's CacheManager matches re-built plans
+canonically), so queries whose optimization is a persist — and especially
+the ``presentation_sort`` queries, which persist their entire result —
+were measured reading their own warm cache instead of recomputing. From
+r16 the PRIMARY ``queries``/``value`` (and ``full_*``) medians wrap every
+timed invocation in ``materialized_scope()``: each run builds the plan,
+computes, and releases every persist it created, so the median measures
+RECOMPUTATION. Process-level parquet memos (the streaming static indexes,
+the mart-committed graph/codebook artifacts) survive scopes by design —
+they are the documented precompute-offline production form, built in the
+warm pass. The pre-r16 protocol is still run and dual-reported as
+``queries_legacy``/``value_legacy``/``full_*_legacy`` for round-over-round
+comparability (compare r15 ``queries`` against r16 ``queries_legacy``;
+scoped runs execute FIRST so the legacy runs' unreleased caches cannot
+leak into them).
 """
 
 from __future__ import annotations
@@ -159,6 +178,7 @@ def main() -> None:
     ) != "0"
     full_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_FULL_RUNS", "3")))
 
+    from my_favorite_etl_pipeline_spark.caching import materialized_scope
     from my_favorite_etl_pipeline_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -176,6 +196,25 @@ def main() -> None:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        return samples
+
+    def time_query_scoped(name: str, n: int, warm: bool) -> list[float]:
+        """The r16 primary protocol: every run (and the warm pass) builds,
+        computes, and RELEASES its persists inside a materialized_scope, so
+        the sample measures recomputation, not warm-cache reads. Must run
+        BEFORE any unscoped execution of the same query in this process —
+        an unreleased legacy persist would be canonically matched by the
+        scoped run's rebuilt plan and silently serve it from cache."""
+        fn = qs[name]
+        if warm:
+            with materialized_scope():
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            with materialized_scope():
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
         return samples
 
@@ -209,10 +248,17 @@ def main() -> None:
         probe()
     calibration = round(statistics.median(probe_samples), 3)
     per_run = {}
+    per_run_legacy = {}
     for name in HEADLINE:
         probe()
-        per_run[name] = time_query(name, runs, warm=True)
+        # scoped FIRST (see time_query_scoped), legacy second: the legacy
+        # warm pass re-establishes the unscoped persists its runs then reuse
+        per_run[name] = time_query_scoped(name, runs, warm=True)
+        per_run_legacy[name] = time_query(name, runs, warm=True)
     medians = {name: round(statistics.median(s), 3) for name, s in per_run.items()}
+    medians_legacy = {
+        name: round(statistics.median(s), 3) for name, s in per_run_legacy.items()
+    }
     per_run_totals = [
         round(sum(per_run[name][i] for name in HEADLINE), 3) for i in range(runs)
     ]
@@ -246,17 +292,29 @@ def main() -> None:
         "box_factor_cold": round((calibration / 0.25) if calibration > 0 else 1.0, 3),
         "box_factor": round(head_factor, 3),
         "value_normalized": round(sum(medians.values()) / head_factor, 3),
+        # pre-r16 protocol, dual-reported for round-over-round comparability
+        # (compare r15 "queries" against THESE; see the SCOPED PROTOCOL note)
+        "value_legacy": round(sum(medians_legacy.values()), 3),
+        "queries_legacy": medians_legacy,
     }
     if full_on:
-        # no warm pass: the median of full_runs absorbs the cold run, and
-        # the tier is expensive enough that a 4th execution isn't free
+        # scoped tier keeps a warm pass (the per-process parquet memos —
+        # streaming static indexes, mart-committed artifacts — build there);
+        # the legacy tier keeps its no-warm-pass protocol (its first run
+        # doubles as the warm, exactly as pre-r16)
         n_before_full = len(probe_samples)
         full_samples = {}
+        full_samples_legacy = {}
         for name in FULL:
             probe()
-            full_samples[name] = time_query(name, full_runs, warm=False)
+            full_samples[name] = time_query_scoped(name, full_runs, warm=True)
+            full_samples_legacy[name] = time_query(name, full_runs, warm=False)
         full_medians = {
             name: round(statistics.median(s), 3) for name, s in full_samples.items()
+        }
+        full_medians_legacy = {
+            name: round(statistics.median(s), 3)
+            for name, s in full_samples_legacy.items()
         }
         # the full tier runs minutes after the headline — normalize it by
         # ITS OWN window's interleaved probes
@@ -268,6 +326,8 @@ def main() -> None:
         out["full_value_normalized"] = round(
             sum(full_medians.values()) / full_factor, 3
         )
+        out["full_value_legacy"] = round(sum(full_medians_legacy.values()), 3)
+        out["full_queries_legacy"] = full_medians_legacy
         out["probe_median_warm"] = round(statistics.median(probe_samples[3:]), 3)
         out["calibration_max"] = max(probe_samples)
     # Flag, don't silently scale: a >3× spike WITHIN the warm window means
