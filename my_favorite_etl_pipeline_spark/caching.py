@@ -99,5 +99,19 @@ def presentation_sort(df: DataFrame, *cols) -> DataFrame:
     persisting a corpus-scale frame to save a sampling pass is a bad
     trade (cache pressure; see the stream_ingest parquet-vs-persist
     note in streaming/windows.py).
+
+    SCOPE CONTRACT (ADVICE r15): like every ``tracked_persist``, the
+    persist made here is released by the innermost active
+    ``materialized_scope`` — and outside any scope it degrades to an
+    untracked persist the CALLER owns. A scope-less long-lived session
+    invoking registered queries repeatedly therefore accumulates one
+    (result-sized) CacheManager entry per invocation; the engine's
+    runners (oracle harness, pipeline runner, bench timed runs since
+    r16) all wrap invocations in a scope, and one-shot scripts exit.
+    Server-style callers must either scope their invocations or
+    periodically ``spark.catalog.clearCache()`` — this is the registered-
+    query cache-ownership contract (registry module docstring), stated
+    here because presentation_sort is the idiom that made result-sized
+    persists common.
     """
     return tracked_persist(df).orderBy(*cols)

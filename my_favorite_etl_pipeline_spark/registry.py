@@ -76,111 +76,105 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # dataset-assembly, SCD2, and streaming. Names not yet registered are skipped,
 # so the list may lead the code; everything else follows in registration order.
 CURATED_FIRST: tuple[str, ...] = (
-    # R15 ROTATION (VERDICT r14 item 1): seat ALL THIRTEEN r14
-    # driver-unseen entries (the entire verification debt —
-    # knn_graph_nn_descent_hq, greedy_gram_coverage_select,
-    # greedy_coverage_select_batched, ivf_recall_report,
-    # curriculum_shard_order, fuzzy_decontaminate_minhash,
-    # stream_fuzzy_decontaminate, doremi_domain_weights,
-    # knn_graph_lpa_communities, wordpiece_train_merges,
-    # community_capped_select, filter_ablation_matrix,
-    # anomalous_hours_mad — each local-green at 3 SFs + determinism +
-    # ground-truth replay, zero driver rows) and return the 15-entry band
-    # displaced in r14 (q8, grouping_sets, range_join, scd2, lang_id,
-    # qc_gd_scores, simhash_portable, matryoshka, ann_cell_report,
-    # span_profile, semantic_decontaminate, epoch_repeat_plan,
-    # semantic_packing_order, knn_graph_topk_auto_k, knn_graph_pagerank).
-    # OUT: 28 r14-green veterans whose families stay represented —
-    # q5/q9/q18/pivot/cube/asof (q3+q1 flagships stay; q8/grouping_sets/
-    # range_join/scd2 return), the typed/variant twins (transform_chain
-    # stays), continuous rollup (timeseries monitoring now represented by
-    # anomalous_hours_mad), semdedup/canonical_pagerank/edit_distance/
-    # winnowing (exact+minhash anchors stay; simhash_portable returns,
-    # fuzzy decon ×2 and LPA/community entries enter), tfidf (ivf_recall
-    # enters), 5 of the 7 refined-graph consumers the r14 flip-proof
-    # deliberately held in-window (nn_descent + serving topk stay; the
-    # flip is proven, hq/auto_k/pagerank/LPA keep the family rich),
-    # gopher/contamination_13gram (ablation matrix + span_profile +
-    # semantic/fuzzy decon represent those families), both classifier
-    # entries (gd_scores returns; doremi/curriculum share the CCNet
-    # scorer), hll (rows-only; seated in r14 per the r13 verdict, row
-    # banked), token_budget + both r13 seams + pack_docs_histogram
-    # (epoch_repeat_plan/semantic_packing_order return;
-    # pack_efficiency/shard_manifest stay). knn_graph_nn_descent_hq adds
-    # ~30 s to the window check (inline (32,32) build) — seat it for the
-    # row, rotate it back out in r16. ALL 50 entries are oracle-checked
-    # this round: the window's first fully value-hashed composition.
+    # R16 ROTATION (VERDICT r15 item 7): seat ALL FOURTEEN remaining
+    # never-driver-verified entries (the r15-build additions —
+    # ann_ranking_report, lsh_recall_report, knn_graph_kcore,
+    # knn_graph_triangles, containment_overlap_pairs,
+    # containment_dedup_drops, stream_containment_screen,
+    # gram_novelty_scores, hard_negative_pairs, benford_amount_audit,
+    # fk_orphan_audit, unimax_language_budget, weighted_sample_es_topn,
+    # oracle_probe_duckdb_version — each local-green at 3 SFs +
+    # determinism, zero driver rows) and RETURN the verdict-named
+    # veterans: q5/q9/q18 and the HNSW/serving band
+    # (hnsw_two/three_layer_search, hnsw_batch_routed_search,
+    # graph_ann_search_batch, graph_ann_search_durable). OUT: 22
+    # r14/r15-verified entries whose families stay represented —
+    # q8/grouping_sets/range_join (q1/q3/q5/q9/q18 cover relational),
+    # pandas_udf/matryoshka/ann_cell/ivf_recall (bruteforce anchor +
+    # lsh_recall/ann_ranking reports cover similarity),
+    # nn_descent_hq (seated r15 for the row as planned — its inline
+    # (32,32) build cost ~30 s of window time)/auto_k/pagerank/LPA
+    # (nn_descent + serving topk + kcore/triangles/HNSW keep the graph
+    # family rich), ablation/span_profile/semantic_decontaminate
+    # (gram_novelty + the containment trio cover curation),
+    # wordpiece/curriculum (gd_scores + doremi/unimax cover
+    # classifiers/mixtures), greedy ×2/community_capped
+    # (weighted_sample_es_topn covers selection),
+    # semantic_packing/shard_manifest/stream_shard_manifest
+    # (epoch_repeat_plan + pack_efficiency_report cover assembly).
+    # All 50 seats are oracle-backed (no rows-only entries — the r14
+    # hll_sketch_merge no_oracle soft-spot class is excluded by
+    # construction).
     #
     # reference-parity pipeline anchors (SURVEY §2.1-§2.8): pinned always
     "incremental_extract",
     "merge_upsert",
     "dq_gate",
     "reconciliation",
-    # relational: flagships + the returning r14-displaced band
-    "q3_shipping_priority",
+    # relational: flagships + the returning q5/q9/q18 veterans
     "q1_pricing_summary",
-    "q8_market_share",
-    "grouping_sets_revenue",
-    "range_join_ship_latency",
-    "scd2_status_history",
-    # transform/flatten chains (F3/P/J families)
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q9_profit_by_nation_year",
+    "q18_large_orders",
+    # transform chain + SCD2
     "transform_chain",
-    # timeseries/monitoring: the MAD robust gate enters (r14 debt)
+    "scd2_status_history",
+    # timeseries monitoring + the DQ forensics audits (r16 debt)
     "anomalous_hours_mad",
-    # X1 exact dedup + X2 near-dup anchors + returning portable simhash
+    "benford_amount_audit",
+    "fk_orphan_audit",
+    # oracle-engine version probe (r16 debt)
+    "oracle_probe_duckdb_version",
+    # X1 exact dedup + X2 near-dup anchors
     "dedup_exact_groups",
     "minhash_near_dups",
     "simhash_near_dups_portable",
-    # X2 fuzzy decontamination (r14 debt, batch + at-ingest)
+    # X2 containment family (r16 debt: batch pairs/drops + at-ingest)
+    "containment_overlap_pairs",
+    "containment_dedup_drops",
+    "stream_containment_screen",
+    # X2 fuzzy decontamination (batch + at-ingest)
     "fuzzy_decontaminate_minhash",
     "stream_fuzzy_decontaminate",
-    # X3 similarity anchors + returning truncation/cell audits + the
-    # retrieval-quality readout (r14 debt)
+    # X3 similarity anchor + the recall/ranking audits (r16 debt)
     "embedding_topk_bruteforce",
-    "embedding_topk_pandas_udf",
-    "matryoshka_prefix_recall",
-    "ann_cell_size_report",
-    "ivf_recall_report",
-    # X3 graph family: refined anchor + serving anchor stay (flip proven
-    # r14); base-graph auto-k/pagerank return; hq tier + LPA enter
+    "lsh_recall_report",
+    "ann_ranking_report",
+    # X3 graph family: anchors + returning serving/HNSW band +
+    # kcore/triangles (r16 debt)
     "knn_graph_nn_descent",
-    "knn_graph_nn_descent_hq",
     "graph_ann_search_topk",
-    "knn_graph_topk_auto_k",
-    "knn_graph_pagerank",
-    "knn_graph_lpa_communities",
-    # X4 text: returning lang-id + the ablation matrix (r14 debt) +
-    # returning contamination band
+    "graph_ann_search_batch",
+    "graph_ann_search_durable",
+    "hnsw_two_layer_search",
+    "hnsw_three_layer_search",
+    "hnsw_batch_routed_search",
+    "knn_graph_kcore",
+    "knn_graph_triangles",
+    # X4 text: lang-id anchor + novelty/negative mining (r16 debt)
     "lang_id_heuristic",
-    "filter_ablation_matrix",
-    "contamination_span_profile",
-    "semantic_decontaminate_topk",
-    # X4 classifiers/tokenizers: returning GD serving + WordPiece (r14 debt)
+    "gram_novelty_scores",
+    "hard_negative_pairs",
+    # X4 classifiers / mixtures (unimax enters)
     "quality_classifier_gd_scores",
-    "wordpiece_train_merges",
-    # mixture/sampling: DoReMi + curriculum (r14 debt)
     "doremi_domain_weights",
-    "curriculum_shard_order",
-    # selection: greedy coverage ×2 + community-capped (r14 debt)
-    "greedy_gram_coverage_select",
-    "greedy_coverage_select_batched",
-    "community_capped_select",
-    # dataset assembly: returning repeat/packing seam twins + kept audits
+    "unimax_language_budget",
+    # selection/sampling (r16 debt)
+    "weighted_sample_es_topn",
+    # dataset assembly
     "epoch_repeat_plan",
-    "semantic_packing_order",
     "pack_efficiency_report",
-    "shard_manifest_checksums",
     # M4 time travel on the oracle path
     "mart_snapshot_diff",
     # X5 multimodal sentinel
     "multimodal_resize_8x8",
     # S1b docstore (sole family member, pinned)
     "docstore_lang_source_stats",
-    # X6 streaming anchors + the 8-row streaming-state manifest
+    # X6 streaming anchors
     "stream_tumbling_hourly",
     "stream_stream_attribution_join",
     "stream_merge_into_mart",
-    "stream_shard_manifest",
 )
 
 

@@ -38,11 +38,20 @@ def get_spark(app_name: str = "my-favorite-etl-pipeline-spark") -> SparkSession:
         # Allow shuffled-hash join where its size conditions hold instead of
         # always sorting both sides (r15-opt, guide §3.1/§9): equal-width
         # equi-joins on already-small-per-partition sides skip two sorts.
-        # The AQE local-map threshold additionally demotes SMJ→SHJ at
-        # runtime when every post-shuffle partition fits 64 MB — a
-        # SIZE-bounded knob (OOM-safe by the same bound that gates
-        # broadcasts), not a local-core-count tune; measured −20% on the
-        # merge/cluster join paths with every oracle green.
+        # Measured −20% on the merge/cluster join paths, every oracle green.
+        # Safety honesty (ADVICE r15): the two knobs bound DIFFERENT things.
+        # The plan-time SHJ pick bounds the AVERAGE per-partition build size
+        # (autoBroadcastJoinThreshold × shuffle.partitions over ESTIMATED
+        # stats), not the max — a skewed or misestimated build partition can
+        # exceed it, and SHJ's build-side hash map does not spill. The AQE
+        # local-map threshold is the stronger runtime bound (demotes SMJ→SHJ
+        # only when every post-shuffle partition's ACTUAL size fits 64 MB).
+        # The skew backstop for the static pick is AQE skew-join splitting
+        # (enabled above; covers SHJ on Spark >= 3.2), adversarially
+        # exercised by tests/test_shj_skew.py: one hot build-side key far
+        # above the per-partition budget completes and splits. A single
+        # giant KEY (unsplittable by AQE) is the residual risk at 100 TB —
+        # the salting guidance in operators/skew.py is the remedy there.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

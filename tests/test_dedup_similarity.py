@@ -356,10 +356,15 @@ def test_ngram_jaccard_pairs_matches_literal_allpairs(spark, sf_dir):
     from my_favorite_etl_pipeline_spark.sources.tables import load
 
     with materialized_scope():
-        got = {
+        got_rows = [
             (r.id_a, r.id_b, r.jaccard)
             for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, sf_dir).collect()
-        }
+        ]
+    got = set(got_rows)
+    # multiset guard (ADVICE r15): the equi-join rewrite must emit each
+    # (id_a, id_b) pair exactly once — a duplicate-row regression would
+    # survive a set-only comparison
+    assert len(got_rows) == len(got)
     docs = load(spark, sf_dir, "documents")
     sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
