@@ -158,9 +158,20 @@ def prefix_filter_pairs(
     (t·max(|A|,|B|) <= min(|A|,|B|), necessary for J >= t) prunes inside
     the join. Cost: one agg for frequencies + one join + one re-agg — all
     equi-shuffles that scale; candidates then go to ``jaccard_verify``.
+
+    Tokens are ``xxhash64``-hashed int64s, not the raw ~25-byte shingle
+    strings (r16-opt, guide §2.3 "narrower types"): every shuffle in the
+    funnel (frequency agg, ranked re-agg, prefix self-join) carries and
+    compares 8-byte keys, and the per-doc (f, t) sort orders longs. The
+    global rarest-first order ties on the HASH instead of the string —
+    a different but equally valid fixed order, so the prefix theorem's
+    100%-recall guarantee is untouched (any fixed order works); a hash
+    collision can only ADD candidates (merged postings), never lose a
+    qualifying pair, and candidates are verified exactly downstream.
     """
     sh = ensure_min_partitions(df).select(
-        F.col(id_col), shingles(F.col(text_col)).alias("sh")
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col)), lambda x: F.xxhash64(x)).alias("sh"),
     )
     # tok feeds the frequency agg AND the ranked re-agg; pref self-joins.
     # Without persistence the shingle/explode chain runs four times —
@@ -274,12 +285,20 @@ def jaccard_verify(
 
     Joins the (small) candidate set back to the corpus twice; at scale both
     joins broadcast the pair list. Returns (id_a, id_b, jaccard≥threshold).
+
+    Shingles ride as ``xxhash64`` int64 arrays (r16-opt): 3× narrower
+    persisted/joined rows and an integer intersect/union instead of a
+    string one. Distinct sets ⇒ hashed sizes equal string sizes unless
+    two distinct shingles inside one compared pair collide —
+    P ≤ C(|A∪B|,2)/2^64 ≈ 3e-16 per pair, the stream_ingest /
+    MinHash-family collision contract.
     """
     # the self-join below would otherwise compute the shingle projection
     # twice — persist the single map-only pass instead
     sh = tracked_persist(
         ensure_min_partitions(df).select(
-            F.col(id_col), shingles(F.col(text_col)).alias("sh")
+            F.col(id_col),
+            F.transform(shingles(F.col(text_col)), lambda x: F.xxhash64(x)).alias("sh"),
         )
     )
     a = sh.alias("sa")

@@ -235,8 +235,13 @@ def near_dup_pairs_90(docs: DataFrame) -> DataFrame:
     from ..operators.dedup import prefix_filter_pairs
 
     cand = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.9)
+    # hashed shingle arrays (r16-opt) — the jaccard_verify contract: int64
+    # intersect/union, sizes exact absent an in-pair xxhash64 collision
     sh = tracked_persist(  # self-joined below: shingle once, not twice
-        docs.select("doc_id", TX.shingles(F.col("text")).alias("sh"))
+        docs.select(
+            "doc_id",
+            F.transform(TX.shingles(F.col("text")), lambda x: F.xxhash64(x)).alias("sh"),
+        )
     )
     a, b = sh.alias("a"), sh.alias("b")
     jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
