@@ -288,7 +288,11 @@ def stream_fuzzy_decon_pairs(
     from ..plans.llm_ext13 import _assert_unique_doc_ids
 
     bench_pred = _bench_pred()
-    sh = shingles(F.col("text"))
+    # int64-hashed shingles (r16-opt, the stream_ingest contract): the
+    # posting join shuffles/broadcasts 8-byte keys instead of ~25-byte
+    # 3-gram strings; collision counts are exact absent an in-pair
+    # xxhash64 collision (P ≈ 3e-16 per compared pair)
+    sh = F.transform(shingles(F.col("text")), lambda x: F.xxhash64(x))
     # the at-ingest arm's id contract, asserted on the batch view of the
     # same input BEFORE the stream starts (an ingest gate validates ids
     # upstream; mirrors the batch twin's probe + the oracle's uq guard)
@@ -679,7 +683,11 @@ def _containment_ref_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") % 2 == 0)
             .select(
                 F.col("doc_id").alias("ref_id"),
-                F.explode(shingles(F.col("text"))).alias("sh"),
+                # hashed postings — must match the arriving side's hashed
+                # explode (stream_containment_screen)
+                F.explode(
+                    F.transform(shingles(F.col("text")), lambda x: F.xxhash64(x))
+                ).alias("sh"),
             )
             .write.mode("overwrite")
             .parquet(idx_path)
@@ -715,7 +723,8 @@ def stream_containment_screen(
         load(spark, sf_dir, "documents"), "stream_containment_screen"
     )
     ref_idx = _containment_ref_index(spark, sf_dir)
-    sh = shingles(F.col("text"))
+    # int64-hashed shingles — same contract as stream_fuzzy_decon_pairs
+    sh = F.transform(shingles(F.col("text")), lambda x: F.xxhash64(x))
     stream = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
     s0 = stream.select("doc_id", sh.alias("s_a"))
     s = s0.select("doc_id", F.size("s_a").alias("na"), F.explode("s_a").alias("sh"))
