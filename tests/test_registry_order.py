@@ -18,40 +18,43 @@ DRIVER_CAP = 50
 # freezes (decimal_surface proved why: six rounds of local green, red on
 # first driver contact). r8 burned the never-checked backlog to zero.
 FAMILY_SENTINELS = {
-    # r15 window (VERDICT r14 item 1 / the rotation in registry.py): all
-    # THIRTEEN r14 driver-unseen entries seated + the 15-entry band
-    # displaced in r14 returned; 28 green veterans out with every family
-    # still represented. First fully oracle-checked window (50/50).
+    # r16 window (VERDICT r15 item 7 / the rotation in registry.py): all
+    # FOURTEEN remaining never-driver-verified entries seated + the
+    # verdict-named q5/q9/q18 and HNSW/serving-band veterans returned; 22
+    # r14/r15-verified entries out with every family still represented.
+    # All 50 seats oracle-backed.
     "pipeline-parity": ["incremental_extract", "merge_upsert", "dq_gate", "reconciliation"],
-    "relational": ["q3_shipping_priority", "q1_pricing_summary", "q8_market_share",
-                   "grouping_sets_revenue", "range_join_ship_latency",
-                   "scd2_status_history"],
+    "relational": ["q1_pricing_summary", "q3_shipping_priority",
+                   "q5_region_revenue", "q9_profit_by_nation_year",
+                   "q18_large_orders", "scd2_status_history"],
     "transform-chains": ["transform_chain"],
     "timeseries-monitoring": ["anomalous_hours_mad"],
+    "dq-forensics": ["benford_amount_audit", "fk_orphan_audit",
+                     "oracle_probe_duckdb_version"],
     "X1-exact-dedup": ["dedup_exact_groups"],
     "X2-near-dup": ["minhash_near_dups", "simhash_near_dups_portable"],
+    "X2-containment": ["containment_overlap_pairs", "containment_dedup_drops",
+                       "stream_containment_screen"],
     "X2-fuzzy-decontamination": ["fuzzy_decontaminate_minhash",
                                  "stream_fuzzy_decontaminate"],
-    "X3-similarity": ["embedding_topk_bruteforce", "embedding_topk_pandas_udf",
-                      "matryoshka_prefix_recall", "ann_cell_size_report",
-                      "ivf_recall_report"],
-    "graph-family": ["knn_graph_nn_descent", "knn_graph_nn_descent_hq",
-                     "graph_ann_search_topk", "knn_graph_topk_auto_k",
-                     "knn_graph_pagerank", "knn_graph_lpa_communities"],
-    "X4-text": ["lang_id_heuristic", "filter_ablation_matrix",
-                "contamination_span_profile", "semantic_decontaminate_topk"],
-    "model-filters-tokenizers": ["quality_classifier_gd_scores",
-                                 "wordpiece_train_merges"],
-    "mixture-sampling": ["doremi_domain_weights", "curriculum_shard_order"],
-    "selection": ["greedy_gram_coverage_select", "greedy_coverage_select_batched",
-                  "community_capped_select"],
-    "assembly": ["epoch_repeat_plan", "semantic_packing_order",
-                 "pack_efficiency_report", "shard_manifest_checksums"],
+    "X3-similarity": ["embedding_topk_bruteforce", "lsh_recall_report",
+                      "ann_ranking_report"],
+    "graph-family": ["knn_graph_nn_descent", "graph_ann_search_topk",
+                     "graph_ann_search_batch", "graph_ann_search_durable",
+                     "hnsw_two_layer_search", "hnsw_three_layer_search",
+                     "hnsw_batch_routed_search", "knn_graph_kcore",
+                     "knn_graph_triangles"],
+    "X4-text": ["lang_id_heuristic", "gram_novelty_scores",
+                "hard_negative_pairs"],
+    "model-filters-tokenizers": ["quality_classifier_gd_scores"],
+    "mixture-sampling": ["doremi_domain_weights", "unimax_language_budget"],
+    "selection": ["weighted_sample_es_topn"],
+    "assembly": ["epoch_repeat_plan", "pack_efficiency_report"],
     "M4-time-travel": ["mart_snapshot_diff"],
     "X5-multimodal": ["multimodal_resize_8x8"],
     "S1b-docstore": ["docstore_lang_source_stats"],
     "X6-streaming": ["stream_tumbling_hourly", "stream_stream_attribution_join",
-                     "stream_merge_into_mart", "stream_shard_manifest"],
+                     "stream_merge_into_mart"],
 }
 
 
