@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from ..caching import tracked_persist
 from ..functions import text as TX
 from ..registry import register
+from ..session import shuffle_partitions_tag
 from ..sources.tables import load
 from .llm_ext5 import _duck_md5_32, _spark_md5_32
 
@@ -190,7 +191,7 @@ def _qc_trained_weights(
     driver-red/local-green divergence demanded (VERDICT r10 item 1)."""
     import os
 
-    parts = spark.conf.get("spark.sql.shuffle.partitions", "")
+    parts = shuffle_partitions_tag(spark)
     key = (os.path.abspath(sf_dir), parts, epochs)
     with _QC_LOCK:
         if key in _QC_MEMO:

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..registry import register
+from ..session import shuffle_partitions_tag
 from ..sources.tables import load
 
 _COV_ROUNDS = 5  # documents selected (greedy rounds)
@@ -965,7 +966,7 @@ def lpa_labels_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.mart import VersionedMart
     from .llm_ext7 import _knn_graph_root
 
-    parts = spark.conf.get("spark.sql.shuffle.partitions", "")
+    parts = shuffle_partitions_tag(spark)
     key = (os.path.abspath(sf_dir), parts)
     with _LPA_MART_LOCK:
         base = _LPA_MART_MEMO.get(key)

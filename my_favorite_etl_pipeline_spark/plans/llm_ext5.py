@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..caching import tracked_persist
 from ..functions import text as TX
 from ..registry import REGISTRY, register
+from ..session import shuffle_partitions_tag
 from ..sources.tables import load
 
 # ---------------------------------------------------------------------------
@@ -508,7 +509,7 @@ def _pq_serving_tables(spark: SparkSession, sf_dir: str):
     )
     from ..sources.mart import VersionedMart
 
-    parts = spark.conf.get("spark.sql.shuffle.partitions", "")
+    parts = shuffle_partitions_tag(spark)
     key = (os.path.abspath(sf_dir), parts)
     with _PQ_SERVE_LOCK:
         base = _PQ_SERVE_MEMO.get(key)

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..caching import tracked_persist
 from ..functions import text as TX
 from ..registry import register
+from ..session import shuffle_partitions_tag
 from ..sources.tables import load
 from .llm_ext3 import _BENCH_PRED_SQL, _DUCK_NGRAMS, _bench_pred
 from .llm_ext4 import AUTO_K_SQL as _AUTO_K_SQL_REF
@@ -782,7 +783,7 @@ def _knn_refined_tables(spark: SparkSession, sf_dir: str):
 
     from ..sources.mart import VersionedMart
 
-    parts = spark.conf.get("spark.sql.shuffle.partitions", "")
+    parts = shuffle_partitions_tag(spark)
     key = (os.path.abspath(sf_dir), parts)
     # Lock held across check-build-publish: if a harness ever runs two
     # graph consumers concurrently (or re-enters after a timeout/retry),
@@ -844,7 +845,7 @@ def _knn_gund_table(spark: SparkSession, sf_dir: str):
     from ..sources.mart import VersionedMart
 
     _knn_refined_tables(spark, sf_dir)  # ensure built + committed
-    parts = spark.conf.get("spark.sql.shuffle.partitions", "")
+    parts = shuffle_partitions_tag(spark)
     base = _KNN_GRAPH_MEMO[(os.path.abspath(sf_dir), parts)]
     return VersionedMart(os.path.join(base, "gund")).read(spark)
 
@@ -1302,7 +1303,7 @@ def q_graph_ann_search_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.mart import VersionedMart
 
-    parts = spark.conf.get("spark.sql.shuffle.partitions", "")
+    parts = shuffle_partitions_tag(spark)
     key = (os.path.abspath(sf_dir), parts)
     with _KNN_GRAPH_LOCK:
         root = _DURABLE_GRAPH_MEMO.get(key)

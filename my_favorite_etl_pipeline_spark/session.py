@@ -78,6 +78,25 @@ def get_spark(app_name: str = "my-favorite-etl-pipeline-spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+def shuffle_partitions_tag(spark: SparkSession) -> str:
+    """The session's shuffle-partition setting as a memo-key string.
+
+    NOT ``spark.conf.get(key, "")``: Spark 4.1 validates the DEFAULT
+    against the conf's declared type when the key is unset in the session
+    conf map, so a string default on this int conf throws
+    INVALID_CONF_VALUE on a vanilla (driver-created) session — exactly
+    the session the driver harness runs queries with (caught r16 by the
+    driver-simulation smoke on the newly seated graph entries; the tuned
+    ``get_spark`` sessions always set the key, which is why local sweeps
+    never saw it). ``get(key)`` without a default returns the session
+    default ("200") unvalidated.
+    """
+    try:
+        return spark.conf.get("spark.sql.shuffle.partitions") or ""
+    except Exception:
+        return ""
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an externally-provided session.
 
